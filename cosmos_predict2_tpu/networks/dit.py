@@ -1,0 +1,424 @@
+"""MiniTrainDIT — the Cosmos video diffusion transformer, rebuilt in Flax.
+
+Architecture parity with the reference ``MiniTrainDIT``
+(cosmos_predict2/_src/predict2/networks/minimal_v4_dit.py:1250-1741):
+
+  * PatchEmbed: rearrange b c (t r) (h m) (w n) -> b t h w (c r m n) + Linear
+    (no bias) over 2x2x1 patches (:846-913); optional padding-mask channel.
+  * 3D RoPE with per-axis NTK extrapolation factors and optional
+    fps-modulated temporal frequencies (:539-667) — see ops/rope.py.
+  * Sinusoidal ``Timesteps`` ([cos, sin] order, :727-748) + AdaLN-LoRA
+    ``TimestepEmbedding`` (:751-788): with LoRA, the block-modulation input
+    is the *raw* sinusoidal embedding and the MLP emits the shared B_T_3D
+    LoRA term; RMSNorm(eps 1e-6) on the t embedding (:1421).
+  * N x Block = AdaLN(3D)-gated self-attn -> cross-attn -> GPT2 MLP
+    (:998-1247), per-head q/k RMSNorm, affine-free LayerNorm eps 1e-6.
+  * FinalLayer: AdaLN(2D) + Linear unpatchify (:916-995).
+
+2B config: 2048 ch / 16 heads / 28 blocks; 14B: 5120/40/36
+(configs/video2world/defaults/net.py:82-94). TPU-first choices: bf16
+compute with fp32 params and fp32 norms/modulation, flash-attention Pallas
+kernel for the (t h w) self-attention, everything shape-static under jit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from cosmos_predict2_tpu.ops.attention import dot_product_attention
+from cosmos_predict2_tpu.ops.normalization import layer_norm, rms_norm
+from cosmos_predict2_tpu.ops.rope import RopeSpec, rope_angles_3d
+
+
+@dataclasses.dataclass(frozen=True)
+class DiTConfig:
+    max_img_h: int = 240
+    max_img_w: int = 240
+    max_frames: int = 128
+    in_channels: int = 16
+    out_channels: int = 16
+    patch_spatial: int = 2
+    patch_temporal: int = 1
+    concat_padding_mask: bool = True
+    model_channels: int = 2048
+    num_blocks: int = 28
+    num_heads: int = 16
+    mlp_ratio: float = 4.0
+    crossattn_emb_channels: int = 1024
+    use_crossattn_projection: bool = False
+    crossattn_proj_in_channels: int = 1024
+    use_adaln_lora: bool = True
+    adaln_lora_dim: int = 256
+    rope_h_extrapolation_ratio: float = 1.0
+    rope_w_extrapolation_ratio: float = 1.0
+    rope_t_extrapolation_ratio: float = 1.0
+    rope_enable_fps_modulation: bool = True
+    extra_per_block_abs_pos_emb: bool = False
+    min_fps: int = 1
+    max_fps: int = 30
+    # compute dtype for matmuls; norms & modulation stay fp32
+    dtype: jnp.dtype = jnp.bfloat16
+    # attention backend override (None = auto dispatch)
+    atten_backend: Optional[str] = None
+    # remat ("gradient checkpoint") policy for blocks: "none"|"block"
+    remat: str = "block"
+    # cp mesh axis name (when run under shard_map sequence parallelism)
+    cp_axis: Optional[str] = None
+
+    @property
+    def head_dim(self) -> int:
+        return self.model_channels // self.num_heads
+
+    @property
+    def rope_spec(self) -> RopeSpec:
+        return RopeSpec(
+            head_dim=self.head_dim,
+            h_extrapolation_ratio=self.rope_h_extrapolation_ratio,
+            w_extrapolation_ratio=self.rope_w_extrapolation_ratio,
+            t_extrapolation_ratio=self.rope_t_extrapolation_ratio,
+            enable_fps_modulation=self.rope_enable_fps_modulation,
+        )
+
+
+def trunc_normal_init(std: float):
+    """trunc_normal(std, a=-3*std, b=3*std) used throughout the reference."""
+
+    def init(key, shape, dtype=jnp.float32):
+        return std * jax.random.truncated_normal(key, -3.0, 3.0, shape, dtype)
+
+    return init
+
+
+class Dense(nn.Module):
+    """Linear layer matching torch nn.Linear semantics (y = x W^T + b)."""
+
+    features: int
+    use_bias: bool = False
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", self.kernel_init, (x.shape[-1], self.features))
+        y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype), preferred_element_type=self.dtype)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+class RMSNormParam(nn.Module):
+    """RMSNorm with learnable weight (TE RMSNorm parity, eps 1e-6)."""
+
+    dim: int
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        weight = self.param("weight", nn.initializers.ones, (self.dim,))
+        return rms_norm(x, weight, self.eps)
+
+
+class Attention(nn.Module):
+    """Self- or cross-attention with per-head q/k RMSNorm + RoPE (self only).
+
+    Parity: minimal_v4_dit.py:291-497. Projections are bias-free; q_norm and
+    k_norm are RMSNorm over head_dim with eps 1e-6; RoPE only in self-attn.
+    """
+
+    query_dim: int
+    context_dim: Optional[int]
+    n_heads: int
+    head_dim: int
+    dtype: jnp.dtype = jnp.bfloat16
+    backend: Optional[str] = None
+    cp_axis: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, context=None, rope_angles=None):
+        is_selfattn = context is None
+        inner = self.n_heads * self.head_dim
+        ctx_dim = self.query_dim if self.context_dim is None else self.context_dim
+        ctx = x if context is None else context
+
+        std_q = 1.0 / np.sqrt(self.query_dim)
+        std_kv = 1.0 / np.sqrt(ctx_dim)
+        q = Dense(inner, kernel_init=trunc_normal_init(std_q), dtype=self.dtype, name="q_proj")(x)
+        k = Dense(inner, kernel_init=trunc_normal_init(std_kv), dtype=self.dtype, name="k_proj")(ctx)
+        v = Dense(inner, kernel_init=trunc_normal_init(std_kv), dtype=self.dtype, name="v_proj")(ctx)
+
+        def split_heads(t):
+            return t.reshape(t.shape[:-1] + (self.n_heads, self.head_dim))
+
+        q, k, v = split_heads(q), split_heads(k), split_heads(v)
+        q = RMSNormParam(self.head_dim, name="q_norm")(q)
+        k = RMSNormParam(self.head_dim, name="k_norm")(k)
+        if is_selfattn and rope_angles is not None:
+            from cosmos_predict2_tpu.ops.rope import apply_rope
+
+            q = apply_rope(q, rope_angles)
+            k = apply_rope(k, rope_angles)
+
+        if self.cp_axis is not None and is_selfattn:
+            from cosmos_predict2_tpu.parallel.cp import ulysses_attention
+
+            out = ulysses_attention(q, k, v, axis_name=self.cp_axis, backend=self.backend)
+        else:
+            out = dot_product_attention(q, k, v, backend=self.backend)
+        out = out.reshape(out.shape[:-2] + (inner,))
+
+        std_o = 1.0 / np.sqrt(inner)
+        return Dense(self.query_dim, kernel_init=trunc_normal_init(std_o), dtype=self.dtype, name="output_proj")(out)
+
+
+class GPT2FeedForward(nn.Module):
+    """Linear -> GELU(exact) -> Linear, both bias-free (minimal_v4_dit.py:227-254)."""
+
+    d_model: int
+    d_ff: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        h = Dense(self.d_ff, kernel_init=trunc_normal_init(1.0 / np.sqrt(self.d_model)), dtype=self.dtype, name="layer1")(x)
+        h = jax.nn.gelu(h, approximate=False)
+        return Dense(self.d_model, kernel_init=trunc_normal_init(1.0 / np.sqrt(self.d_ff)), dtype=self.dtype, name="layer2")(h)
+
+
+class AdaLNModulation(nn.Module):
+    """SiLU -> Linear(s) emitting n_chunks * dim; zero-init last layer.
+
+    With LoRA: SiLU -> Linear(dim->lora_dim) -> Linear(lora_dim->n*dim)
+    (minimal_v4_dit.py:1068-1092). Computed in fp32.
+    """
+
+    dim: int
+    n_chunks: int
+    use_lora: bool
+    lora_dim: int = 256
+
+    @nn.compact
+    def __call__(self, emb):
+        emb = jax.nn.silu(emb.astype(jnp.float32))
+        if self.use_lora:
+            std = 1.0 / np.sqrt(self.dim)
+            h = Dense(self.lora_dim, kernel_init=trunc_normal_init(std), dtype=jnp.float32, name="linear_1")(emb)
+            return Dense(self.n_chunks * self.dim, kernel_init=nn.initializers.zeros, dtype=jnp.float32, name="linear_2")(h)
+        return Dense(self.n_chunks * self.dim, kernel_init=nn.initializers.zeros, dtype=jnp.float32, name="linear_1")(emb)
+
+
+class Block(nn.Module):
+    """Transformer block: AdaLN-modulated self-attn, cross-attn, MLP.
+
+    Parity: minimal_v4_dit.py:998-1247. Each sub-layer:
+      x <- x + gate * f(layer_norm(x) * (1 + scale) + shift)
+    shift/scale/gate from SiLU+Linear( t_emb ) (+ shared adaln_lora term),
+    chunked in (shift, scale, gate) order.
+    """
+
+    config: DiTConfig
+
+    @nn.compact
+    def __call__(self, x_B_T_H_W_D, emb_B_T_D, crossattn_emb, rope_angles, adaln_lora_B_T_3D):
+        cfg = self.config
+        d = cfg.model_channels
+
+        def mod(name):
+            out = AdaLNModulation(d, 3, cfg.use_adaln_lora, cfg.adaln_lora_dim, name=name)(emb_B_T_D)
+            if cfg.use_adaln_lora:
+                out = out + adaln_lora_B_T_3D
+            shift, scale, gate = jnp.split(out, 3, axis=-1)
+            # (B, T, D) -> (B, T, 1, 1, D) for broadcasting over H, W
+            rs = lambda a: a[:, :, None, None, :]
+            return rs(shift), rs(scale), rs(gate)
+
+        B, T, H, W, D = x_B_T_H_W_D.shape
+        compute_dtype = cfg.dtype
+
+        def modulated(x, shift, scale):
+            return (layer_norm(x) * (1.0 + scale) + shift).astype(compute_dtype)
+
+        # self attention
+        shift_sa, scale_sa, gate_sa = mod("adaln_modulation_self_attn")
+        normed = modulated(x_B_T_H_W_D, shift_sa, scale_sa)
+        attn_in = normed.reshape(B, T * H * W, D)
+        attn_out = Attention(
+            d, None, cfg.num_heads, cfg.head_dim, dtype=compute_dtype,
+            backend=cfg.atten_backend, cp_axis=cfg.cp_axis, name="self_attn",
+        )(attn_in, rope_angles=rope_angles)
+        x_B_T_H_W_D = x_B_T_H_W_D + gate_sa.astype(x_B_T_H_W_D.dtype) * attn_out.reshape(B, T, H, W, D).astype(x_B_T_H_W_D.dtype)
+
+        # cross attention
+        shift_ca, scale_ca, gate_ca = mod("adaln_modulation_cross_attn")
+        normed = modulated(x_B_T_H_W_D, shift_ca, scale_ca)
+        attn_in = normed.reshape(B, T * H * W, D)
+        attn_out = Attention(
+            d, cfg.crossattn_emb_channels, cfg.num_heads, cfg.head_dim,
+            dtype=compute_dtype, backend="reference", name="cross_attn",
+        )(attn_in, context=crossattn_emb.astype(compute_dtype))
+        x_B_T_H_W_D = x_B_T_H_W_D + gate_ca.astype(x_B_T_H_W_D.dtype) * attn_out.reshape(B, T, H, W, D).astype(x_B_T_H_W_D.dtype)
+
+        # MLP
+        shift_mlp, scale_mlp, gate_mlp = mod("adaln_modulation_mlp")
+        normed = modulated(x_B_T_H_W_D, shift_mlp, scale_mlp)
+        mlp_out = GPT2FeedForward(d, int(d * cfg.mlp_ratio), dtype=compute_dtype, name="mlp")(normed)
+        x_B_T_H_W_D = x_B_T_H_W_D + gate_mlp.astype(x_B_T_H_W_D.dtype) * mlp_out.astype(x_B_T_H_W_D.dtype)
+        return x_B_T_H_W_D
+
+
+def timestep_sinusoid(timesteps_B_T: jax.Array, num_channels: int) -> jax.Array:
+    """Sinusoidal embedding with [cos, sin] order (minimal_v4_dit.py:731-748)."""
+    half = num_channels // 2
+    exponent = -np.log(10000.0) * jnp.arange(half, dtype=jnp.float32) / half
+    freqs = jnp.exp(exponent)
+    args = timesteps_B_T.astype(jnp.float32)[..., None] * freqs
+    return jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+
+
+class TimestepEmbedding(nn.Module):
+    """Linear -> SiLU -> Linear. With AdaLN-LoRA the module returns
+    (raw sinusoid, 3D LoRA term); without it (mlp output, None)
+    (minimal_v4_dit.py:751-788)."""
+
+    in_features: int
+    out_features: int
+    use_adaln_lora: bool
+
+    @nn.compact
+    def __call__(self, sample_B_T_D):
+        std_in = 1.0 / np.sqrt(self.in_features)
+        std_out = 1.0 / np.sqrt(self.out_features)
+        emb = Dense(
+            self.out_features,
+            use_bias=not self.use_adaln_lora,
+            kernel_init=trunc_normal_init(std_in),
+            dtype=jnp.float32,
+            name="linear_1",
+        )(sample_B_T_D)
+        emb = jax.nn.silu(emb)
+        n_out = 3 * self.out_features if self.use_adaln_lora else self.out_features
+        emb = Dense(n_out, kernel_init=trunc_normal_init(std_out), dtype=jnp.float32, name="linear_2")(emb)
+        if self.use_adaln_lora:
+            return sample_B_T_D, emb  # (emb_B_T_D = raw sinusoid, adaln_lora_B_T_3D)
+        return emb, None
+
+
+class FinalLayer(nn.Module):
+    """AdaLN(2 chunks) + linear head (minimal_v4_dit.py:916-995)."""
+
+    config: DiTConfig
+
+    @nn.compact
+    def __call__(self, x_B_T_H_W_D, emb_B_T_D, adaln_lora_B_T_3D):
+        cfg = self.config
+        d = cfg.model_channels
+        out = AdaLNModulation(d, 2, cfg.use_adaln_lora, cfg.adaln_lora_dim, name="adaln_modulation")(emb_B_T_D)
+        if cfg.use_adaln_lora:
+            out = out + adaln_lora_B_T_3D[:, :, : 2 * d]
+        shift, scale = jnp.split(out, 2, axis=-1)
+        shift = shift[:, :, None, None, :]
+        scale = scale[:, :, None, None, :]
+        x = (layer_norm(x_B_T_H_W_D) * (1.0 + scale) + shift).astype(cfg.dtype)
+        o = cfg.patch_spatial * cfg.patch_spatial * cfg.patch_temporal * cfg.out_channels
+        return Dense(o, kernel_init=trunc_normal_init(1.0 / np.sqrt(d)), dtype=cfg.dtype, name="linear")(x)
+
+
+class MiniTrainDIT(nn.Module):
+    """The full video DiT. Input x: (B, C, T, H, W); timesteps: (B,) or (B, T)."""
+
+    config: DiTConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        x_B_C_T_H_W: jax.Array,
+        timesteps_B_T: jax.Array,
+        crossattn_emb: jax.Array,
+        fps: Optional[jax.Array] = None,
+        padding_mask: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        cfg = self.config
+        B, C, T, H, W = x_B_C_T_H_W.shape
+        ps, pt = cfg.patch_spatial, cfg.patch_temporal
+
+        # ---- patch embed (with optional padding-mask channel) ----
+        if cfg.concat_padding_mask:
+            if padding_mask is None:
+                padding_mask = jnp.zeros((B, 1, H, W), dtype=x_B_C_T_H_W.dtype)
+            elif padding_mask.shape[-2:] != (H, W):
+                # nearest resize (reference uses torchvision nearest resize)
+                padding_mask = jax.image.resize(padding_mask, padding_mask.shape[:-2] + (H, W), "nearest")
+            mask = jnp.broadcast_to(padding_mask[:, :1, None, :, :], (B, 1, T, H, W)).astype(x_B_C_T_H_W.dtype)
+            x_B_C_T_H_W = jnp.concatenate([x_B_C_T_H_W, mask], axis=1)
+            C = C + 1
+
+        # b c (t r) (h m) (w n) -> b t h w (c r m n)
+        x = x_B_C_T_H_W.reshape(B, C, T // pt, pt, H // ps, ps, W // ps, ps)
+        x = x.transpose(0, 2, 4, 6, 1, 3, 5, 7)  # b t h w c r m n
+        Tt, Hp, Wp = T // pt, H // ps, W // ps
+        x = x.reshape(B, Tt, Hp, Wp, C * pt * ps * ps)
+        patch_dim = C * pt * ps * ps
+        x = Dense(
+            cfg.model_channels,
+            kernel_init=trunc_normal_init(1.0 / np.sqrt(patch_dim)),
+            dtype=cfg.dtype,
+            name="x_embedder",
+        )(x)
+
+        # ---- rope ----
+        rope_angles = rope_angles_3d(cfg.rope_spec, Tt, Hp, Wp, fps=fps)
+
+        # ---- timestep embedding ----
+        if timesteps_B_T.ndim == 1:
+            timesteps_B_T = timesteps_B_T[:, None]
+        sin_emb = timestep_sinusoid(timesteps_B_T, cfg.model_channels)
+        emb_B_T_D, adaln_lora_B_T_3D = TimestepEmbedding(
+            cfg.model_channels, cfg.model_channels, cfg.use_adaln_lora, name="t_embedder"
+        )(sin_emb)
+        emb_B_T_D = RMSNormParam(cfg.model_channels, name="t_embedding_norm")(emb_B_T_D.astype(jnp.float32))
+        # broadcast per-frame modulation over latent frames
+        if emb_B_T_D.shape[1] == 1 and Tt > 1:
+            emb_B_T_D = jnp.broadcast_to(emb_B_T_D, (B, Tt, cfg.model_channels))
+            if adaln_lora_B_T_3D is not None:
+                adaln_lora_B_T_3D = jnp.broadcast_to(adaln_lora_B_T_3D, (B, Tt, 3 * cfg.model_channels))
+
+        # ---- crossattn projection (Qwen hidden-state concat -> 1024) ----
+        if cfg.use_crossattn_projection:
+            crossattn_emb = Dense(
+                cfg.crossattn_emb_channels,
+                use_bias=True,
+                kernel_init=nn.initializers.lecun_normal(),
+                dtype=cfg.dtype,
+                name="crossattn_proj",
+            )(crossattn_emb)
+            crossattn_emb = jax.nn.gelu(crossattn_emb, approximate=False)
+
+        # ---- blocks ----
+        block_cls = Block
+        if cfg.remat == "block":
+            block_cls = nn.remat(Block, static_argnums=())
+        for i in range(cfg.num_blocks):
+            x = block_cls(cfg, name=f"blocks_{i}")(x, emb_B_T_D, crossattn_emb, rope_angles, adaln_lora_B_T_3D)
+
+        # ---- final layer + unpatchify ----
+        x = FinalLayer(cfg, name="final_layer")(x, emb_B_T_D, adaln_lora_B_T_3D)
+        # B T H W (p1 p2 t C) -> B C (T t) (H p1) (W p2)
+        x = x.reshape(B, Tt, Hp, Wp, ps, ps, pt, cfg.out_channels)
+        x = x.transpose(0, 7, 1, 6, 2, 4, 3, 5)  # b c t pt h p1 w p2
+        x = x.reshape(B, cfg.out_channels, Tt * pt, Hp * ps, Wp * ps)
+        return x
+
+
+PRESETS: dict[str, DiTConfig] = {
+    "2B": DiTConfig(),
+    "14B": DiTConfig(model_channels=5120, num_heads=40, num_blocks=36),
+    "mini": DiTConfig(model_channels=1024, num_heads=8, num_blocks=2),
+    # tiny config for tests
+    "test": DiTConfig(model_channels=384, num_heads=3, num_blocks=2, adaln_lora_dim=32),
+}

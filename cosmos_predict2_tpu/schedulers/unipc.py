@@ -1,0 +1,296 @@
+"""Flow-matching UniPC multistep sampler, redesigned for XLA.
+
+Capability parity with the reference ``FlowUniPCMultistepScheduler``
+(cosmos_predict2/_src/predict2/models/fm_solvers_unipc.py:15-766), but built
+the TPU way: every scalar in the predictor/corrector update depends only on
+the (host-known) sigma schedule and the step index — never on device data —
+so we precompute the full coefficient tables in float64 NumPy once, and the
+sampling loop becomes a ``jax.lax.scan`` over steps that carries
+``(x, last_x, x0-history)``. One jit, one compile, zero host sync per step.
+
+Math (UniPC B(h), predict_x0, flow prediction):
+  x0_i      = x_i - sigma_i * v_i                      (model output convert)
+  corrector: x_i <- (sig_i/sig_{i-1}) x_{i-1} - a_i*hphi1*m0
+                    - a_i*B_h*( sum_j rho_c[j]*(m_j - m0)/rk_j
+                                + rho_c[-1]*(x0_i - m0) )
+  predictor: x_{i+1} = (sig_{i+1}/sig_i) x_i - a*hphi1*m0
+                    - a*B_h*( sum_j rho_p[j]*(m_j - m0)/rk_j )
+with lambda = log(alpha) - log(sigma), alpha = 1 - sigma, h = dlambda,
+hphi1 = expm1(-h), B_h = expm1(-h) (bh2) or -h (bh1). Order warm-up and
+``lower_order_final`` reproduce the reference exactly:
+orders[i] = min(solver_order, n - i, i + 1).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cosmos_predict2_tpu.schedulers.rectified_flow import shift_sigmas
+
+
+@dataclasses.dataclass(frozen=True)
+class UniPCConfig:
+    num_train_timesteps: int = 1000
+    solver_order: int = 2
+    solver_type: str = "bh2"  # "bh1" | "bh2"
+    lower_order_final: bool = True
+    predict_x0: bool = True
+    disable_corrector: tuple[int, ...] = ()
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class UniPCCoeffs:
+    """Per-step coefficient tables (all shape (n,) or (n, order-1)).
+
+    Update rules with these tables (step i, history m[k] = x0 preds, m[0]
+    newest *previous*, i.e. before appending x0_i):
+
+    corrector (applied to x_i using last_x = x_{i-1}):
+      x_i <- c_ratio[i]*last_x - c_m0[i]*m[0]
+             - sum_k c_hist[i,k]*(m[k+1]-m[0]) - c_d1t[i]*(x0_i - m[0])
+    predictor (after appending x0_i so m[0] = x0_i):
+      x_{i+1} = p_ratio[i]*x_i - p_m0[i]*m[0] - sum_k p_hist[i,k]*(m[k+1]-m[0])
+    """
+
+    timesteps: jnp.ndarray  # (n,) model-facing timesteps (sigma*1000)
+    sigmas: jnp.ndarray  # (n+1,) incl. final 0
+    use_corrector: jnp.ndarray  # (n,) bool
+    c_ratio: jnp.ndarray
+    c_m0: jnp.ndarray
+    c_hist: jnp.ndarray  # (n, order-1)
+    c_d1t: jnp.ndarray
+    p_ratio: jnp.ndarray
+    p_m0: jnp.ndarray
+    p_hist: jnp.ndarray  # (n, order-1)
+
+    def tree_flatten(self):
+        fields = dataclasses.fields(self)
+        return tuple(getattr(self, f.name) for f in fields), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        del aux
+        return cls(*children)
+
+    @property
+    def num_steps(self) -> int:
+        return self.timesteps.shape[0]
+
+
+def karras_sigmas(num_steps: int, sigma_min: float = 0.01, sigma_max: float = 200.0, rho: float = 7.0) -> np.ndarray:
+    """EDM Karras schedule mapped to flow sigma in (0,1): s = k/(1+k).
+
+    Matches reference ``set_timesteps(use_kerras_sigma=True)`` (:170-179).
+    Returns num_steps+1 values (the last one is NOT zero here; reference
+    keeps all num_steps+1 as active sigmas).
+    """
+    steps = np.arange(num_steps + 1, dtype=np.float64) / num_steps
+    min_inv_rho = sigma_min ** (1.0 / rho)
+    max_inv_rho = sigma_max ** (1.0 / rho)
+    sig = (max_inv_rho + steps * (min_inv_rho - max_inv_rho)) ** rho
+    return sig / (1.0 + sig)
+
+
+def set_timesteps(
+    num_steps: int,
+    shift: float = 5.0,
+    use_karras_sigma: bool = False,
+    config: UniPCConfig = UniPCConfig(),
+) -> UniPCCoeffs:
+    """Build the sigma schedule and precompute all UniPC coefficients.
+
+    Mirrors reference ``set_timesteps`` (:150-215): linspace from sigma_max
+    to sigma_min over num_steps+1 dropping the last, then the shift map,
+    then append final sigma 0. (With the karras option, all num_steps+1
+    sigmas are kept and the shift map is skipped.)
+    """
+    n_train = config.num_train_timesteps
+    if use_karras_sigma:
+        sigmas = karras_sigmas(num_steps)
+    else:
+        # Reference __init__ computes sigma_max/min from the *shifted* init
+        # schedule; set_timesteps then linspaces over [sigma_max, sigma_min]
+        # of the shift=config.shift init schedule. The init schedule here
+        # uses shift 1.0 default => sigma_max = 1.0, sigma_min = 1/N... but
+        # the reference constructs the scheduler with its config shift. In
+        # the cosmos inference path the scheduler is built with default
+        # shift=1.0 then set_timesteps(shift=5) is called, so:
+        sigma_max = 1.0
+        sigma_min = 1.0 / n_train
+        sigmas = np.linspace(sigma_max, sigma_min, num_steps + 1)[:-1]
+        sigmas = shift_sigmas(sigmas, shift)
+    timesteps = sigmas * n_train
+    sigmas = np.concatenate([sigmas, [0.0]]).astype(np.float64)
+    n = len(timesteps)
+
+    order = config.solver_order
+    # order sequence incl. warm-up & lower_order_final (reference step():688-698)
+    orders = np.empty(n, dtype=np.int64)
+    for i in range(n):
+        o = min(order, n - i) if config.lower_order_final else order
+        orders[i] = min(o, i + 1)
+
+    def lam(s: float) -> float:
+        # lambda = log(alpha) - log(sigma); alpha = 1 - sigma.
+        # At sigma=0: +inf; at sigma=1 (first step of an unshifted/shift
+        # schedule that starts exactly at 1): -inf. Both propagate through
+        # expm1/ratios exactly like the torch reference does.
+        a = 1.0 - s
+        if s <= 0.0:
+            return math.inf
+        if a <= 0.0:
+            return -math.inf
+        return math.log(a) - math.log(s)
+
+    c_ratio = np.zeros(n)
+    c_m0 = np.zeros(n)
+    c_hist = np.zeros((n, max(order - 1, 1)))
+    c_d1t = np.zeros(n)
+    p_ratio = np.zeros(n)
+    p_m0 = np.zeros(n)
+    p_hist = np.zeros((n, max(order - 1, 1)))
+    use_corr = np.zeros(n, dtype=bool)
+
+    def bh_terms(h: float, o: int):
+        """Return (h_phi_1, B_h, R, b) for order o (reference :407-439)."""
+        hh = -h if config.predict_x0 else h
+        h_phi_1 = math.expm1(hh)
+        B_h = hh if config.solver_type == "bh1" else math.expm1(hh)
+        h_phi_k = h_phi_1 / hh - 1.0
+        b = []
+        factorial_i = 1
+        for k in range(1, o + 1):
+            b.append(h_phi_k * factorial_i / B_h)
+            factorial_i *= k + 1
+            h_phi_k = h_phi_k / hh - 1.0 / factorial_i
+        return h_phi_1, B_h, np.asarray(b)
+
+    for i in range(n):
+        # ---- corrector at step i (order = orders[i-1]) ----
+        if i > 0 and (i - 1) not in config.disable_corrector:
+            o = int(orders[i - 1])
+            sig_t, sig_s0 = sigmas[i], sigmas[i - 1]
+            alpha_t = 1.0 - sig_t
+            h = lam(sig_t) - lam(sig_s0)
+            rks = []
+            for j in range(1, o):
+                si = i - (j + 1)
+                rks.append((lam(sigmas[si]) - lam(sig_s0)) / h)
+            rks.append(1.0)
+            h_phi_1, B_h, b = bh_terms(h, o)
+            R = np.stack([np.power(np.asarray(rks), k) for k in range(o)])
+            if o == 1:
+                rhos_c = np.asarray([0.5])
+            else:
+                rhos_c = np.linalg.solve(R, b)
+            use_corr[i] = True
+            c_ratio[i] = sig_t / sig_s0
+            c_m0[i] = alpha_t * h_phi_1
+            for j in range(1, o):
+                c_hist[i, j - 1] = alpha_t * B_h * rhos_c[j - 1] / rks[j - 1]
+            c_d1t[i] = alpha_t * B_h * rhos_c[-1]
+
+        # ---- predictor at step i (order = orders[i]) ----
+        o = int(orders[i])
+        sig_t, sig_s0 = sigmas[i + 1], sigmas[i]
+        alpha_t = 1.0 - sig_t
+        h = lam(sig_t) - lam(sig_s0)
+        rks = []
+        for j in range(1, o):
+            si = i - j
+            rks.append((lam(sigmas[si]) - lam(sig_s0)) / h)
+        rks.append(1.0)
+        h_phi_1, B_h, b = bh_terms(h, o)
+        R = np.stack([np.power(np.asarray(rks), k) for k in range(o)])
+        if o == 2:
+            rhos_p = np.asarray([0.5])
+        elif o == 1:
+            rhos_p = np.zeros(0)
+        else:
+            rhos_p = np.linalg.solve(R[:-1, :-1], b[:-1])
+        p_ratio[i] = sig_t / sig_s0
+        p_m0[i] = alpha_t * h_phi_1
+        for j in range(1, o):
+            p_hist[i, j - 1] = alpha_t * B_h * rhos_p[j - 1] / rks[j - 1]
+
+    f32 = lambda a: jnp.asarray(a, dtype=jnp.float32)
+    return UniPCCoeffs(
+        timesteps=f32(timesteps),
+        sigmas=f32(sigmas),
+        use_corrector=jnp.asarray(use_corr),
+        c_ratio=f32(c_ratio),
+        c_m0=f32(c_m0),
+        c_hist=f32(c_hist),
+        c_d1t=f32(c_d1t),
+        p_ratio=f32(p_ratio),
+        p_m0=f32(p_m0),
+        p_hist=f32(p_hist),
+    )
+
+
+def sample(
+    velocity_fn: Callable[[jax.Array, jax.Array], jax.Array],
+    x_init: jax.Array,
+    coeffs: UniPCCoeffs,
+) -> jax.Array:
+    """Run the full UniPC sampling loop as one ``lax.scan``.
+
+    Args:
+      velocity_fn: (x, timestep_scalar) -> velocity prediction, same shape
+        as x. (CFG composition happens inside velocity_fn.)
+      x_init: initial noise.
+      coeffs: from :func:`set_timesteps`.
+
+    Returns the final latents (equivalent to the reference python loop in
+    ``generate_samples_from_batch``, text2world_model_rectified_flow.py:584-594).
+    """
+    n = coeffs.num_steps
+    order_hist = max(coeffs.c_hist.shape[1], 1)
+
+    def step(carry, per_step):
+        x, last_x, hist = carry  # hist: (order_hist+1, *x.shape), hist[0] newest
+        (t, sigma, use_c, c_ratio, c_m0, c_hist, c_d1t, p_ratio, p_m0, p_hist) = per_step
+
+        v = velocity_fn(x, t)
+        x0 = x - sigma * v.astype(x.dtype)
+
+        # corrector on x (uses history of *previous* x0 preds)
+        m0 = hist[0]
+        corr = c_ratio * last_x - c_m0 * m0 - c_d1t * (x0 - m0)
+        for k in range(order_hist):
+            corr = corr - c_hist[k] * (hist[k + 1] - m0)
+        x = jnp.where(use_c, corr, x)
+
+        # append x0 to history
+        hist = jnp.concatenate([x0[None], hist[:-1]], axis=0)
+        m0 = x0
+
+        # predictor
+        x_next = p_ratio * x - p_m0 * m0
+        for k in range(order_hist):
+            x_next = x_next - p_hist[k] * (hist[k + 1] - m0)
+
+        return (x_next, x, hist), None
+
+    hist0 = jnp.zeros((order_hist + 1,) + x_init.shape, dtype=x_init.dtype)
+    per_step = (
+        coeffs.timesteps,
+        coeffs.sigmas[:n],
+        coeffs.use_corrector,
+        coeffs.c_ratio,
+        coeffs.c_m0,
+        coeffs.c_hist,
+        coeffs.c_d1t,
+        coeffs.p_ratio,
+        coeffs.p_m0,
+        coeffs.p_hist,
+    )
+    (x, _, _), _ = jax.lax.scan(step, (x_init, jnp.zeros_like(x_init), hist0), per_step, length=n)
+    return x

@@ -1,0 +1,40 @@
+"""Test harness: tests run on a virtual 8-device CPU mesh.
+
+Mirrors the reference's marker/level test tiers (conftest.py:72-140 there):
+``@pytest.mark.chips(n)`` declares how many devices a test needs (0/1 = any,
+8 = needs the full virtual mesh), ``@pytest.mark.level(n)`` declares cost
+tier (0 = fast unit, 1 = slower integration, 2 = manual/benchmark).
+Level>=2 tests are skipped unless --level is raised.
+"""
+
+import os
+
+# Must happen before jax backend initialization. Note: this environment's
+# TPU plugin overrides JAX_PLATFORMS at import time, so the env var alone is
+# not enough — we also force the config after import.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
+import pytest  # noqa: E402
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "chips(n): number of devices the test needs")
+    config.addinivalue_line("markers", "level(n): cost tier (0 fast, 1 slow, 2 manual)")
+
+
+def pytest_addoption(parser):
+    parser.addoption("--level", type=int, default=1, help="max test level to run")
+
+
+def pytest_collection_modifyitems(config, items):
+    max_level = config.getoption("--level")
+    skip = pytest.mark.skip(reason=f"level exceeds --level={max_level}")
+    for item in items:
+        marker = item.get_closest_marker("level")
+        if marker and marker.args and marker.args[0] > max_level:
+            item.add_marker(skip)

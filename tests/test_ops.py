@@ -1,0 +1,116 @@
+"""Unit tests for core ops: norms, RoPE, attention."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cosmos_predict2_tpu.ops.normalization import channel_l2_norm, layer_norm, rms_norm
+from cosmos_predict2_tpu.ops.rope import RopeSpec, apply_rope, rope_angles_3d
+from cosmos_predict2_tpu.ops.attention import reference_attention
+
+
+@pytest.mark.level(0)
+def test_rms_norm_matches_torch_formula():
+    x = np.random.RandomState(0).randn(4, 16).astype(np.float32)
+    w = np.random.RandomState(1).rand(16).astype(np.float32)
+    got = np.asarray(rms_norm(jnp.asarray(x), jnp.asarray(w), eps=1e-6))
+    expected = x / np.sqrt((x**2).mean(-1, keepdims=True) + 1e-6) * w
+    np.testing.assert_allclose(got, expected, rtol=1e-5)
+
+
+@pytest.mark.level(0)
+def test_layer_norm_affine_free():
+    x = np.random.RandomState(0).randn(2, 8, 32).astype(np.float32)
+    got = np.asarray(layer_norm(jnp.asarray(x)))
+    mu = x.mean(-1, keepdims=True)
+    var = x.var(-1, keepdims=True)
+    np.testing.assert_allclose(got, (x - mu) / np.sqrt(var + 1e-6), rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.level(0)
+def test_channel_l2_norm():
+    x = np.random.RandomState(0).randn(2, 3, 4, 4, 16).astype(np.float32)
+    gamma = np.random.RandomState(1).rand(16).astype(np.float32)
+    got = np.asarray(channel_l2_norm(jnp.asarray(x), jnp.asarray(gamma), axis=-1))
+    norm = np.sqrt((x**2).sum(-1, keepdims=True))
+    expected = x / np.maximum(norm, 1e-12) * np.sqrt(16) * gamma
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.level(0)
+def test_rope_band_layout():
+    """head_dim 128 -> dim_h = dim_w = 42, dim_t = 44; angles repeat halves."""
+    spec = RopeSpec(head_dim=128, enable_fps_modulation=False)
+    assert spec.dim_h == 42 and spec.dim_t == 44
+    angles = np.asarray(rope_angles_3d(spec, 2, 3, 4))
+    assert angles.shape == (24, 128)
+    np.testing.assert_allclose(angles[:, :64], angles[:, 64:], atol=0)
+    # position (0,0,0) has zero angle everywhere
+    np.testing.assert_allclose(angles[0], 0.0)
+    # first dim_t/2 columns vary with t only
+    a_t0 = angles.reshape(2, 3, 4, 128)[0, :, :, :22]
+    np.testing.assert_allclose(a_t0, 0.0)
+
+
+@pytest.mark.level(0)
+def test_rope_preserves_norm_and_relativity():
+    spec = RopeSpec(head_dim=64, enable_fps_modulation=False)
+    angles = rope_angles_3d(spec, 4, 1, 1)
+    q = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 2, 64))
+    q_rot = apply_rope(q, angles)
+    # rotation preserves norms
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(q_rot), axis=-1),
+        np.linalg.norm(np.asarray(q), axis=-1),
+        rtol=1e-5,
+    )
+    # dot products depend only on relative position: <R_i q, R_j k> == <R_0 q, R_{j-i} k>
+    k = jax.random.normal(jax.random.PRNGKey(1), (1, 4, 2, 64))
+    k_rot = apply_rope(k, angles)
+    d12 = np.sum(np.asarray(q_rot)[0, 1, 0] * np.asarray(k_rot)[0, 2, 0])
+    # shift both by -1: use q at pos 0 and k at pos 1 with same raw vectors
+    q_shift = apply_rope(jnp.stack([q[:, 1]], axis=1), angles[:1])
+    k_shift = apply_rope(jnp.stack([k[:, 2]], axis=1), angles[1:2])
+    d01 = np.sum(np.asarray(q_shift)[0, 0, 0] * np.asarray(k_shift)[0, 0, 0])
+    np.testing.assert_allclose(d12, d01, rtol=1e-4)
+
+
+@pytest.mark.level(0)
+def test_fps_modulation_scales_temporal_positions():
+    spec = RopeSpec(head_dim=64, base_fps=24.0, enable_fps_modulation=True)
+    a24 = np.asarray(rope_angles_3d(spec, 4, 1, 1, fps=jnp.asarray([24.0])))
+    a12 = np.asarray(rope_angles_3d(spec, 4, 1, 1, fps=jnp.asarray([12.0])))
+    # halving fps doubles effective temporal position
+    dim_t_half = spec.dim_t // 2
+    np.testing.assert_allclose(a12[1, :dim_t_half], a24[2, :dim_t_half], rtol=1e-5)
+
+
+@pytest.mark.level(0)
+def test_reference_attention_vs_numpy():
+    rng = np.random.RandomState(0)
+    q = rng.randn(1, 6, 2, 8).astype(np.float32)
+    k = rng.randn(1, 5, 2, 8).astype(np.float32)
+    v = rng.randn(1, 5, 2, 8).astype(np.float32)
+    got = np.asarray(reference_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)))
+    scale = 1 / np.sqrt(8)
+    for h in range(2):
+        logits = q[0, :, h] @ k[0, :, h].T * scale
+        p = np.exp(logits - logits.max(-1, keepdims=True))
+        p /= p.sum(-1, keepdims=True)
+        np.testing.assert_allclose(got[0, :, h], p @ v[0, :, h], rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.level(1)
+def test_flash_attention_interpret_mode():
+    from jax.experimental.pallas import tpu as pltpu
+    from cosmos_predict2_tpu.ops.flash_attention import flash_attention
+
+    key = jax.random.PRNGKey(0)
+    q = jax.random.normal(key, (1, 256, 2, 128), dtype=jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(1), (1, 256, 2, 128), dtype=jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(2), (1, 256, 2, 128), dtype=jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        out = flash_attention(q, k, v, block_q=128, block_kv=128)
+    ref = reference_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
