@@ -1,0 +1,226 @@
+"""Rectified-flow Video2World / Text2World / Image2World model.
+
+Capability parity with the reference model classes
+(cosmos_predict2/_src/predict2/models/text2world_model_rectified_flow.py:114-1009
+and video2world_model_rectified_flow.py:62-346), redesigned as pure
+functions over parameter pytrees:
+
+* ``training_step``: encode -> sample t (uniform/logitnormal, discretized
+  on the shift-5 schedule) -> interpolate x_t = eps*t + x0*(1-t) -> predict
+  velocity -> masked MSE with FRAME_REPLACE conditioning.
+* ``generate``: CFG velocity function + the scan-based UniPC sampler; the
+  whole 35-step x (2 net calls) loop is one jit.
+* FRAME_REPLACE conditioning (video2world_model_rectified_flow.py:77-138):
+  the first k latent frames of x_t are replaced by clean latents, and the
+  predicted velocity on those frames is replaced by the ground-truth
+  velocity (noise - x0) so their loss is zero / sampling leaves them fixed.
+
+Text2World is the same model with zero conditional frames; Image2World is a
+video batch whose gt_frames come from a single repeated image frame.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from cosmos_predict2_tpu.conditioning.conditioner import (
+    Video2WorldCondition,
+    get_condition_uncondition,
+    get_condition_with_negative_prompt,
+)
+from cosmos_predict2_tpu.networks.dit import DiTConfig, MiniTrainDIT
+from cosmos_predict2_tpu.schedulers import unipc
+from cosmos_predict2_tpu.schedulers.rectified_flow import RectifiedFlow, RectifiedFlowConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class RFModelConfig:
+    net: DiTConfig = DiTConfig()
+    rectified_flow: RectifiedFlowConfig = RectifiedFlowConfig(shift=5.0, train_time_distribution="logitnormal")
+    state_ch: int = 16
+    state_t: int = 24
+    resolution: str = "720"
+    sigma_data: float = 1.0
+    loss_scale: float = 10.0
+    # conditioning
+    min_num_conditional_frames: int = 0
+    max_num_conditional_frames: int = 2
+    conditional_frames_probs: Optional[tuple[tuple[int, float], ...]] = ((0, 0.5), (1, 0.25), (2, 0.25))
+    denoise_replace_gt_frames: bool = True
+    conditional_frame_timestep: float = -1.0
+    text_dropout_rate: float = 0.2
+    # CFG composition: "v2w" => cond + g*(cond-uncond); "t2w" => uncond + g*(cond-uncond)
+    cfg_mode: str = "v2w"
+    # sampling defaults
+    sampling_num_steps: int = 35
+    sampling_shift: float = 5.0
+    use_karras_sigma_at_inference: bool = False
+
+
+class Video2WorldModel:
+    """Stateless model: all methods are pure in (params, inputs)."""
+
+    def __init__(self, config: RFModelConfig):
+        self.config = config
+        self.net = MiniTrainDIT(config.net)
+        self.rectified_flow = RectifiedFlow(config.rectified_flow)
+
+    # ------------------------------ init ------------------------------
+
+    def init_params(self, rng: jax.Array, latent_shape: tuple[int, int, int, int, int], text_len: int = 512):
+        B, C, T, H, W = latent_shape
+        x = jnp.zeros(latent_shape, dtype=jnp.float32)
+        ts = jnp.zeros((B,), dtype=jnp.float32)
+        ctx_dim = (
+            self.config.net.crossattn_proj_in_channels
+            if self.config.net.use_crossattn_projection
+            else self.config.net.crossattn_emb_channels
+        )
+        ctx = jnp.zeros((B, text_len, ctx_dim), dtype=jnp.float32)
+        return self.net.init(rng, x, ts, ctx)
+
+    # ----------------------------- denoise -----------------------------
+
+    def denoise(
+        self,
+        params,
+        noise: Optional[jax.Array],
+        xt_B_C_T_H_W: jax.Array,
+        timesteps_B_T: jax.Array,
+        condition: Video2WorldCondition,
+    ) -> jax.Array:
+        """Velocity prediction with FRAME_REPLACE conditioning."""
+        cfg = self.config
+        mask = None
+        if condition.is_video and condition.condition_video_mask is not None:
+            mask = condition.condition_video_mask.astype(xt_B_C_T_H_W.dtype)  # (B,1,T,1,1)
+            use_vc = jnp.asarray(condition.use_video_condition)
+            gt_in = condition.gt_frames.astype(xt_B_C_T_H_W.dtype) * use_vc.astype(xt_B_C_T_H_W.dtype)
+            xt_B_C_T_H_W = gt_in * mask + xt_B_C_T_H_W * (1.0 - mask)
+            if cfg.conditional_frame_timestep >= 0:
+                # pin conditional-frame timesteps (per-frame timesteps path)
+                if timesteps_B_T.ndim == 1:
+                    timesteps_B_T = timesteps_B_T[:, None]
+                t_mask = mask[:, 0, :, 0, 0]  # (B, T)
+                timesteps_B_T = jnp.broadcast_to(timesteps_B_T, t_mask.shape)
+                timesteps_B_T = cfg.conditional_frame_timestep * t_mask + timesteps_B_T * (1.0 - t_mask)
+
+        v_pred = self.net.apply(
+            params,
+            xt_B_C_T_H_W,
+            timesteps_B_T,
+            condition.crossattn_emb,
+            fps=condition.fps,
+            padding_mask=condition.padding_mask,
+        ).astype(jnp.float32)
+
+        if condition.is_video and mask is not None and cfg.denoise_replace_gt_frames:
+            gt = condition.gt_frames.astype(jnp.float32)
+            gt_velocity = noise.astype(jnp.float32) - gt
+            maskf = mask.astype(jnp.float32)
+            v_pred = gt_velocity * maskf + v_pred * (1.0 - maskf)
+        return v_pred
+
+    # --------------------------- training step ---------------------------
+
+    def sample_num_conditional_frames(self, rng: jax.Array, batch_size: int) -> jax.Array:
+        """Per-sample k from conditional_frames_probs or uniform [min, max]."""
+        cfg = self.config
+        if cfg.conditional_frames_probs is not None:
+            options = jnp.asarray([k for k, _ in cfg.conditional_frames_probs])
+            probs = jnp.asarray([p for _, p in cfg.conditional_frames_probs])
+            idx = jax.random.categorical(rng, jnp.log(probs), shape=(batch_size,))
+            return options[idx]
+        return jax.random.randint(
+            rng, (batch_size,), cfg.min_num_conditional_frames, cfg.max_num_conditional_frames + 1
+        )
+
+    def training_step(
+        self,
+        params,
+        rng: jax.Array,
+        x0_B_C_T_H_W: jax.Array,
+        condition: Video2WorldCondition,
+    ) -> tuple[jax.Array, dict]:
+        """Loss for one batch of clean latents + condition.
+
+        VAE encoding and conditioning-dropout happen in the caller (the
+        train loop), keeping this jit-compiled function pure.
+        """
+        cfg = self.config
+        B = x0_B_C_T_H_W.shape[0]
+        rng_eps, rng_t, rng_k = jax.random.split(rng, 3)
+
+        if condition.is_video and condition.gt_frames is not None:
+            k = self.sample_num_conditional_frames(rng_k, B)
+            condition = condition.set_video_condition(condition.gt_frames, k)
+
+        eps = jax.random.normal(rng_eps, x0_B_C_T_H_W.shape, dtype=jnp.float32)
+        u = self.rectified_flow.sample_train_time(rng_t, B)
+        timesteps, sigmas = self.rectified_flow.discretize(u)
+
+        xt, v_target = self.rectified_flow.get_interpolation(eps, x0_B_C_T_H_W.astype(jnp.float32), sigmas)
+        v_pred = self.denoise(params, eps, xt, timesteps[:, None], condition)
+
+        weights = self.rectified_flow.time_weight(timesteps)
+        per_instance = jnp.mean(jnp.square(v_pred - v_target), axis=tuple(range(1, v_pred.ndim)))
+        loss = jnp.mean(weights * per_instance) * cfg.loss_scale
+        return loss, {"loss": loss, "sigma_mean": jnp.mean(sigmas), "per_instance_loss": per_instance}
+
+    # ----------------------------- sampling -----------------------------
+
+    def velocity_fn_from_condition(
+        self,
+        params,
+        condition: Video2WorldCondition,
+        uncondition: Video2WorldCondition,
+        guidance: float,
+        noise: jax.Array,
+    ) -> Callable[[jax.Array, jax.Array], jax.Array]:
+        cfg = self.config
+
+        def velocity_fn(x: jax.Array, t: jax.Array) -> jax.Array:
+            ts = jnp.broadcast_to(t, (x.shape[0],)).astype(jnp.float32)
+            cond_v = self.denoise(params, noise, x, ts[:, None], condition)
+            uncond_v = self.denoise(params, noise, x, ts[:, None], uncondition)
+            if cfg.cfg_mode == "v2w":
+                return cond_v + guidance * (cond_v - uncond_v)
+            return uncond_v + guidance * (cond_v - uncond_v)
+
+        return velocity_fn
+
+    def generate(
+        self,
+        params,
+        noise: jax.Array,
+        condition: Video2WorldCondition,
+        guidance: float = 7.0,
+        num_steps: Optional[int] = None,
+        shift: Optional[float] = None,
+        num_conditional_frames: int = 1,
+        negative_text_embeddings: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        """Full UniPC sampling from noise. All shapes static; jit-able."""
+        cfg = self.config
+        num_steps = num_steps or cfg.sampling_num_steps
+        shift = shift if shift is not None else cfg.sampling_shift
+        coeffs = unipc.set_timesteps(num_steps, shift=shift, use_karras_sigma=cfg.use_karras_sigma_at_inference)
+
+        if negative_text_embeddings is not None:
+            condition, uncondition = get_condition_with_negative_prompt(condition, negative_text_embeddings)
+        else:
+            condition, uncondition = get_condition_uncondition(condition)
+        if condition.is_video and condition.gt_frames is not None:
+            condition = condition.edit_for_inference(True, num_conditional_frames)
+            uncondition = uncondition.edit_for_inference(False, num_conditional_frames)
+
+        velocity_fn = self.velocity_fn_from_condition(params, condition, uncondition, guidance, noise)
+        return unipc.sample(velocity_fn, noise.astype(jnp.float32), coeffs)
+
+    def state_shape(self, n_sample: int, height: int, width: int, spatial_compression: int = 8) -> tuple:
+        cfg = self.config
+        return (n_sample, cfg.state_ch, cfg.state_t, height // spatial_compression // 1, width // spatial_compression)

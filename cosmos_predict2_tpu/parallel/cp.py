@@ -1,0 +1,58 @@
+"""Context parallelism: Ulysses all-to-all attention on a mesh axis.
+
+TPU-native replacement for the reference's Ulysses CP
+(cosmos_predict2/_src/predict2/networks/a2a_cp.py:45-226: NCCL
+all_to_all_single scattering heads / gathering sequence around
+flash-attention, with a side CUDA stream for overlap): here the two
+all-to-alls are ``jax.lax.all_to_all`` inside a partial-manual
+``shard_map`` over the cp axis only — XLA schedules them on ICI and
+overlaps with compute natively, no stream management needed.
+
+Layout: (B, S, H, D). Entering attention each cp shard holds S/c of the
+sequence and all H heads; the first all-to-all regroups to full S and H/c
+heads; flash attention runs on the full sequence; the second all-to-all
+restores (S/c, H).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+from jax.sharding import PartitionSpec as P
+
+from cosmos_predict2_tpu.ops.attention import dot_product_attention
+
+
+def ulysses_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    axis_name: str = "cp",
+    backend: Optional[str] = None,
+) -> jax.Array:
+    """Sequence-parallel self-attention. q,k,v: (B, S, H, D) global view,
+    sharded over S on ``axis_name``. Must run inside jit with an ambient
+    mesh (jax.sharding.use_mesh) that has ``axis_name``.
+    """
+
+    def inner(q, k, v):
+        # local views: (B, S/c, H, D)
+        def scatter_heads(t):
+            # S/c -> S, H -> H/c
+            return jax.lax.all_to_all(t, axis_name, split_axis=2, concat_axis=1, tiled=True)
+
+        def gather_heads(t):
+            return jax.lax.all_to_all(t, axis_name, split_axis=1, concat_axis=2, tiled=True)
+
+        ql, kl, vl = scatter_heads(q), scatter_heads(k), scatter_heads(v)
+        out = dot_product_attention(ql, kl, vl, backend=backend)
+        return gather_heads(out)
+
+    spec = P(None, axis_name, None, None)
+    return jax.shard_map(
+        inner,
+        in_specs=(spec, spec, spec),
+        out_specs=spec,
+        axis_names={axis_name},
+    )(q, k, v)

@@ -1,0 +1,80 @@
+"""Wan VAE tests: shape contracts, frame mapping, causality."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cosmos_predict2_tpu.tokenizers.wan_vae import WanVAE, WanVAEConfig
+
+
+@pytest.fixture(scope="module")
+def vae_and_params():
+    cfg = WanVAEConfig(dim=16, dtype=jnp.float32)
+    vae = WanVAE(cfg)
+    clip = jnp.zeros((1, 5, 32, 32, 3))
+    params = vae.init(jax.random.PRNGKey(0), clip)
+    return vae, params
+
+
+@pytest.mark.level(0)
+@pytest.mark.parametrize("frames,latent_frames", [(1, 1), (5, 2), (9, 3), (17, 5)])
+def test_frame_mapping(vae_and_params, frames, latent_frames):
+    """latent frames = 1 + (pixel_frames - 1) // 4 (wan2pt1.py:1029-1033)."""
+    vae, params = vae_and_params
+    clip = jax.random.uniform(jax.random.PRNGKey(1), (1, frames, 32, 32, 3), minval=-1, maxval=1)
+    z = vae.apply(params, clip, method=WanVAE.encode)
+    assert z.shape == (1, latent_frames, 4, 4, 16)
+    rec = vae.apply(params, z, method=WanVAE.decode)
+    assert rec.shape == (1, (latent_frames - 1) * 4 + 1, 32, 32, 3)
+
+
+@pytest.mark.level(0)
+def test_encoder_is_temporally_causal(vae_and_params):
+    """Changing future pixel frames must not change earlier latent frames."""
+    vae, params = vae_and_params
+    rng = jax.random.PRNGKey(2)
+    clip = jax.random.uniform(rng, (1, 9, 32, 32, 3), minval=-1, maxval=1)
+    z1 = vae.apply(params, clip, method=WanVAE.encode)
+    clip2 = clip.at[:, 5:].set(-clip[:, 5:])  # perturb frames 5..8
+    z2 = vae.apply(params, clip2, method=WanVAE.encode)
+    # latent frame 0 covers pixel frame 0; latent frame 1 covers 1-4.
+    np.testing.assert_allclose(np.asarray(z1[:, 0]), np.asarray(z2[:, 0]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(z1[:, 1]), np.asarray(z2[:, 1]), atol=1e-6)
+    assert np.abs(np.asarray(z1[:, 2]) - np.asarray(z2[:, 2])).max() > 1e-4
+
+
+@pytest.mark.level(0)
+def test_decoder_is_temporally_causal(vae_and_params):
+    vae, params = vae_and_params
+    z = jax.random.normal(jax.random.PRNGKey(3), (1, 3, 4, 4, 16))
+    r1 = vae.apply(params, z, method=WanVAE.decode)
+    z2 = z.at[:, 2:].set(-z[:, 2:])
+    r2 = vae.apply(params, z2, method=WanVAE.decode)
+    # pixel frames 0..4 come from latent frames 0..1 only
+    np.testing.assert_allclose(np.asarray(r1[:, :5]), np.asarray(r2[:, :5]), atol=1e-5)
+    assert np.abs(np.asarray(r1[:, 5:]) - np.asarray(r2[:, 5:])).max() > 1e-4
+
+
+@pytest.mark.level(0)
+def test_latent_normalization_roundtrip(vae_and_params):
+    """encode applies (mu - mean)/std; decode un-applies it before conv."""
+    from cosmos_predict2_tpu.tokenizers.wan_vae import WAN_LATENT_MEAN, WAN_LATENT_STD
+
+    assert WAN_LATENT_MEAN.shape == (16,) and WAN_LATENT_STD.shape == (16,)
+    assert np.all(WAN_LATENT_STD > 0)
+
+
+@pytest.mark.level(1)
+def test_gradients_flow_through_vae(vae_and_params):
+    vae, params = vae_and_params
+    clip = jax.random.uniform(jax.random.PRNGKey(4), (1, 5, 16, 16, 3), minval=-1, maxval=1)
+
+    def loss(p):
+        z = vae.apply(p, clip, method=WanVAE.encode)
+        rec = vae.apply(p, z, method=WanVAE.decode)
+        return jnp.mean((rec - clip) ** 2)
+
+    g = jax.grad(loss)(params)
+    gnorm = sum(float(jnp.sum(jnp.abs(x))) for x in jax.tree.leaves(g))
+    assert np.isfinite(gnorm) and gnorm > 0
