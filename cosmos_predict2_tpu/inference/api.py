@@ -1,0 +1,153 @@
+"""Public Inference API.
+
+Capability parity with ``cosmos_predict2/inference.py:29-173`` (`Inference`)
+and the pydantic/tyro CLI arg system (`cosmos_predict2/config.py:204-472`):
+typed setup + per-sample inference arguments, batch loading from json/jsonl,
+text/video guardrail hook points, and media export.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from cosmos_predict2_tpu.inference.pipeline import (
+    InferenceSetup,
+    Video2WorldInference,
+    read_and_process_image,
+    read_and_process_video,
+    _IMAGE_EXTS,
+    _VIDEO_EXTS,
+)
+from cosmos_predict2_tpu.utils import log
+from cosmos_predict2_tpu.utils.flags import SMOKE
+from cosmos_predict2_tpu.utils.io import save_img_or_video
+
+
+@dataclasses.dataclass
+class InferenceArguments:
+    """Per-sample arguments (reference cosmos_predict2/config.py:406-470)."""
+
+    name: str = "sample"
+    prompt: str = ""
+    input_path: Optional[str] = None  # image or video; None => Text2World
+    negative_prompt: str = ""
+    num_output_frames: int = 77
+    num_steps: int = 35 if not SMOKE else 1
+    guidance: float = 7.0
+    seed: int = 1
+    num_conditional_frames: int = 1
+    # autoregressive long-video mode
+    enable_autoregressive: bool = False
+    chunk_size: int = 77
+    chunk_overlap: int = 1
+    # precomputed text embedding path (.npy) when no online encoder
+    text_embedding_path: Optional[str] = None
+
+    @staticmethod
+    def from_file(path: str) -> list["InferenceArguments"]:
+        """Load a batch of samples from json (list or single) / jsonl."""
+        samples = []
+        with open(path) as f:
+            if path.endswith(".jsonl"):
+                items = [json.loads(line) for line in f if line.strip()]
+            else:
+                data = json.load(f)
+                items = data if isinstance(data, list) else [data]
+        for item in items:
+            known = {f.name for f in dataclasses.fields(InferenceArguments)}
+            samples.append(InferenceArguments(**{k: v for k, v in item.items() if k in known}))
+        return samples
+
+
+class Inference:
+    """Top-level generate() loop with guardrail hook points."""
+
+    def __init__(
+        self,
+        pipe: Video2WorldInference,
+        output_dir: str = "outputs",
+        text_guardrail=None,
+        video_guardrail=None,
+        keep_going: bool = True,
+    ):
+        self.pipe = pipe
+        self.output_dir = output_dir
+        self.text_guardrail = text_guardrail
+        self.video_guardrail = video_guardrail
+        self.keep_going = keep_going
+        os.makedirs(output_dir, exist_ok=True)
+
+    def _text_embedding(self, args: InferenceArguments, prompt: str):
+        if args.text_embedding_path and prompt == args.prompt:
+            emb = np.load(args.text_embedding_path)
+            return jnp.asarray(emb if emb.ndim == 3 else emb[None])
+        return self.pipe.encode_text([prompt])
+
+    def generate(self, samples: list[InferenceArguments]) -> list[str]:
+        outputs = []
+        for args in samples:
+            try:
+                outputs.append(self._generate_sample(args))
+            except Exception:
+                if not self.keep_going:
+                    raise
+                log.error(f"sample {args.name} failed; continuing (keep_going)")
+        return outputs
+
+    def _generate_sample(self, args: InferenceArguments) -> str:
+        if self.text_guardrail is not None and not self.text_guardrail(args.prompt):
+            raise ValueError(f"prompt for {args.name} blocked by text guardrail")
+
+        h, w = self.pipe.video_size()
+        nvf = self.pipe.num_video_frames
+        if args.input_path is None:
+            video = np.zeros((1, 3, nvf, h, w), dtype=np.uint8)
+            k = 0
+        elif args.input_path.lower().endswith(_IMAGE_EXTS):
+            video = read_and_process_image(args.input_path, h, w, nvf)
+            k = 1
+        elif args.input_path.lower().endswith(_VIDEO_EXTS):
+            video = read_and_process_video(args.input_path, h, w, nvf, args.num_conditional_frames)
+            k = args.num_conditional_frames
+        else:
+            raise ValueError(f"unsupported input: {args.input_path}")
+
+        emb = self._text_embedding(args, args.prompt)
+        neg = self._text_embedding(args, args.negative_prompt) if args.negative_prompt else None
+
+        if args.enable_autoregressive:
+            frames = self.pipe.generate_autoregressive(
+                video,
+                emb,
+                num_output_frames=args.num_output_frames,
+                chunk_size=args.chunk_size,
+                chunk_overlap=args.chunk_overlap,
+                num_conditional_frames=k or 1,
+                guidance=args.guidance,
+                num_steps=args.num_steps,
+                seed=args.seed,
+                neg_text_emb=neg,
+            )
+        else:
+            frames = self.pipe.generate_vid2world(
+                video,
+                emb,
+                neg_text_emb=neg,
+                guidance=args.guidance,
+                num_steps=args.num_steps,
+                num_conditional_frames=k or 1,
+                seed=args.seed,
+            )
+
+        if self.video_guardrail is not None:
+            frames = self.video_guardrail(frames)
+
+        path = save_img_or_video(frames, os.path.join(self.output_dir, args.name), fps=16)
+        log.info(f"saved {path}")
+        return path

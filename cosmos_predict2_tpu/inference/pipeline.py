@@ -1,0 +1,237 @@
+"""Video2World inference pipeline.
+
+Capability parity with ``Video2WorldInference``
+(cosmos_predict2/_src/predict2/inference/video2world.py:236-821): input
+prep (image -> zero-padded frame video; video -> last 4(k-1)+1 frames +
+last-frame padding; aspect-preserving resize + center crop), batch build,
+text conditioning (precomputed embeddings or an online encoder), the jitted
+generate step, VAE decode, and autoregressive sliding-window long video.
+
+TPU-first: one process drives all local chips; model + VAE calls are
+jit-compiled with static clip geometry so repeated calls hit the
+compilation cache; CPU offload staging is unnecessary (weights stay in HBM).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cosmos_predict2_tpu.conditioning.conditioner import DataType, make_condition
+from cosmos_predict2_tpu.models.video2world import RFModelConfig, Video2WorldModel
+from cosmos_predict2_tpu.tokenizers.wan_vae import WanVAE, WanVAEConfig
+from cosmos_predict2_tpu.utils import log
+from cosmos_predict2_tpu.utils.io import get_resolution, read_image, read_video, resize_frames
+from cosmos_predict2_tpu.utils.misc import arch_invariant_rand
+
+_IMAGE_EXTS = (".jpg", ".jpeg", ".png", ".webp")
+_VIDEO_EXTS = (".mp4", ".webm", ".mkv", ".mov")
+
+
+def resize_input(frames_thwc: np.ndarray, height: int, width: int) -> np.ndarray:
+    """Aspect-preserving resize + center crop (reference resize_input :75)."""
+    t, h, w, _ = frames_thwc.shape
+    scale = max(width / w, height / h)
+    rh, rw = int(math.ceil(scale * h)), int(math.ceil(scale * w))
+    resized = resize_frames(frames_thwc, rh, rw)
+    top = (rh - height) // 2
+    left = (rw - width) // 2
+    return resized[:, top : top + height, left : left + width]
+
+
+def read_and_process_image(path: str, height: int, width: int, num_video_frames: int) -> np.ndarray:
+    """image -> (1, 3, T, H, W) uint8; frame 0 is the image, rest zeros."""
+    img = read_image(path)  # (H, W, 3)
+    frames = np.zeros((num_video_frames,) + img.shape, dtype=np.uint8)
+    frames[0] = img
+    frames = resize_input(frames, height, width)
+    return frames.transpose(3, 0, 1, 2)[None]  # (1, C, T, H, W)
+
+
+def read_and_process_video(
+    path: str, height: int, width: int, num_video_frames: int, num_latent_conditional_frames: int = 2
+) -> np.ndarray:
+    """video -> (1, 3, T, H, W) uint8: last 4(k-1)+1 frames + last-frame pad."""
+    if num_latent_conditional_frames not in (1, 2):
+        raise ValueError(f"num_latent_conditional_frames must be 1 or 2, got {num_latent_conditional_frames}")
+    frames, _ = read_video(path)
+    k = 4 * (num_latent_conditional_frames - 1) + 1
+    if frames.shape[0] < k:
+        raise ValueError(f"video has {frames.shape[0]} frames, needs >= {k}")
+    extracted = frames[-k:]
+    full = np.concatenate(
+        [extracted, np.repeat(extracted[-1:], num_video_frames - k, axis=0)], axis=0
+    ) if num_video_frames > k else extracted[:num_video_frames]
+    full = resize_input(full, height, width)
+    return full.transpose(3, 0, 1, 2)[None]
+
+
+@dataclasses.dataclass
+class InferenceSetup:
+    model_config: RFModelConfig
+    vae_config: WanVAEConfig = WanVAEConfig()
+    resolution: str = "480"
+    aspect: str = "16,9"
+    text_len: int = 512
+
+
+class Video2WorldInference:
+    """End-to-end Text2World / Image2World / Video2World generation."""
+
+    def __init__(
+        self,
+        setup: InferenceSetup,
+        params,
+        vae_params,
+        text_encoder: Optional[Callable[[list[str]], jax.Array]] = None,
+    ):
+        self.setup = setup
+        self.model = Video2WorldModel(setup.model_config)
+        self.vae = WanVAE(setup.vae_config)
+        self.params = params
+        self.vae_params = vae_params
+        self.text_encoder = text_encoder
+        self._generate_jit = jax.jit(
+            self._generate_impl, static_argnames=("guidance", "num_steps", "num_conditional_frames")
+        )
+
+    # ------------------------------ helpers ------------------------------
+
+    @property
+    def num_video_frames(self) -> int:
+        return (self.setup.model_config.state_t - 1) * 4 + 1
+
+    def video_size(self) -> tuple[int, int]:
+        w, h = get_resolution(self.setup.resolution, self.setup.aspect)
+        return h, w
+
+    def encode_text(self, prompts: list[str]) -> jax.Array:
+        if self.text_encoder is None:
+            raise ValueError(
+                "No text encoder attached: pass precomputed embeddings or construct with text_encoder=..."
+            )
+        return self.text_encoder(prompts)
+
+    # ------------------------------ core ------------------------------
+
+    def _generate_impl(
+        self,
+        params,
+        vae_params,
+        video_u8,  # (1, 3, T, H, W) uint8
+        text_emb,
+        neg_text_emb,
+        noise,
+        guidance: float,
+        num_steps: int,
+        num_conditional_frames: int,
+    ):
+        video = video_u8.astype(jnp.bfloat16) / 127.5 - 1.0
+        # VAE expects channels-last (B, T, H, W, C)
+        latents = self.vae.apply(vae_params, video.transpose(0, 2, 3, 4, 1), method=WanVAE.encode)
+        gt_latents = latents.transpose(0, 4, 1, 2, 3).astype(jnp.float32)  # (B, C, t, h, w)
+
+        condition = make_condition(text_emb, data_type=DataType.VIDEO).replace(gt_frames=gt_latents)
+        samples = self.model.generate(
+            params,
+            noise,
+            condition,
+            guidance=guidance,
+            num_steps=num_steps,
+            num_conditional_frames=num_conditional_frames,
+            negative_text_embeddings=neg_text_emb,
+        )
+        frames = self.vae.apply(
+            vae_params, samples.astype(jnp.bfloat16).transpose(0, 2, 3, 4, 1), method=WanVAE.decode
+        )
+        return frames  # (B, T, H, W, 3) in [-1, 1]
+
+    def generate_vid2world(
+        self,
+        video_u8: np.ndarray,
+        text_emb: jax.Array,
+        neg_text_emb: Optional[jax.Array] = None,
+        guidance: float = 7.0,
+        num_steps: int = 35,
+        num_conditional_frames: int = 1,
+        seed: int = 1,
+    ) -> np.ndarray:
+        """(1, 3, T, H, W) uint8 -> (T, H, W, 3) float in [-1, 1]."""
+        mc = self.setup.model_config
+        _, _, T, H, W = video_u8.shape
+        state_shape = (1, mc.state_ch, 1 + (T - 1) // 4, H // 8, W // 8)
+        noise = arch_invariant_rand(state_shape, seed=seed)
+        frames = self._generate_jit(
+            self.params,
+            self.vae_params,
+            jnp.asarray(video_u8),
+            text_emb,
+            neg_text_emb,
+            noise,
+            guidance=guidance,
+            num_steps=num_steps,
+            num_conditional_frames=num_conditional_frames,
+        )
+        return np.asarray(frames[0], dtype=np.float32)
+
+    # ----------------------- autoregressive mode -----------------------
+
+    def generate_autoregressive(
+        self,
+        video_u8: np.ndarray,  # (1, 3, T0, H, W): initial conditioning frames
+        text_emb: jax.Array,
+        num_output_frames: int,
+        chunk_size: Optional[int] = None,
+        chunk_overlap: int = 1,
+        num_conditional_frames: int = 1,
+        guidance: float = 7.0,
+        num_steps: int = 35,
+        seed: int = 1,
+        neg_text_emb: Optional[jax.Array] = None,
+    ) -> np.ndarray:
+        """Sliding-window long-video generation
+        (reference generate_autoregressive_from_batch, video2world.py:582-804):
+        generate chunk, write generated frames back into the input buffer,
+        re-condition the next chunk on the overlap, advance.
+
+        chunk_overlap counts *latent* frames; chunk_size is pixel frames per
+        chunk (defaults to the model's native clip length).
+        """
+        chunk = chunk_size or self.num_video_frames
+        _, _, t0, H, W = video_u8.shape
+        overlap_px = (chunk_overlap - 1) * 4 + 1
+
+        buffer = np.zeros((1, 3, max(num_output_frames, chunk), H, W), dtype=np.uint8)
+        buffer[:, :, :t0] = video_u8
+        out_frames: list[np.ndarray] = []
+
+        start = 0
+        chunk_idx = 0
+        while len(out_frames) < num_output_frames:
+            window = buffer[:, :, start : start + chunk]
+            k = num_conditional_frames if chunk_idx == 0 else chunk_overlap
+            frames = self.generate_vid2world(
+                window,
+                text_emb,
+                neg_text_emb=neg_text_emb,
+                guidance=guidance,
+                num_steps=num_steps,
+                num_conditional_frames=k,
+                seed=seed + chunk_idx,
+            )  # (chunk, H, W, 3) in [-1, 1]
+            frames_u8 = ((frames + 1.0) * 127.5).clip(0, 255).astype(np.uint8)
+            # write generated frames back into the buffer for re-conditioning
+            end = min(start + chunk, buffer.shape[2])
+            buffer[0, :, start:end] = frames_u8.transpose(3, 0, 1, 2)[:, : end - start]
+            new = frames if chunk_idx == 0 else frames[overlap_px:]
+            out_frames.extend(list(new))
+            start += chunk - overlap_px
+            chunk_idx += 1
+            log.info(f"autoregressive chunk {chunk_idx}: {len(out_frames)}/{num_output_frames} frames")
+
+        return np.stack(out_frames[:num_output_frames])

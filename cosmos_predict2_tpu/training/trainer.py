@@ -1,0 +1,202 @@
+"""Training loop.
+
+Capability parity with ``ImaginaireTrainer``
+(cosmos_predict2/_src/imaginaire/trainer.py:45-353): callbacks around every
+phase, gradient accumulation, EMA update after each optimizer step,
+checkpoint save/resume, iteration timing, and a SIGALRM-style stall
+watchdog. TPU-first: the whole step (fwd+bwd+optimizer+EMA) is one jitted
+function over sharded pytrees; the host loop only feeds data and fires
+callbacks. Distributed behavior comes from the mesh shardings, not from a
+DDP wrapper.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import signal
+import time
+from typing import Any, Callable, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from cosmos_predict2_tpu.conditioning.conditioner import Video2WorldCondition, apply_train_dropout
+from cosmos_predict2_tpu.models.video2world import Video2WorldModel
+from cosmos_predict2_tpu.training.ema import ema_update, power_ema_beta
+from cosmos_predict2_tpu.training.optim import OptimizerConfig, make_optimizer
+from cosmos_predict2_tpu.utils import log
+
+
+@struct.dataclass
+class TrainState:
+    step: jax.Array
+    params: Any
+    ema_params: Any  # None if EMA disabled
+    opt_state: Any
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainerConfig:
+    max_iter: int = 1000
+    grad_accum_iter: int = 1
+    logging_iter: int = 10
+    save_iter: int = 200
+    validation_iter: int = 0  # 0 = disabled
+    seed: int = 0
+    ema_enabled: bool = True
+    ema_rate: float = 0.1  # power EMA "s"
+    timeout_period: int = 0  # seconds; 0 disables the stall watchdog
+    optimizer: OptimizerConfig = OptimizerConfig()
+
+
+class Callback:
+    """Hook interface (subset of imaginaire/utils/callback.py:46-440)."""
+
+    def on_train_start(self, trainer, state): ...
+
+    def on_training_step_start(self, trainer, state, batch, iteration): ...
+
+    def on_training_step_end(self, trainer, state, metrics, iteration): ...
+
+    def on_save_checkpoint(self, trainer, state, iteration): ...
+
+    def on_train_end(self, trainer, state): ...
+
+
+class CallbackGroup(Callback):
+    def __init__(self, callbacks: Optional[list[Callback]] = None):
+        self.callbacks = callbacks or []
+
+    def __getattribute__(self, name):
+        if name.startswith("on_"):
+            def fan_out(*args, **kwargs):
+                for cb in object.__getattribute__(self, "callbacks"):
+                    getattr(cb, name)(*args, **kwargs)
+
+            return fan_out
+        return object.__getattribute__(self, name)
+
+
+class IterSpeedCallback(Callback):
+    """Logs loss + iterations/sec (parity: predict2/callbacks/iter_speed.py)."""
+
+    def __init__(self, every_n: int = 10):
+        self.every_n = every_n
+        self._t0 = None
+
+    def on_training_step_end(self, trainer, state, metrics, iteration):
+        if iteration % self.every_n == 0:
+            now = time.perf_counter()
+            if self._t0 is not None:
+                rate = self.every_n / (now - self._t0)
+                log.info(f"Iteration {iteration}: Loss: {float(metrics['loss']):.4f} | {rate:.2f} it/s")
+            else:
+                log.info(f"Iteration {iteration}: Loss: {float(metrics['loss']):.4f}")
+            self._t0 = now
+
+
+class Trainer:
+    def __init__(
+        self,
+        config: TrainerConfig,
+        model: Video2WorldModel,
+        callbacks: Optional[list[Callback]] = None,
+        checkpointer=None,
+    ):
+        self.config = config
+        self.model = model
+        self.callbacks = CallbackGroup(callbacks if callbacks is not None else [IterSpeedCallback(config.logging_iter)])
+        self.checkpointer = checkpointer
+        self.optimizer = make_optimizer(config.optimizer)
+        if config.grad_accum_iter > 1:
+            self.optimizer = optax.MultiSteps(self.optimizer, every_k_schedule=config.grad_accum_iter)
+        self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
+
+    # ------------------------------ state ------------------------------
+
+    def init_state(self, params) -> TrainState:
+        # explicit copy: fp32 params would otherwise alias the EMA buffers,
+        # which breaks buffer donation in the jitted step
+        ema = (
+            jax.tree.map(lambda p: jnp.array(p, dtype=jnp.float32, copy=True), params)
+            if self.config.ema_enabled
+            else None
+        )
+        return TrainState(
+            step=jnp.zeros((), dtype=jnp.int32),
+            params=params,
+            ema_params=ema,
+            opt_state=self.optimizer.init(params),
+        )
+
+    # ---------------------------- train step ----------------------------
+
+    def _train_step_impl(self, state: TrainState, x0, condition: Video2WorldCondition, rng):
+        cfg = self.config
+        rng_drop, rng_step = jax.random.split(rng)
+        condition = apply_train_dropout(
+            rng_drop, condition, text_dropout_rate=self.model.config.text_dropout_rate
+        )
+
+        def loss_fn(params):
+            loss, metrics = self.model.training_step(params, rng_step, x0, condition)
+            return loss, metrics
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = self.optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        ema_params = state.ema_params
+        if ema_params is not None:
+            beta = power_ema_beta(state.step, s=cfg.ema_rate)
+            ema_params = ema_update(ema_params, params, beta)
+
+        metrics = dict(metrics)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return (
+            TrainState(step=state.step + 1, params=params, ema_params=ema_params, opt_state=opt_state),
+            metrics,
+        )
+
+    # ------------------------------- loop -------------------------------
+
+    def train(
+        self,
+        state: TrainState,
+        batches: Iterable[tuple[jax.Array, Video2WorldCondition]],
+        start_iteration: int = 0,
+    ) -> TrainState:
+        """Run the training loop over (latents, condition) batches."""
+        cfg = self.config
+        base_rng = jax.random.PRNGKey(cfg.seed)
+        self.callbacks.on_train_start(self, state)
+
+        if cfg.timeout_period > 0:
+            def _timeout(signum, frame):
+                raise TimeoutError(f"training iteration exceeded {cfg.timeout_period}s")
+
+            signal.signal(signal.SIGALRM, _timeout)
+
+        iteration = start_iteration
+        for x0, condition in batches:
+            if iteration >= cfg.max_iter:
+                break
+            if cfg.timeout_period > 0:
+                signal.alarm(cfg.timeout_period)
+            self.callbacks.on_training_step_start(self, state, (x0, condition), iteration)
+            rng = jax.random.fold_in(base_rng, iteration)
+            state, metrics = self._train_step(state, x0, condition, rng)
+            iteration += 1
+            self.callbacks.on_training_step_end(self, state, metrics, iteration)
+            if self.checkpointer is not None and cfg.save_iter > 0 and iteration % cfg.save_iter == 0:
+                self.checkpointer.save(state, iteration)
+                self.callbacks.on_save_checkpoint(self, state, iteration)
+        if cfg.timeout_period > 0:
+            signal.alarm(0)
+        if self.checkpointer is not None:
+            self.checkpointer.save(state, iteration)
+            self.checkpointer.wait()
+        self.callbacks.on_train_end(self, state)
+        return state

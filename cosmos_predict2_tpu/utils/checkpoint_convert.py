@@ -1,0 +1,225 @@
+"""PyTorch -> JAX weight conversion for released Cosmos checkpoints.
+
+Maps the reference torch state-dict layouts onto this repo's Flax param
+trees:
+
+* DiT (minimal_v4_dit.MiniTrainDIT state dict; model ckpts carry the
+  ``net.`` / ``net_ema.`` prefixes, text2world_model_rectified_flow.py:754)
+  -> networks/dit.MiniTrainDIT params. torch Linear weights (out, in) are
+  transposed to Flax kernels (in, out).
+* Wan2.1 VAE (Wan2.1_VAE.pth, tokenizers/wan2pt1.py module tree)
+  -> tokenizers/wan_vae.WanVAE params. Conv3d OIDHW -> DHWIO,
+  Conv2d OIHW -> HWIO, RMS_norm gamma (C,1,1[,1]) -> (C,).
+
+Both directions are provided; ``to_torch_*`` enables exporting trained JAX
+weights back to reference-compatible state dicts.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+import numpy as np
+
+Array = np.ndarray
+
+
+def _t(w: Array) -> Array:  # torch Linear (out, in) -> flax kernel (in, out)
+    return np.ascontiguousarray(np.transpose(w))
+
+
+def _conv3d(w: Array) -> Array:  # OIDHW -> DHWIO
+    return np.ascontiguousarray(np.transpose(w, (2, 3, 4, 1, 0)))
+
+
+def _conv2d(w: Array) -> Array:  # OIHW -> HWIO
+    return np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0)))
+
+
+def strip_prefix(sd: Mapping[str, Array], prefix: str) -> dict[str, Array]:
+    return {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+
+
+# ------------------------------- DiT -------------------------------
+
+
+def _dit_linear(params: dict, sd: Mapping[str, Array], torch_name: str, flax_path: list[str], bias: bool = False):
+    node = params
+    for p in flax_path[:-1]:
+        node = node.setdefault(p, {})
+    node[flax_path[-1]] = {"kernel": _t(np.asarray(sd[f"{torch_name}.weight"]))}
+    if bias or f"{torch_name}.bias" in sd:
+        if f"{torch_name}.bias" in sd:
+            node[flax_path[-1]]["bias"] = np.asarray(sd[f"{torch_name}.bias"])
+
+
+def convert_dit_state_dict(sd: Mapping[str, Array], num_blocks: int, use_adaln_lora: bool = True) -> dict:
+    """torch MiniTrainDIT state dict -> flax {'params': ...} tree."""
+    p: dict = {}
+    _dit_linear(p, sd, "x_embedder.proj.1", ["x_embedder"])
+    _dit_linear(p, sd, "t_embedder.1.linear_1", ["t_embedder", "linear_1"])
+    _dit_linear(p, sd, "t_embedder.1.linear_2", ["t_embedder", "linear_2"])
+    p["t_embedding_norm"] = {"weight": np.asarray(sd["t_embedding_norm.weight"])}
+    if "crossattn_proj.0.weight" in sd:
+        _dit_linear(p, sd, "crossattn_proj.0", ["crossattn_proj"], bias=True)
+    if "extra_pos_embedder.pos_emb_h" in sd:
+        p["extra_pos_embedder"] = {
+            "pos_emb_h": np.asarray(sd["extra_pos_embedder.pos_emb_h"]),
+            "pos_emb_w": np.asarray(sd["extra_pos_embedder.pos_emb_w"]),
+            "pos_emb_t": np.asarray(sd["extra_pos_embedder.pos_emb_t"]),
+        }
+
+    for i in range(num_blocks):
+        b: dict = {}
+        for attn in ("self_attn", "cross_attn"):
+            a: dict = {}
+            for proj in ("q_proj", "k_proj", "v_proj", "output_proj"):
+                a[proj] = {"kernel": _t(np.asarray(sd[f"blocks.{i}.{attn}.{proj}.weight"]))}
+            a["q_norm"] = {"weight": np.asarray(sd[f"blocks.{i}.{attn}.q_norm.weight"])}
+            a["k_norm"] = {"weight": np.asarray(sd[f"blocks.{i}.{attn}.k_norm.weight"])}
+            b[attn] = a
+        b["mlp"] = {
+            "layer1": {"kernel": _t(np.asarray(sd[f"blocks.{i}.mlp.layer1.weight"]))},
+            "layer2": {"kernel": _t(np.asarray(sd[f"blocks.{i}.mlp.layer2.weight"]))},
+        }
+        for mod in ("adaln_modulation_self_attn", "adaln_modulation_cross_attn", "adaln_modulation_mlp"):
+            if use_adaln_lora:
+                b[mod] = {
+                    "linear_1": {"kernel": _t(np.asarray(sd[f"blocks.{i}.{mod}.1.weight"]))},
+                    "linear_2": {"kernel": _t(np.asarray(sd[f"blocks.{i}.{mod}.2.weight"]))},
+                }
+            else:
+                b[mod] = {"linear_1": {"kernel": _t(np.asarray(sd[f"blocks.{i}.{mod}.1.weight"]))}}
+        p[f"blocks_{i}"] = b
+
+    fl: dict = {"linear": {"kernel": _t(np.asarray(sd["final_layer.linear.weight"]))}}
+    if use_adaln_lora:
+        fl["adaln_modulation"] = {
+            "linear_1": {"kernel": _t(np.asarray(sd["final_layer.adaln_modulation.1.weight"]))},
+            "linear_2": {"kernel": _t(np.asarray(sd["final_layer.adaln_modulation.2.weight"]))},
+        }
+    else:
+        fl["adaln_modulation"] = {"linear_1": {"kernel": _t(np.asarray(sd["final_layer.adaln_modulation.1.weight"]))}}
+    p["final_layer"] = fl
+    return {"params": p}
+
+
+# ------------------------------- VAE -------------------------------
+
+
+def _vae_resblock(sd: Mapping[str, Array], prefix: str) -> dict:
+    """torch ResidualBlock: residual = [RMS, SiLU, Conv, RMS, SiLU, Drop, Conv]."""
+    out = {
+        "norm1": {"gamma": np.asarray(sd[f"{prefix}.residual.0.gamma"]).reshape(-1)},
+        "conv1": {"weight": _conv3d(np.asarray(sd[f"{prefix}.residual.2.weight"])),
+                  "bias": np.asarray(sd[f"{prefix}.residual.2.bias"])},
+        "norm2": {"gamma": np.asarray(sd[f"{prefix}.residual.3.gamma"]).reshape(-1)},
+        "conv2": {"weight": _conv3d(np.asarray(sd[f"{prefix}.residual.6.weight"])),
+                  "bias": np.asarray(sd[f"{prefix}.residual.6.bias"])},
+    }
+    if f"{prefix}.shortcut.weight" in sd:
+        out["shortcut"] = {
+            "weight": _conv3d(np.asarray(sd[f"{prefix}.shortcut.weight"])),
+            "bias": np.asarray(sd[f"{prefix}.shortcut.bias"]),
+        }
+    return out
+
+
+def _vae_attn(sd: Mapping[str, Array], prefix: str) -> dict:
+    return {
+        "norm": {"gamma": np.asarray(sd[f"{prefix}.norm.gamma"]).reshape(-1)},
+        "to_qkv": {"weight": _conv2d(np.asarray(sd[f"{prefix}.to_qkv.weight"])),
+                   "bias": np.asarray(sd[f"{prefix}.to_qkv.bias"])},
+        "proj": {"weight": _conv2d(np.asarray(sd[f"{prefix}.proj.weight"])),
+                 "bias": np.asarray(sd[f"{prefix}.proj.bias"])},
+    }
+
+
+def _vae_resample(sd: Mapping[str, Array], prefix: str) -> dict:
+    """torch Resample: resample = Sequential(Upsample/ZeroPad, Conv2d); optional time_conv."""
+    out = {
+        "conv": {"weight": _conv2d(np.asarray(sd[f"{prefix}.resample.1.weight"])),
+                 "bias": np.asarray(sd[f"{prefix}.resample.1.bias"])},
+    }
+    if f"{prefix}.time_conv.weight" in sd:
+        out["time_conv"] = {
+            "weight": _conv3d(np.asarray(sd[f"{prefix}.time_conv.weight"])),
+            "bias": np.asarray(sd[f"{prefix}.time_conv.bias"]),
+        }
+    return out
+
+
+def convert_vae_state_dict(
+    sd: Mapping[str, Array],
+    num_res_blocks: int = 2,
+    num_stages: int = 4,
+) -> dict:
+    """torch WanVAE_ state dict -> flax {'params': ...} for tokenizers/wan_vae.WanVAE."""
+    p: dict = {}
+
+    def causal_conv(prefix: str) -> dict:
+        return {"weight": _conv3d(np.asarray(sd[f"{prefix}.weight"])), "bias": np.asarray(sd[f"{prefix}.bias"])}
+
+    # encoder: conv1, downsamples (2 res [+resample]) x stages, middle, head
+    enc: dict = {"conv1": causal_conv("encoder.conv1")}
+    li = 0
+    for stage in range(num_stages):
+        for _ in range(num_res_blocks):
+            enc[f"down_{li}"] = _vae_resblock(sd, f"encoder.downsamples.{li}")
+            li += 1
+        if stage != num_stages - 1:
+            enc[f"down_{li}"] = _vae_resample(sd, f"encoder.downsamples.{li}")
+            li += 1
+    enc["mid_res1"] = _vae_resblock(sd, "encoder.middle.0")
+    enc["mid_attn"] = _vae_attn(sd, "encoder.middle.1")
+    enc["mid_res2"] = _vae_resblock(sd, "encoder.middle.2")
+    enc["head_norm"] = {"gamma": np.asarray(sd["encoder.head.0.gamma"]).reshape(-1)}
+    enc["head_conv"] = causal_conv("encoder.head.2")
+    p["encoder"] = enc
+
+    # decoder: conv1, middle, upsamples ((3 res [+resample]) x stages), head
+    dec: dict = {"conv1": causal_conv("decoder.conv1")}
+    dec["mid_res1"] = _vae_resblock(sd, "decoder.middle.0")
+    dec["mid_attn"] = _vae_attn(sd, "decoder.middle.1")
+    dec["mid_res2"] = _vae_resblock(sd, "decoder.middle.2")
+    li = 0
+    for stage in range(num_stages):
+        for _ in range(num_res_blocks + 1):
+            dec[f"up_{li}"] = _vae_resblock(sd, f"decoder.upsamples.{li}")
+            li += 1
+        if stage != num_stages - 1:
+            dec[f"up_{li}"] = _vae_resample(sd, f"decoder.upsamples.{li}")
+            li += 1
+    dec["head_norm"] = {"gamma": np.asarray(sd["decoder.head.0.gamma"]).reshape(-1)}
+    dec["head_conv"] = causal_conv("decoder.head.2")
+    p["decoder"] = dec
+
+    p["conv1"] = causal_conv("conv1")
+    p["conv2"] = causal_conv("conv2")
+    return {"params": p}
+
+
+# --------------------------- file loading ---------------------------
+
+
+def load_torch_state_dict(path: str) -> dict[str, Array]:
+    """Load a .pt/.pth/.safetensors state dict into numpy arrays."""
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        return dict(load_file(path))
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(sd, dict) and "model" in sd and isinstance(sd["model"], dict):
+        sd = sd["model"]
+    return {k: v.float().numpy() if hasattr(v, "numpy") else np.asarray(v) for k, v in sd.items()}
+
+
+def convert_model_checkpoint(path: str, num_blocks: int, use_ema: bool = True, use_adaln_lora: bool = True) -> dict:
+    """Load a consolidated reference model .pt (net./net_ema. namespaces)."""
+    sd = load_torch_state_dict(path)
+    prefix = "net_ema." if (use_ema and any(k.startswith("net_ema.") for k in sd)) else "net."
+    if any(k.startswith(prefix) for k in sd):
+        sd = strip_prefix(sd, prefix)
+    return convert_dit_state_dict(sd, num_blocks, use_adaln_lora)

@@ -1,0 +1,92 @@
+"""Media IO: image/video read, resize, and mp4/png export.
+
+Replaces the slice of the reference's easy_io + visualize stack the
+inference path needs (imaginaire/utils/easy_io/, visualize/video.py:
+``save_img_or_video``): local-path imageio/PIL IO, host-side only — device
+code never touches files.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+def read_image(path: str) -> np.ndarray:
+    """Read an image -> uint8 (H, W, 3)."""
+    from PIL import Image
+
+    img = Image.open(path).convert("RGB")
+    return np.asarray(img, dtype=np.uint8)
+
+
+def read_video(path: str, max_frames: int | None = None) -> tuple[np.ndarray, float]:
+    """Read a video -> (uint8 (T, H, W, 3), fps)."""
+    import imageio.v3 as iio
+
+    frames = iio.imread(path, plugin="pyav") if path.endswith((".mp4", ".webm", ".mkv")) else iio.imread(path)
+    meta = {}
+    try:
+        meta = iio.immeta(path, plugin="pyav")
+    except Exception:
+        pass
+    fps = float(meta.get("fps", 16.0))
+    frames = np.asarray(frames)
+    if frames.ndim == 3:
+        frames = frames[None]
+    if max_frames is not None:
+        frames = frames[:max_frames]
+    return frames.astype(np.uint8), fps
+
+
+def resize_frames(frames: np.ndarray, height: int, width: int) -> np.ndarray:
+    """Bilinear resize uint8 (T, H, W, 3) -> (T, height, width, 3).
+
+    Matches the reference's resize_input (predict2/inference/video2world.py:75).
+    """
+    from PIL import Image
+
+    out = np.empty((frames.shape[0], height, width, 3), dtype=np.uint8)
+    for i, f in enumerate(frames):
+        out[i] = np.asarray(Image.fromarray(f).resize((width, height), Image.BILINEAR))
+    return out
+
+
+def save_img_or_video(frames_f32: np.ndarray, path: str, fps: int = 16) -> str:
+    """Save float frames in [-1, 1] or [0, 1]: (T, H, W, 3) -> mp4 (or png if T==1).
+
+    Parity: imaginaire/visualize/video.py (fps=16 default at save,
+    cosmos_predict2/inference.py:171).
+    """
+    frames = np.asarray(frames_f32)
+    if frames.min() < -0.01:  # [-1, 1] -> [0, 1]
+        frames = (frames + 1.0) / 2.0
+    frames = (np.clip(frames, 0, 1) * 255).astype(np.uint8)
+    os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
+    if frames.shape[0] == 1 or path.endswith(".png") or path.endswith(".jpg"):
+        from PIL import Image
+
+        if not path.endswith((".png", ".jpg")):
+            path = path + ".png"
+        Image.fromarray(frames[0]).save(path)
+        return path
+    import imageio.v3 as iio
+
+    if not path.endswith(".mp4"):
+        path = path + ".mp4"
+    iio.imwrite(path, frames, plugin="pyav", fps=fps, codec="libx264")
+    return path
+
+
+# Resolution buckets (reference predict2/datasets/utils.py:44-59).
+VIDEO_RES_SIZE_INFO: dict[str, dict[str, tuple[int, int]]] = {
+    "480": {"16,9": (832, 480), "9,16": (480, 832), "1,1": (640, 640), "4,3": (768, 576), "3,4": (576, 768)},
+    "720": {"16,9": (1280, 704), "9,16": (704, 1280), "1,1": (960, 960), "4,3": (1088, 832), "3,4": (832, 1088)},
+    "720p": {"16,9": (1280, 720), "9,16": (720, 1280), "1,1": (960, 960), "4,3": (1088, 832), "3,4": (832, 1088)},
+}
+
+
+def get_resolution(resolution: str, aspect: str = "16,9") -> tuple[int, int]:
+    """Returns (width, height) for a resolution bucket."""
+    return VIDEO_RES_SIZE_INFO[resolution][aspect]

@@ -1,0 +1,103 @@
+"""Inference pipeline + public API tests (tiny configs, CPU)."""
+
+import dataclasses
+import json
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cosmos_predict2_tpu.inference.api import Inference, InferenceArguments
+from cosmos_predict2_tpu.inference.pipeline import (
+    InferenceSetup,
+    Video2WorldInference,
+    read_and_process_image,
+    resize_input,
+)
+from cosmos_predict2_tpu.models.video2world import RFModelConfig
+from cosmos_predict2_tpu.networks.dit import PRESETS
+from cosmos_predict2_tpu.tokenizers.wan_vae import WanVAEConfig
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    net = dataclasses.replace(
+        PRESETS["test"], dtype=jnp.float32, remat="none", model_channels=128, num_heads=2, adaln_lora_dim=16
+    )
+    setup = InferenceSetup(
+        model_config=RFModelConfig(net=net, state_t=2, sampling_num_steps=2),
+        vae_config=WanVAEConfig(dim=16, dtype=jnp.float32),
+        resolution="480",
+        text_len=8,
+    )
+    model_shape = (1, 16, 2, 4, 4)
+    from cosmos_predict2_tpu.models.video2world import Video2WorldModel
+    from cosmos_predict2_tpu.tokenizers.wan_vae import WanVAE
+
+    model = Video2WorldModel(setup.model_config)
+    params = model.init_params(jax.random.PRNGKey(0), model_shape, text_len=8)
+    vae = WanVAE(setup.vae_config)
+    vae_params = vae.init(jax.random.PRNGKey(1), jnp.zeros((1, 5, 32, 32, 3)))
+
+    def fake_text_encoder(prompts):
+        return jnp.ones((len(prompts), 8, 1024)) * 0.01
+
+    return Video2WorldInference(setup, params, vae_params, text_encoder=fake_text_encoder)
+
+
+@pytest.mark.level(0)
+def test_resize_input_aspect_crop():
+    frames = np.zeros((2, 100, 50, 3), dtype=np.uint8)  # tall
+    out = resize_input(frames, 32, 32)
+    assert out.shape == (2, 32, 32, 3)
+
+
+@pytest.mark.level(1)
+def test_image2world_generate(pipe, tmp_path):
+    from PIL import Image
+
+    img_path = str(tmp_path / "input.png")
+    Image.fromarray(np.random.RandomState(0).randint(0, 255, (40, 64, 3), dtype=np.uint8)).save(img_path)
+
+    # 5 pixel frames (state_t=2 -> 1+(T-1)/4=2 latents at T=5), tiny res
+    video = read_and_process_image(img_path, 32, 32, 5)
+    assert video.shape == (1, 3, 5, 32, 32)
+    emb = pipe.encode_text(["a robot pouring coffee"])
+    frames = pipe.generate_vid2world(video, emb, guidance=2.0, num_steps=2, num_conditional_frames=1)
+    assert frames.shape == (5, 32, 32, 3)
+    assert np.isfinite(frames).all()
+
+
+@pytest.mark.level(1)
+def test_public_api_batch(pipe, tmp_path):
+    spec = [{"name": "s0", "prompt": "hello world", "num_steps": 2, "guidance": 2.0}]
+    spec_path = str(tmp_path / "batch.json")
+    with open(spec_path, "w") as f:
+        json.dump(spec, f)
+    samples = InferenceArguments.from_file(spec_path)
+    assert samples[0].prompt == "hello world"
+
+    api = Inference(pipe, output_dir=str(tmp_path / "out"))
+    # monkeypatch frame count small: pipeline uses state_t=2 -> 5 frames
+    paths = api.generate(samples)
+    assert len(paths) == 1 and os.path.exists(paths[0])
+
+
+@pytest.mark.level(1)
+def test_autoregressive_long_video(pipe):
+    emb = pipe.encode_text(["driving"])
+    video = np.random.RandomState(0).randint(0, 255, (1, 3, 5, 32, 32), dtype=np.uint8)
+    frames = pipe.generate_autoregressive(
+        video, emb, num_output_frames=12, chunk_size=5, chunk_overlap=1, num_steps=2, guidance=1.0
+    )
+    assert frames.shape == (12, 32, 32, 3)
+    assert np.isfinite(frames).all()
+
+
+@pytest.mark.level(0)
+def test_text_guardrail_hook(pipe, tmp_path):
+    api = Inference(pipe, output_dir=str(tmp_path), text_guardrail=lambda p: "bad" not in p, keep_going=False)
+    with pytest.raises(ValueError, match="guardrail"):
+        api._generate_sample(InferenceArguments(name="x", prompt="bad prompt", num_steps=1))

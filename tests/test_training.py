@@ -1,0 +1,160 @@
+"""Training stack tests: LR schedule, EMA, trainer loop, checkpoint resume,
+and the deterministic golden-loss regression (parity with the reference's
+predict2/tests/training_loss_test.py pattern)."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cosmos_predict2_tpu.conditioning.conditioner import make_condition
+from cosmos_predict2_tpu.data.mock import MockDataConfig, MockDataLoader, normalize_video
+from cosmos_predict2_tpu.models.video2world import RFModelConfig, Video2WorldModel
+from cosmos_predict2_tpu.networks.dit import PRESETS
+from cosmos_predict2_tpu.training.ema import ema_update, power_ema_beta, power_ema_gamma
+from cosmos_predict2_tpu.training.optim import OptimizerConfig, lambda_linear_schedule
+from cosmos_predict2_tpu.training.trainer import Trainer, TrainerConfig
+
+
+@pytest.mark.level(0)
+def test_lambda_linear_schedule():
+    sched = lambda_linear_schedule([10], [1e-6], [0.5], [0.2], [100])
+    # warm-up: linear from f_start to f_max
+    assert float(sched(0)) == pytest.approx(1e-6)
+    assert float(sched(5)) == pytest.approx((0.5 - 1e-6) / 10 * 5 + 1e-6, rel=1e-5)
+    # decay: linear from f_max at n=10 to f_min at n=100
+    assert float(sched(10)) == pytest.approx(0.2 + 0.3 * 90 / 90, rel=1e-5)
+    assert float(sched(55)) == pytest.approx(0.2 + 0.3 * 45 / 90, rel=1e-5)
+    assert float(sched(100)) == pytest.approx(0.2, rel=1e-5)
+
+
+@pytest.mark.level(0)
+def test_power_ema_beta():
+    # gamma solves x^3+7x^2+(16-100)x+(12-100)=0 for s=0.1
+    g = power_ema_gamma(0.1)
+    assert g**3 + 7 * g**2 + (16 - 100) * g + (12 - 100) == pytest.approx(0, abs=1e-6)
+    assert float(power_ema_beta(0, s=0.1)) == 0.0
+    b = float(power_ema_beta(100, s=0.1))
+    assert 0 < b < 1
+    np.testing.assert_allclose(b, (1 - 1 / 101) ** (g + 1), rtol=1e-5)
+
+
+@pytest.mark.level(0)
+def test_ema_update():
+    ema = {"w": jnp.ones((3,))}
+    new = {"w": jnp.zeros((3,))}
+    out = ema_update(ema, new, 0.9)
+    np.testing.assert_allclose(np.asarray(out["w"]), 0.9)
+
+
+def _make_trainer(max_iter=3, **tk):
+    net = dataclasses.replace(PRESETS["test"], dtype=jnp.float32, remat="none")
+    model = Video2WorldModel(RFModelConfig(net=net, state_t=2))
+    tc = TrainerConfig(
+        max_iter=max_iter,
+        logging_iter=1,
+        save_iter=0,
+        seed=0,
+        optimizer=OptimizerConfig(lr=1e-4, warm_up_steps=(2,), cycle_lengths=(10,)),
+        **tk,
+    )
+    return Trainer(tc, model), model
+
+
+def _batches(model, n, seed=0):
+    """Mock latents + conditions (VAE encode skipped: random latents)."""
+    loader = MockDataLoader(MockDataConfig(batch_size=1, num_frames=2, height=16, width=16, seed=seed))
+    for i in range(n):
+        batch = loader.get_batch(i)
+        rng = np.random.RandomState(i)
+        latents = jnp.asarray(rng.randn(1, 16, 2, 4, 4), dtype=jnp.float32)
+        emb = jnp.asarray(batch["t5_text_embeddings"][:, :8], dtype=jnp.float32) * 0.02
+        cond = make_condition(emb).replace(gt_frames=latents)
+        yield latents, cond
+
+
+@pytest.mark.level(1)
+def test_trainer_loss_decreases_and_golden():
+    trainer, model = _make_trainer(max_iter=3)
+    params = model.init_params(jax.random.PRNGKey(0), (1, 16, 2, 4, 4), text_len=8)
+    state = trainer.init_state(params)
+
+    losses = []
+
+    class Capture:
+        def __getattr__(self, name):
+            if name == "on_training_step_end":
+                return lambda trainer, state, metrics, iteration: losses.append(float(metrics["loss"]))
+            return lambda *a, **k: None
+
+    trainer.callbacks.callbacks.append(Capture())
+    state = trainer.train(state, _batches(model, 5))
+    assert int(state.step) == 3
+    assert all(np.isfinite(losses))
+    # Golden regression: loss at iteration 1 is deterministic given seeds.
+    golden = losses[0]
+    # rerun from scratch -> identical
+    trainer2, model2 = _make_trainer(max_iter=1)
+    params2 = model2.init_params(jax.random.PRNGKey(0), (1, 16, 2, 4, 4), text_len=8)
+    state2 = trainer2.init_state(params2)
+    losses2 = []
+
+    class Capture2:
+        def __getattr__(self, name):
+            if name == "on_training_step_end":
+                return lambda trainer, state, metrics, iteration: losses2.append(float(metrics["loss"]))
+            return lambda *a, **k: None
+
+    trainer2.callbacks.callbacks.append(Capture2())
+    trainer2.train(state2, _batches(model2, 1))
+    assert losses2[0] == pytest.approx(golden, rel=1e-6)
+
+
+@pytest.mark.level(1)
+def test_checkpoint_save_resume(tmp_path):
+    from cosmos_predict2_tpu.training.checkpointing import Checkpointer
+
+    trainer, model = _make_trainer(max_iter=2)
+    params = model.init_params(jax.random.PRNGKey(0), (1, 16, 2, 4, 4), text_len=8)
+    state = trainer.init_state(params)
+    state = trainer.train(state, _batches(model, 2))
+
+    ckpt = Checkpointer(str(tmp_path / "ckpt"), async_save=False)
+    ckpt.save(jax.device_get(state), 2)
+    ckpt.wait()
+    assert ckpt.latest_step() == 2
+
+    abstract = jax.tree.map(lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), jax.device_get(state))
+    restored = ckpt.load(abstract)
+    np.testing.assert_allclose(int(restored.step), 2)
+    l1 = jax.tree.leaves(state.params)[0]
+    l2 = jax.tree.leaves(restored.params)[0]
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2))
+    ckpt.close()
+
+
+@pytest.mark.level(0)
+def test_consolidated_export(tmp_path):
+    from cosmos_predict2_tpu.training.checkpointing import load_consolidated, save_consolidated
+
+    params = {"a": jnp.arange(4.0), "b": {"c": jnp.ones((2, 2))}}
+    path = str(tmp_path / "model.msgpack")
+    save_consolidated(params, path)
+    template = jax.tree.map(jnp.zeros_like, params)
+    restored = load_consolidated(template, path)
+    np.testing.assert_allclose(np.asarray(restored["a"]), np.arange(4.0))
+
+
+@pytest.mark.level(0)
+def test_mock_data_schema():
+    loader = MockDataLoader(MockDataConfig(batch_size=2, num_frames=5, height=32, width=32))
+    batch = loader.get_batch(0)
+    assert batch["video"].shape == (2, 3, 5, 32, 32) and batch["video"].dtype == np.uint8
+    assert batch["t5_text_embeddings"].shape == (2, 512, 1024)
+    v = normalize_video(batch["video"])
+    assert v.min() >= -1.0 and v.max() <= 1.0
+    # deterministic
+    batch2 = loader.get_batch(0)
+    np.testing.assert_array_equal(batch["video"], batch2["video"])
