@@ -51,6 +51,8 @@ class Video2WorldCondition:
     gt_frames: Optional[jax.Array] = None  # (B, C, T, H, W) clean latents
     condition_video_mask: Optional[jax.Array] = None  # (B, 1, T, 1, 1)
     use_video_condition: Optional[jax.Array] = None  # scalar or (B,) bool
+    # action conditioning (robot variants): (B, T_act, action_dim)
+    action: Optional[jax.Array] = None
 
     @property
     def is_video(self) -> bool:

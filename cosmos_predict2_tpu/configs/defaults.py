@@ -1,0 +1,164 @@
+"""Default config groups + released experiment recipes.
+
+Parity with the reference registry (predict2/configs/video2world/config.py
+:37-103 and defaults/{net,model,conditioner}.py, configs/common/defaults/*):
+net 2B/14B/mini presets, the rectified-flow video2world model group, the
+fusedadamw optimizer group, wan2pt1 tokenizer, and the flagship 2B
+experiment (buttercup reason-embeddings v1p1 rectified flow,
+experiment/reason_embeddings/model_2B_reason_1p1_rectified_flow.py:86-140).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax.numpy as jnp
+
+from cosmos_predict2_tpu.configs.registry import (
+    Experiment,
+    compose,
+    get_node,
+    register,
+    register_experiment,
+    resolve_experiment,
+)
+from cosmos_predict2_tpu.data.mock import MockDataConfig
+from cosmos_predict2_tpu.models.video2world import RFModelConfig
+from cosmos_predict2_tpu.networks.dit import DiTConfig
+from cosmos_predict2_tpu.schedulers.rectified_flow import RectifiedFlowConfig
+from cosmos_predict2_tpu.tokenizers.wan_vae import WanVAEConfig
+from cosmos_predict2_tpu.training.optim import OptimizerConfig
+from cosmos_predict2_tpu.training.trainer import TrainerConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class JobConfig:
+    project: str = "cosmos_predict2_tpu"
+    group: str = "debug"
+    name: str = "default"
+    output_root: str = "outputs"
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    """Top-level config tree (reference imaginaire/config.py:397)."""
+
+    job: JobConfig = JobConfig()
+    trainer: TrainerConfig = TrainerConfig()
+    model: RFModelConfig = RFModelConfig()
+    tokenizer: WanVAEConfig = WanVAEConfig()
+    data_train: MockDataConfig = MockDataConfig()
+    # mesh axis sizes (dp inferred from remaining devices)
+    fsdp_shard_size: int = 1
+    cp_size: int = 1
+    tp_size: int = 1
+
+
+# ------------------------------- groups -------------------------------
+
+_NET_2B = DiTConfig(
+    model_channels=2048,
+    num_heads=16,
+    num_blocks=28,
+    use_adaln_lora=True,
+    adaln_lora_dim=256,
+)
+_NET_14B = dataclasses.replace(_NET_2B, model_channels=5120, num_heads=40, num_blocks=36)
+_NET_MINI = dataclasses.replace(_NET_2B, model_channels=1024, num_heads=8, num_blocks=2)
+
+register("net", "cosmos_v1_2B", _NET_2B)
+register("net", "cosmos_v1_14B", _NET_14B)
+register("net", "mini_net", _NET_MINI)
+
+register(
+    "model",
+    "fsdp_rectified_flow",
+    RFModelConfig(
+        net=_NET_2B,
+        rectified_flow=RectifiedFlowConfig(shift=5.0, train_time_distribution="logitnormal"),
+        state_t=24,
+        resolution="720",
+        loss_scale=10.0,
+        min_num_conditional_frames=0,
+        max_num_conditional_frames=2,
+        conditional_frames_probs=((0, 0.5), (1, 0.25), (2, 0.25)),
+    ),
+)
+
+register("optimizer", "fusedadamw", OptimizerConfig(lr=2 ** (-14.5), weight_decay=0.001))
+register("tokenizer", "wan2pt1_tokenizer", WanVAEConfig())
+register("data_train", "mock", MockDataConfig())
+
+
+# ----------------------------- experiments -----------------------------
+
+register_experiment(
+    Experiment(
+        name="predict2_video2world_2b_rectified_flow",
+        groups={"net": "cosmos_v1_2B", "model": "fsdp_rectified_flow", "optimizer": "fusedadamw"},
+        overrides={
+            "model.net.rope_h_extrapolation_ratio": 3.0,
+            "model.net.rope_w_extrapolation_ratio": 3.0,
+            "model.net.rope_t_extrapolation_ratio": 1.0,
+            "model.net.rope_enable_fps_modulation": False,
+            "model.net.use_crossattn_projection": True,
+            "model.net.crossattn_proj_in_channels": 100352,
+            "model.net.crossattn_emb_channels": 1024,
+            "trainer.optimizer.lr": 2 ** (-14.5),
+            "trainer.optimizer.f_max": (0.5,),
+            "trainer.optimizer.f_min": (0.2,),
+            "trainer.optimizer.warm_up_steps": (2000,),
+            "trainer.optimizer.cycle_lengths": (100000,),
+        },
+    )
+)
+
+register_experiment(
+    Experiment(
+        name="predict2_video2world_14b_rectified_flow",
+        base="predict2_video2world_2b_rectified_flow",
+        groups={"net": "cosmos_v1_14B"},
+    )
+)
+
+register_experiment(
+    Experiment(
+        name="error-free_mock_data_smoke",
+        groups={"net": "mini_net", "model": "fsdp_rectified_flow", "optimizer": "fusedadamw"},
+        overrides={
+            "model.state_t": 4,
+            "trainer.max_iter": 3,
+            "trainer.logging_iter": 1,
+            "data_train.num_frames": 13,
+            "data_train.height": 64,
+            "data_train.width": 64,
+        },
+    )
+)
+
+
+def make_config(experiment: str | None = None, overrides: list[str] | None = None) -> Config:
+    """Compose the full config: defaults -> experiment -> dotlist overrides."""
+    cfg = Config()
+    if experiment is not None:
+        exp = resolve_experiment(experiment)
+        replacements: dict[str, Any] = {}
+        if "model" in exp.groups:
+            model = get_node("model", exp.groups["model"])
+            if "net" in exp.groups:
+                model = dataclasses.replace(model, net=get_node("net", exp.groups["net"]))
+            replacements["model"] = model
+        if "optimizer" in exp.groups:
+            replacements["trainer"] = dataclasses.replace(
+                cfg.trainer, optimizer=get_node("optimizer", exp.groups["optimizer"])
+            )
+        if "tokenizer" in exp.groups:
+            replacements["tokenizer"] = get_node("tokenizer", exp.groups["tokenizer"])
+        if "data_train" in exp.groups:
+            replacements["data_train"] = get_node("data_train", exp.groups["data_train"])
+        cfg = dataclasses.replace(cfg, **replacements)
+        cfg = compose(cfg, exp.overrides)
+        cfg = dataclasses.replace(cfg, job=dataclasses.replace(cfg.job, name=experiment))
+    cfg = compose(cfg, overrides)
+    return cfg

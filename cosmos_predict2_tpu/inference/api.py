@@ -94,10 +94,12 @@ class Inference:
         for args in samples:
             try:
                 outputs.append(self._generate_sample(args))
-            except Exception:
+            except Exception as e:
                 if not self.keep_going:
                     raise
-                log.error(f"sample {args.name} failed; continuing (keep_going)")
+                import traceback
+
+                log.error(f"sample {args.name} failed; continuing (keep_going): {e}\n{traceback.format_exc()}")
         return outputs
 
     def _generate_sample(self, args: InferenceArguments) -> str:

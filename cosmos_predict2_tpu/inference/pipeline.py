@@ -78,6 +78,9 @@ class InferenceSetup:
     resolution: str = "480"
     aspect: str = "16,9"
     text_len: int = 512
+    # explicit (height, width) override of the resolution bucket (tests,
+    # custom sizes); must be divisible by 16 (VAE /8 x patch /2)
+    size_override: Optional[tuple[int, int]] = None
 
 
 class Video2WorldInference:
@@ -96,8 +99,10 @@ class Video2WorldInference:
         self.params = params
         self.vae_params = vae_params
         self.text_encoder = text_encoder
+        # guidance is traced (changing it reuses the compiled program);
+        # num_steps / num_conditional_frames change the graph -> static.
         self._generate_jit = jax.jit(
-            self._generate_impl, static_argnames=("guidance", "num_steps", "num_conditional_frames")
+            self._generate_impl, static_argnames=("num_steps", "num_conditional_frames")
         )
 
     # ------------------------------ helpers ------------------------------
@@ -107,6 +112,8 @@ class Video2WorldInference:
         return (self.setup.model_config.state_t - 1) * 4 + 1
 
     def video_size(self) -> tuple[int, int]:
+        if self.setup.size_override is not None:
+            return self.setup.size_override
         w, h = get_resolution(self.setup.resolution, self.setup.aspect)
         return h, w
 

@@ -81,7 +81,12 @@ class Video2WorldModel:
             else self.config.net.crossattn_emb_channels
         )
         ctx = jnp.zeros((B, text_len, ctx_dim), dtype=jnp.float32)
-        return self.net.init(rng, x, ts, ctx)
+        kwargs = {}
+        if self.config.net.action_dim is not None:
+            kwargs["action"] = jnp.zeros(
+                (B, self.config.net.num_action_per_chunk, self.config.net.action_dim), dtype=jnp.float32
+            )
+        return self.net.init(rng, x, ts, ctx, **kwargs)
 
     # ----------------------------- denoise -----------------------------
 
@@ -109,6 +114,18 @@ class Video2WorldModel:
                 timesteps_B_T = jnp.broadcast_to(timesteps_B_T, t_mask.shape)
                 timesteps_B_T = cfg.conditional_frame_timestep * t_mask + timesteps_B_T * (1.0 - t_mask)
 
+        net_kwargs = {}
+        if cfg.net.concat_condition_mask:
+            B, _, T, H, W = xt_B_C_T_H_W.shape
+            full_mask = (
+                jnp.broadcast_to(mask, (B, 1, T, H, W))
+                if (condition.is_video and mask is not None)
+                else jnp.zeros((B, 1, T, H, W), dtype=xt_B_C_T_H_W.dtype)
+            )
+            net_kwargs["condition_mask"] = full_mask
+        if cfg.net.action_dim is not None:
+            net_kwargs["action"] = condition.action
+
         v_pred = self.net.apply(
             params,
             xt_B_C_T_H_W,
@@ -116,6 +133,7 @@ class Video2WorldModel:
             condition.crossattn_emb,
             fps=condition.fps,
             padding_mask=condition.padding_mask,
+            **net_kwargs,
         ).astype(jnp.float32)
 
         if condition.is_video and mask is not None and cfg.denoise_replace_gt_frames:

@@ -62,6 +62,24 @@ class DiTConfig:
     extra_per_block_abs_pos_emb: bool = False
     min_fps: int = 1
     max_fps: int = 30
+    # --- multiview (reference predict2_multiview/networks/multiview_dit.py) ---
+    # n_views > 1: input latent T axis is (V Tv) view-major; RoPE repeats
+    # per view; cross-attention attends each view to its own caption slice.
+    n_views: int = 1
+    # learned per-view embedding concatenated as input channels
+    concat_view_embedding: bool = False
+    n_cameras_emb: int = 7
+    view_condition_dim: int = 0
+    # tokens per view in crossattn_emb (each view's caption length)
+    tokens_per_view: int = 512
+    # --- action conditioning (reference action_conditioned_minimal_v1_lvg_dit.py:47-112) ---
+    # concat the (B,1,T,H,W) condition mask as an extra input channel
+    concat_condition_mask: bool = False
+    # when set, two GELU-tanh MLPs embed the flattened action chunk and add
+    # it to the timestep embedding (B_D) and the AdaLN-LoRA term (B_3D)
+    action_dim: Optional[int] = None
+    num_action_per_chunk: int = 12
+    timestep_scale: float = 1.0
     # compute dtype for matmuls; norms & modulation stay fp32
     dtype: jnp.dtype = jnp.bfloat16
     # attention backend override (None = auto dispatch)
@@ -254,14 +272,25 @@ class Block(nn.Module):
         )(attn_in, rope_angles=rope_angles)
         x_B_T_H_W_D = x_B_T_H_W_D + gate_sa.astype(x_B_T_H_W_D.dtype) * attn_out.reshape(B, T, H, W, D).astype(x_B_T_H_W_D.dtype)
 
-        # cross attention
+        # cross attention (multiview: each view attends its own caption —
+        # reference MultiViewCrossAttention, multiview_dit.py:40-56)
         shift_ca, scale_ca, gate_ca = mod("adaln_modulation_cross_attn")
         normed = modulated(x_B_T_H_W_D, shift_ca, scale_ca)
         attn_in = normed.reshape(B, T * H * W, D)
+        ctx = crossattn_emb.astype(compute_dtype)
+        V = cfg.n_views
+        if V > 1:
+            L = (T // V) * H * W
+            attn_in = attn_in.reshape(B, V, L, D).transpose(1, 0, 2, 3).reshape(V * B, L, D)
+            M = ctx.shape[1] // V
+            ctx = ctx.reshape(B, V, M, -1).transpose(1, 0, 2, 3).reshape(V * B, M, -1)
         attn_out = Attention(
             d, cfg.crossattn_emb_channels, cfg.num_heads, cfg.head_dim,
             dtype=compute_dtype, backend="reference", name="cross_attn",
-        )(attn_in, context=crossattn_emb.astype(compute_dtype))
+        )(attn_in, context=ctx)
+        if V > 1:
+            L = (T // V) * H * W
+            attn_out = attn_out.reshape(V, B, L, D).transpose(1, 0, 2, 3).reshape(B, T * H * W, D)
         x_B_T_H_W_D = x_B_T_H_W_D + gate_ca.astype(x_B_T_H_W_D.dtype) * attn_out.reshape(B, T, H, W, D).astype(x_B_T_H_W_D.dtype)
 
         # MLP
@@ -309,6 +338,19 @@ class TimestepEmbedding(nn.Module):
         return emb, None
 
 
+class ActionMlp(nn.Module):
+    """Linear -> GELU(tanh) -> Linear, with biases (action DiT Mlp, :30-45)."""
+
+    hidden: int
+    out: int
+
+    @nn.compact
+    def __call__(self, x):
+        h = Dense(self.hidden, use_bias=True, dtype=jnp.float32, name="fc1")(x)
+        h = jax.nn.gelu(h, approximate=True)
+        return Dense(self.out, use_bias=True, dtype=jnp.float32, name="fc2")(h)
+
+
 class FinalLayer(nn.Module):
     """AdaLN(2 chunks) + linear head (minimal_v4_dit.py:916-995)."""
 
@@ -342,10 +384,42 @@ class MiniTrainDIT(nn.Module):
         crossattn_emb: jax.Array,
         fps: Optional[jax.Array] = None,
         padding_mask: Optional[jax.Array] = None,
+        condition_mask: Optional[jax.Array] = None,  # (B, 1, T, H, W)
+        action: Optional[jax.Array] = None,  # (B, T_act, action_dim)
+        view_indices_B_T: Optional[jax.Array] = None,  # (B, V*Tv) ints
     ) -> jax.Array:
         cfg = self.config
         B, C, T, H, W = x_B_C_T_H_W.shape
         ps, pt = cfg.patch_spatial, cfg.patch_temporal
+
+        if cfg.concat_view_embedding and cfg.n_views > 1:
+            # per-view learned channels (multiview_dit.py:463-490)
+            table = self.param(
+                "view_embeddings",
+                nn.initializers.normal(1.0),
+                (cfg.n_cameras_emb, cfg.view_condition_dim),
+            )
+            V = cfg.n_views
+            if view_indices_B_T is None:
+                idx = jnp.clip(jnp.arange(V), 0, cfg.n_cameras_emb - 1)
+                ve = table[idx]  # (V, Dv)
+                ve = jnp.broadcast_to(ve[None, :, None, :, None, None], (B, V, T // V, cfg.view_condition_dim, H, W))
+            else:
+                idx = jnp.clip(view_indices_B_T.astype(jnp.int32), 0, cfg.n_cameras_emb - 1)
+                ve = table[idx]  # (B, V*Tv, Dv)
+                ve = ve.reshape(B, V, T // V, cfg.view_condition_dim)[..., None, None]
+                ve = jnp.broadcast_to(ve, (B, V, T // V, cfg.view_condition_dim, H, W))
+            ve = ve.reshape(B, T, cfg.view_condition_dim, H, W).transpose(0, 2, 1, 3, 4)
+            x_B_C_T_H_W = jnp.concatenate([x_B_C_T_H_W, ve.astype(x_B_C_T_H_W.dtype)], axis=1)
+            C = C + cfg.view_condition_dim
+
+        if cfg.concat_condition_mask:
+            if condition_mask is None:
+                condition_mask = jnp.zeros((B, 1, T, H, W), dtype=x_B_C_T_H_W.dtype)
+            x_B_C_T_H_W = jnp.concatenate([x_B_C_T_H_W, condition_mask.astype(x_B_C_T_H_W.dtype)], axis=1)
+            C = C + 1
+        if cfg.timestep_scale != 1.0:
+            timesteps_B_T = timesteps_B_T * cfg.timestep_scale
 
         # ---- patch embed (with optional padding-mask channel) ----
         if cfg.concat_padding_mask:
@@ -371,8 +445,13 @@ class MiniTrainDIT(nn.Module):
             name="x_embedder",
         )(x)
 
-        # ---- rope ----
-        rope_angles = rope_angles_3d(cfg.rope_spec, Tt, Hp, Wp, fps=fps)
+        # ---- rope (multiview: identical per-view tables tiled over V,
+        # MultiCameraVideoRopePosition3DEmb, multiview_dit.py:103-141) ----
+        if cfg.n_views > 1:
+            per_view = rope_angles_3d(cfg.rope_spec, Tt // cfg.n_views, Hp, Wp, fps=fps)
+            rope_angles = jnp.tile(per_view, (cfg.n_views, 1))
+        else:
+            rope_angles = rope_angles_3d(cfg.rope_spec, Tt, Hp, Wp, fps=fps)
 
         # ---- timestep embedding ----
         if timesteps_B_T.ndim == 1:
@@ -381,6 +460,16 @@ class MiniTrainDIT(nn.Module):
         emb_B_T_D, adaln_lora_B_T_3D = TimestepEmbedding(
             cfg.model_channels, cfg.model_channels, cfg.use_adaln_lora, name="t_embedder"
         )(sin_emb)
+        if cfg.action_dim is not None:
+            if action is None:
+                raise ValueError("config.action_dim set but no action passed")
+            act = action.reshape(B, 1, -1).astype(jnp.float32)  # b t d -> b 1 (t d)
+            d = cfg.model_channels
+            act_emb = ActionMlp(d * 4, d, name="action_embedder_B_D")(act)
+            act_emb_3d = ActionMlp(d * 4, 3 * d, name="action_embedder_B_3D")(act)
+            emb_B_T_D = emb_B_T_D + act_emb
+            if adaln_lora_B_T_3D is not None:
+                adaln_lora_B_T_3D = adaln_lora_B_T_3D + act_emb_3d
         emb_B_T_D = RMSNormParam(cfg.model_channels, name="t_embedding_norm")(emb_B_T_D.astype(jnp.float32))
         # broadcast per-frame modulation over latent frames
         if emb_B_T_D.shape[1] == 1 and Tt > 1:

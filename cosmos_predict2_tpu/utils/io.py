@@ -22,13 +22,36 @@ def read_image(path: str) -> np.ndarray:
 
 
 def read_video(path: str, max_frames: int | None = None) -> tuple[np.ndarray, float]:
-    """Read a video -> (uint8 (T, H, W, 3), fps)."""
+    """Read a video -> (uint8 (T, H, W, 3), fps).
+
+    Supports mp4/webm/mkv (when an imageio video backend is present), gif,
+    .npy/.npz frame stacks, and directories of numbered pngs — so the
+    pipeline works in codec-less environments too.
+    """
+    if os.path.isdir(path):
+        from PIL import Image
+
+        files = sorted(os.listdir(path))
+        frames = np.stack([np.asarray(Image.open(os.path.join(path, f)).convert("RGB")) for f in files])
+        return frames[:max_frames].astype(np.uint8), 16.0
+    if path.endswith(".npy"):
+        return np.load(path)[:max_frames].astype(np.uint8), 16.0
+    if path.endswith(".npz"):
+        data = np.load(path)
+        return data["video"][:max_frames].astype(np.uint8), float(data.get("fps", 16.0))
+    if path.endswith(".gif"):
+        from PIL import Image, ImageSequence
+
+        img = Image.open(path)
+        frames = np.stack([np.asarray(f.convert("RGB")) for f in ImageSequence.Iterator(img)])
+        return frames[:max_frames].astype(np.uint8), 1000.0 / img.info.get("duration", 62.5)
+
     import imageio.v3 as iio
 
-    frames = iio.imread(path, plugin="pyav") if path.endswith((".mp4", ".webm", ".mkv")) else iio.imread(path)
+    frames = iio.imread(path)
     meta = {}
     try:
-        meta = iio.immeta(path, plugin="pyav")
+        meta = iio.immeta(path)
     except Exception:
         pass
     fps = float(meta.get("fps", 16.0))
@@ -71,11 +94,21 @@ def save_img_or_video(frames_f32: np.ndarray, path: str, fps: int = 16) -> str:
             path = path + ".png"
         Image.fromarray(frames[0]).save(path)
         return path
-    import imageio.v3 as iio
-
-    if not path.endswith(".mp4"):
+    if not path.endswith((".mp4", ".gif")):
         path = path + ".mp4"
-    iio.imwrite(path, frames, plugin="pyav", fps=fps, codec="libx264")
+    if path.endswith(".mp4"):
+        try:
+            import imageio.v3 as iio
+
+            iio.imwrite(path, frames, fps=fps)
+            return path
+        except Exception:
+            # no video codec in this environment: fall back to GIF
+            path = path[:-4] + ".gif"
+    from PIL import Image
+
+    imgs = [Image.fromarray(f) for f in frames]
+    imgs[0].save(path, save_all=True, append_images=imgs[1:], duration=int(1000 / fps), loop=0)
     return path
 
 

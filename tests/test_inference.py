@@ -31,6 +31,7 @@ def pipe():
         vae_config=WanVAEConfig(dim=16, dtype=jnp.float32),
         resolution="480",
         text_len=8,
+        size_override=(32, 32),
     )
     model_shape = (1, 16, 2, 4, 4)
     from cosmos_predict2_tpu.models.video2world import Video2WorldModel
@@ -90,9 +91,9 @@ def test_autoregressive_long_video(pipe):
     emb = pipe.encode_text(["driving"])
     video = np.random.RandomState(0).randint(0, 255, (1, 3, 5, 32, 32), dtype=np.uint8)
     frames = pipe.generate_autoregressive(
-        video, emb, num_output_frames=12, chunk_size=5, chunk_overlap=1, num_steps=2, guidance=1.0
+        video, emb, num_output_frames=8, chunk_size=5, chunk_overlap=1, num_steps=2, guidance=2.0
     )
-    assert frames.shape == (12, 32, 32, 3)
+    assert frames.shape == (8, 32, 32, 3)
     assert np.isfinite(frames).all()
 
 
