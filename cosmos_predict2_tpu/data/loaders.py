@@ -1,0 +1,164 @@
+"""Dataloader combinators: joint image+video interleave, cached replay,
+sharded tar ("webdataset") loading, background prefetch, stall watchdog.
+
+Capability parity with the reference data plumbing:
+* IterativeJointDataLoader (predict2/datasets/joint_dataloader.py) — cycle
+  through child loaders with per-loader ratios;
+* CachedReplayDataLoader (predict2/datasets/cached_replay_dataloader.py) —
+  cache + re-yield batches to decouple slow IO from step time;
+* webdataset-style sharded loading (imaginaire/datasets/webdataset/) —
+  tar shards of (sample.ext) files, sharded across hosts by index;
+* OperationWatchdog (predict2/datasets/watchdog.py:27) — background thread
+  warning on stalled iteration.
+
+All host-side, single process per host: TPU training wants one fast feed
+per host rather than per-GPU worker processes.
+"""
+
+from __future__ import annotations
+
+import io
+import itertools
+import os
+import queue
+import tarfile
+import threading
+import time
+from typing import Any, Callable, Iterable, Iterator, Optional
+
+import numpy as np
+
+from cosmos_predict2_tpu.utils import log
+
+
+class IterativeJointDataLoader:
+    """Interleaves child loaders by ratio: e.g. {image: 1, video: 3}."""
+
+    def __init__(self, loaders: dict[str, tuple[Iterable, int]]):
+        self.loaders = {name: (iter(loader), ratio) for name, (loader, ratio) in loaders.items()}
+
+    def __iter__(self) -> Iterator[dict]:
+        while True:
+            for name, (it, ratio) in self.loaders.items():
+                for _ in range(ratio):
+                    batch = next(it)
+                    if isinstance(batch, dict):
+                        batch = dict(batch)
+                        batch["dataset_name"] = name
+                    yield batch
+
+
+class CachedReplayDataLoader:
+    """Yields each fetched batch ``duplicate_batches`` times, fetching the
+    next batch in a background thread while replays are consumed."""
+
+    def __init__(self, loader: Iterable, duplicate_batches: int = 2, prefetch: int = 2):
+        self.loader = iter(loader)
+        self.duplicate_batches = duplicate_batches
+        self.queue: queue.Queue = queue.Queue(maxsize=prefetch)
+        self._stop = threading.Event()
+        self.thread = threading.Thread(target=self._worker, daemon=True)
+        self.thread.start()
+
+    def _worker(self):
+        try:
+            for batch in self.loader:
+                if self._stop.is_set():
+                    return
+                self.queue.put(batch)
+        except Exception as e:  # propagate through the queue
+            self.queue.put(e)
+
+    def __iter__(self):
+        while True:
+            batch = self.queue.get()
+            if isinstance(batch, Exception):
+                raise batch
+            for _ in range(self.duplicate_batches):
+                yield batch
+
+    def close(self):
+        self._stop.set()
+
+
+class ShardedTarDataset:
+    """webdataset-style loader: tar shards of grouped files.
+
+    Files sharing a basename stem form one sample: ``0001.npy`` +
+    ``0001.txt`` -> {"npy": array, "txt": str}. Shards are partitioned
+    across hosts (process_index) and shuffled per epoch.
+    """
+
+    def __init__(
+        self,
+        shard_paths: list[str],
+        process_index: int = 0,
+        process_count: int = 1,
+        shuffle_seed: Optional[int] = 0,
+        decoders: Optional[dict[str, Callable[[bytes], Any]]] = None,
+    ):
+        self.shards = sorted(shard_paths)[process_index::process_count]
+        self.shuffle_seed = shuffle_seed
+        self.decoders = {
+            "npy": lambda b: np.load(io.BytesIO(b)),
+            "npz": lambda b: dict(np.load(io.BytesIO(b))),
+            "txt": lambda b: b.decode("utf-8"),
+            "json": lambda b: __import__("json").loads(b.decode("utf-8")),
+            **(decoders or {}),
+        }
+
+    def _iter_shard(self, path: str) -> Iterator[dict]:
+        with tarfile.open(path) as tar:
+            current_key, sample = None, {}
+            for member in tar:
+                if not member.isfile():
+                    continue
+                stem, _, ext = member.name.rpartition(".")
+                if current_key is not None and stem != current_key and sample:
+                    yield sample
+                    sample = {}
+                current_key = stem
+                data = tar.extractfile(member).read()
+                sample[ext] = self.decoders.get(ext, lambda b: b)(data)
+                sample["__key__"] = stem
+            if sample:
+                yield sample
+
+    def __iter__(self) -> Iterator[dict]:
+        epoch = 0
+        while True:
+            shards = list(self.shards)
+            if self.shuffle_seed is not None:
+                np.random.RandomState(self.shuffle_seed + epoch).shuffle(shards)
+            for shard in shards:
+                yield from self._iter_shard(shard)
+            epoch += 1
+            if not shards:
+                return
+
+
+class OperationWatchdog:
+    """Background thread warning when an operation stalls
+    (predict2/datasets/watchdog.py:27)."""
+
+    def __init__(self, warn_after_s: float = 60.0, poll_s: float = 5.0):
+        self.warn_after_s = warn_after_s
+        self.poll_s = poll_s
+        self._last_beat = time.monotonic()
+        self._operation = "startup"
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._watch, daemon=True)
+        self._thread.start()
+
+    def beat(self, operation: str = "step"):
+        self._last_beat = time.monotonic()
+        self._operation = operation
+
+    def _watch(self):
+        while not self._stop.wait(self.poll_s):
+            stalled = time.monotonic() - self._last_beat
+            if stalled > self.warn_after_s:
+                log.warning(f"watchdog: '{self._operation}' stalled for {stalled:.0f}s")
+
+    def close(self):
+        self._stop.set()

@@ -1,0 +1,121 @@
+"""Guardrails: prompt and video safety filtering (host-side).
+
+Capability parity with the reference guardrail pipeline
+(cosmos_predict2/_src/imaginaire/auxiliary/guardrail/: GuardrailRunner,
+blocklist + LLM prompt classifier, video content classifier + RetinaFace
+face blur, presets.py:28-62). The structure is identical — a runner that
+chains checks and postprocessors — with TPU-pragmatic defaults:
+
+* text: exact/lemma-lite blocklist with word-boundary matching (the
+  reference's nltk lemmatization is approximated by simple suffix
+  stripping so there is no new dependency);
+* an LLM classifier hook (any callable prompt -> safe bool) where
+  Qwen3Guard/LlamaGuard would plug in;
+* video: pluggable frame classifier + face-blur postprocessor hooks; a
+  pixelation-based blur utility is provided for when a detector is wired.
+
+All of this runs on host process 0 only, like the reference (rank-0 only).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+from typing import Callable, Optional
+
+import numpy as np
+
+from cosmos_predict2_tpu.utils import log
+
+# A tiny starter blocklist; deployments extend via GuardrailConfig.
+DEFAULT_BLOCKED_WORDS = (
+    "gore", "beheading", "child abuse", "csam", "rape",
+)
+
+
+def _lemma_lite(word: str) -> str:
+    for suffix in ("ings", "ing", "ed", "es", "s"):
+        if word.endswith(suffix) and len(word) > len(suffix) + 2:
+            return word[: -len(suffix)]
+    return word
+
+
+@dataclasses.dataclass
+class GuardrailConfig:
+    blocked_words: tuple[str, ...] = DEFAULT_BLOCKED_WORDS
+    llm_classifier: Optional[Callable[[str], bool]] = None  # returns is_safe
+    video_classifier: Optional[Callable[[np.ndarray], bool]] = None
+    face_detector: Optional[Callable[[np.ndarray], list[tuple[int, int, int, int]]]] = None
+    blur_faces: bool = False
+
+
+class BlocklistChecker:
+    def __init__(self, blocked_words):
+        lemmas = {_lemma_lite(w.lower()) for w in blocked_words}
+        self.patterns = [re.compile(rf"\b{re.escape(w)}\w*\b") for w in lemmas]
+
+    def is_safe(self, prompt: str) -> bool:
+        text = prompt.lower()
+        return not any(p.search(text) for p in self.patterns)
+
+
+def pixelate_region(frame: np.ndarray, box: tuple[int, int, int, int], factor: int = 16) -> np.ndarray:
+    """Blur a (x0, y0, x1, y1) region by down/up sampling (face-blur filter)."""
+    x0, y0, x1, y1 = box
+    region = frame[y0:y1, x0:x1]
+    if region.size == 0:
+        return frame
+    h, w = region.shape[:2]
+    small = region[::factor, ::factor]
+    up = np.repeat(np.repeat(small, factor, axis=0), factor, axis=1)[:h, :w]
+    out = frame.copy()
+    out[y0:y1, x0:x1] = up
+    return out
+
+
+class GuardrailRunner:
+    """Chains text checks and video checks/postprocessors
+    (reference presets.py create_text/video_guardrail_runner)."""
+
+    def __init__(self, config: GuardrailConfig = GuardrailConfig()):
+        self.config = config
+        self.blocklist = BlocklistChecker(config.blocked_words)
+
+    # ------------------------------- text -------------------------------
+
+    def run_text_guardrail(self, prompt: str) -> bool:
+        """True if the prompt is safe."""
+        if not self.blocklist.is_safe(prompt):
+            log.warning("prompt blocked by blocklist")
+            return False
+        if self.config.llm_classifier is not None and not self.config.llm_classifier(prompt):
+            log.warning("prompt blocked by LLM classifier")
+            return False
+        return True
+
+    # ------------------------------- video -------------------------------
+
+    def run_video_guardrail(self, frames: np.ndarray) -> Optional[np.ndarray]:
+        """frames (T, H, W, 3) float/uint8 -> filtered frames or None if unsafe."""
+        if self.config.video_classifier is not None and not self.config.video_classifier(frames):
+            log.warning("video blocked by content classifier")
+            return None
+        if self.config.blur_faces and self.config.face_detector is not None:
+            out = []
+            for frame in frames:
+                f8 = frame if frame.dtype == np.uint8 else ((np.clip(frame, -1, 1) + 1) * 127.5).astype(np.uint8)
+                for box in self.config.face_detector(f8):
+                    f8 = pixelate_region(f8, box)
+                out.append(f8.astype(frames.dtype) / 127.5 - 1.0 if frames.dtype != np.uint8 else f8)
+            frames = np.stack(out)
+        return frames
+
+
+def create_text_guardrail_runner(config: GuardrailConfig = GuardrailConfig()) -> Callable[[str], bool]:
+    runner = GuardrailRunner(config)
+    return runner.run_text_guardrail
+
+
+def create_video_guardrail_runner(config: GuardrailConfig = GuardrailConfig()):
+    runner = GuardrailRunner(config)
+    return runner.run_video_guardrail

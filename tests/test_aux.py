@@ -1,0 +1,142 @@
+"""Aux subsystem tests: guardrails, checkpoint DB, callbacks, data loaders,
+profiling timers."""
+
+import io
+import os
+import tarfile
+import time
+
+import numpy as np
+import pytest
+
+from cosmos_predict2_tpu.callbacks.callbacks import HeartBeat, StragglerDetection, basic_callbacks
+from cosmos_predict2_tpu.data.loaders import (
+    CachedReplayDataLoader,
+    IterativeJointDataLoader,
+    OperationWatchdog,
+    ShardedTarDataset,
+)
+from cosmos_predict2_tpu.utils.checkpoint_db import get_checkpoint_by_uuid, list_checkpoints
+from cosmos_predict2_tpu.utils.guardrails import (
+    BlocklistChecker,
+    GuardrailConfig,
+    GuardrailRunner,
+    pixelate_region,
+)
+from cosmos_predict2_tpu.utils.profiling import TrainingTimer
+
+
+@pytest.mark.level(0)
+def test_blocklist():
+    checker = BlocklistChecker(("gore", "explosions"))
+    assert checker.is_safe("a robot pouring coffee")
+    assert not checker.is_safe("extreme GORE footage")
+    # lemma-lite: plural/verb forms of blocked words are caught
+    assert not checker.is_safe("massive explosion scene")
+
+
+@pytest.mark.level(0)
+def test_guardrail_runner_hooks():
+    cfg = GuardrailConfig(llm_classifier=lambda p: "evil" not in p)
+    runner = GuardrailRunner(cfg)
+    assert runner.run_text_guardrail("nice prompt")
+    assert not runner.run_text_guardrail("evil prompt")
+    frames = np.zeros((2, 16, 16, 3), dtype=np.uint8)
+    out = runner.run_video_guardrail(frames)
+    assert out is not None and out.shape == frames.shape
+    runner2 = GuardrailRunner(GuardrailConfig(video_classifier=lambda f: False))
+    assert runner2.run_video_guardrail(frames) is None
+
+
+@pytest.mark.level(0)
+def test_pixelate():
+    frame = np.arange(32 * 32 * 3, dtype=np.uint8).reshape(32, 32, 3)
+    out = pixelate_region(frame, (4, 4, 20, 20), factor=4)
+    assert out.shape == frame.shape
+    assert not np.array_equal(out[4:20, 4:20], frame[4:20, 4:20])
+    np.testing.assert_array_equal(out[:4], frame[:4])
+
+
+@pytest.mark.level(0)
+def test_checkpoint_db():
+    entry = get_checkpoint_by_uuid("cosmos_predict2.5_2b_base")
+    assert entry.experiment == "predict2_video2world_2b_rectified_flow"
+    assert entry.uuid == "d20b7120-df3e-4911-919d-db593e1d2dcf"
+    assert len(list_checkpoints()) >= 4
+
+
+@pytest.mark.level(0)
+def test_joint_loader_interleave():
+    a = iter(lambda: {"x": 1}, None)
+    b = iter(lambda: {"x": 2}, None)
+    joint = IterativeJointDataLoader({"image": (a, 1), "video": (b, 2)})
+    names = [batch["dataset_name"] for batch, _ in zip(joint, range(6))]
+    assert names == ["image", "video", "video"] * 2
+
+
+@pytest.mark.level(0)
+def test_cached_replay():
+    src = iter(range(10))
+    loader = CachedReplayDataLoader(src, duplicate_batches=3)
+    got = [x for x, _ in zip(loader, range(6))]
+    assert got == [0, 0, 0, 1, 1, 1]
+    loader.close()
+
+
+@pytest.mark.level(0)
+def test_sharded_tar_dataset(tmp_path):
+    shard = tmp_path / "shard_000.tar"
+    with tarfile.open(shard, "w") as tar:
+        for i in range(3):
+            data = io.BytesIO()
+            np.save(data, np.full((2,), i))
+            info = tarfile.TarInfo(f"{i:04d}.npy")
+            info.size = len(data.getvalue())
+            data.seek(0)
+            tar.addfile(info, data)
+            txt = f"caption {i}".encode()
+            info = tarfile.TarInfo(f"{i:04d}.txt")
+            info.size = len(txt)
+            tar.addfile(info, io.BytesIO(txt))
+    ds = ShardedTarDataset([str(shard)], shuffle_seed=None)
+    samples = [s for s, _ in zip(ds, range(3))]
+    assert samples[0]["txt"] == "caption 0"
+    np.testing.assert_array_equal(samples[2]["npy"], [2, 2])
+    # host sharding: 2 hosts, second host gets no shard
+    ds2 = ShardedTarDataset([str(shard)], process_index=1, process_count=2)
+    assert list(ds2) == []
+
+
+@pytest.mark.level(0)
+def test_straggler_detection_raises():
+    cb = StragglerDetection(max_ratio=1.5, threshold_count=2, enabled=True)
+    # seed the window with fast steps
+    for _ in range(12):
+        cb.on_training_step_start(None, None, None, 0)
+        cb.window.append(0.01)
+    with pytest.raises(RuntimeError, match="straggler"):
+        for _ in range(3):
+            cb.on_training_step_start(None, None, None, 0)
+            time.sleep(0.05)
+            cb.on_training_step_end(None, None, {}, 0)
+
+
+@pytest.mark.level(0)
+def test_heartbeat_and_timer(tmp_path):
+    hb = HeartBeat(path=str(tmp_path / "hb.json"), every_n=1)
+    hb.on_training_step_end(None, None, {}, 1)
+    assert os.path.exists(tmp_path / "hb.json")
+
+    timer = TrainingTimer()
+    with timer("forward"):
+        time.sleep(0.01)
+    assert timer.summary()["forward"] >= 0.01
+    assert len(basic_callbacks()) == 4
+
+
+@pytest.mark.level(0)
+def test_watchdog_beat():
+    wd = OperationWatchdog(warn_after_s=100, poll_s=0.1)
+    wd.beat("dataloading")
+    assert wd._operation == "dataloading"
+    wd.close()
