@@ -62,6 +62,11 @@ class DiTConfig:
     extra_per_block_abs_pos_emb: bool = False
     min_fps: int = 1
     max_fps: int = 30
+    # --- interactive / causal (reference interactive/networks/dit_causal.py) ---
+    # temporal block-causal self-attention: frame t attends frames <= t
+    # (grouped by num_frame_per_block); enables KV-cache streaming decode
+    temporal_causal: bool = False
+    num_frame_per_block: int = 1
     # --- multiview (reference predict2_multiview/networks/multiview_dit.py) ---
     # n_views > 1: input latent T axis is (V Tv) view-major; RoPE repeats
     # per view; cross-attention attends each view to its own caption slice.
@@ -157,9 +162,14 @@ class Attention(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     backend: Optional[str] = None
     cp_axis: Optional[str] = None
+    frame_group: int = 0  # >0: frame-block causal self-attention
 
     @nn.compact
-    def __call__(self, x, context=None, rope_angles=None):
+    def __call__(self, x, context=None, rope_angles=None, kv_cache=None):
+        """kv_cache (self-attn streaming decode): dict with
+        k/v (B, S_max, H, D) ring buffers and ``len`` (filled tokens).
+        Returns (out, new_cache) when kv_cache is given, else out.
+        """
         is_selfattn = context is None
         inner = self.n_heads * self.head_dim
         ctx_dim = self.query_dim if self.context_dim is None else self.context_dim
@@ -183,16 +193,39 @@ class Attention(nn.Module):
             q = apply_rope(q, rope_angles)
             k = apply_rope(k, rope_angles)
 
-        if self.cp_axis is not None and is_selfattn:
+        new_cache = None
+        if kv_cache is not None:
+            assert is_selfattn, "kv cache only applies to self-attention"
+            s_new = k.shape[1]
+            k_buf = jax.lax.dynamic_update_slice(kv_cache["k"], k.astype(kv_cache["k"].dtype), (0, kv_cache["len"], 0, 0))
+            v_buf = jax.lax.dynamic_update_slice(kv_cache["v"], v.astype(kv_cache["v"].dtype), (0, kv_cache["len"], 0, 0))
+            new_cache = {"k": k_buf, "v": v_buf, "len": kv_cache["len"] + s_new}
+            # masked attention over the buffer: only filled positions visible
+            d = self.head_dim
+            scale = 1.0 / np.sqrt(d)
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k_buf, preferred_element_type=jnp.float32) * scale
+            visible = jnp.arange(k_buf.shape[1])[None, None, None, :] < new_cache["len"]
+            logits = jnp.where(visible, logits, -1e30)
+            probs = jax.nn.softmax(logits, axis=-1)
+            out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v_buf, preferred_element_type=jnp.float32)
+            out = out.astype(q.dtype)
+        elif self.cp_axis is not None and is_selfattn:
             from cosmos_predict2_tpu.parallel.cp import ulysses_attention
 
-            out = ulysses_attention(q, k, v, axis_name=self.cp_axis, backend=self.backend)
+            out = ulysses_attention(
+                q, k, v, axis_name=self.cp_axis, backend=self.backend, frame_group=self.frame_group
+            )
         else:
-            out = dot_product_attention(q, k, v, backend=self.backend)
+            out = dot_product_attention(
+                q, k, v, backend=self.backend, frame_group=self.frame_group if is_selfattn else 0
+            )
         out = out.reshape(out.shape[:-2] + (inner,))
 
         std_o = 1.0 / np.sqrt(inner)
-        return Dense(self.query_dim, kernel_init=trunc_normal_init(std_o), dtype=self.dtype, name="output_proj")(out)
+        out = Dense(self.query_dim, kernel_init=trunc_normal_init(std_o), dtype=self.dtype, name="output_proj")(out)
+        if kv_cache is not None:
+            return out, new_cache
+        return out
 
 
 class GPT2FeedForward(nn.Module):
@@ -243,7 +276,7 @@ class Block(nn.Module):
     config: DiTConfig
 
     @nn.compact
-    def __call__(self, x_B_T_H_W_D, emb_B_T_D, crossattn_emb, rope_angles, adaln_lora_B_T_3D):
+    def __call__(self, x_B_T_H_W_D, emb_B_T_D, crossattn_emb, rope_angles, adaln_lora_B_T_3D, kv_cache=None):
         cfg = self.config
         d = cfg.model_channels
 
@@ -266,10 +299,16 @@ class Block(nn.Module):
         shift_sa, scale_sa, gate_sa = mod("adaln_modulation_self_attn")
         normed = modulated(x_B_T_H_W_D, shift_sa, scale_sa)
         attn_in = normed.reshape(B, T * H * W, D)
-        attn_out = Attention(
+        frame_group = cfg.num_frame_per_block * H * W if cfg.temporal_causal else 0
+        self_attn = Attention(
             d, None, cfg.num_heads, cfg.head_dim, dtype=compute_dtype,
-            backend=cfg.atten_backend, cp_axis=cfg.cp_axis, name="self_attn",
-        )(attn_in, rope_angles=rope_angles)
+            backend=cfg.atten_backend, cp_axis=cfg.cp_axis, frame_group=frame_group, name="self_attn",
+        )
+        new_cache = None
+        if kv_cache is not None:
+            attn_out, new_cache = self_attn(attn_in, rope_angles=rope_angles, kv_cache=kv_cache)
+        else:
+            attn_out = self_attn(attn_in, rope_angles=rope_angles)
         x_B_T_H_W_D = x_B_T_H_W_D + gate_sa.astype(x_B_T_H_W_D.dtype) * attn_out.reshape(B, T, H, W, D).astype(x_B_T_H_W_D.dtype)
 
         # cross attention (multiview: each view attends its own caption —
@@ -298,6 +337,8 @@ class Block(nn.Module):
         normed = modulated(x_B_T_H_W_D, shift_mlp, scale_mlp)
         mlp_out = GPT2FeedForward(d, int(d * cfg.mlp_ratio), dtype=compute_dtype, name="mlp")(normed)
         x_B_T_H_W_D = x_B_T_H_W_D + gate_mlp.astype(x_B_T_H_W_D.dtype) * mlp_out.astype(x_B_T_H_W_D.dtype)
+        if kv_cache is not None:
+            return x_B_T_H_W_D, new_cache
         return x_B_T_H_W_D
 
 
@@ -387,6 +428,8 @@ class MiniTrainDIT(nn.Module):
         condition_mask: Optional[jax.Array] = None,  # (B, 1, T, H, W)
         action: Optional[jax.Array] = None,  # (B, T_act, action_dim)
         view_indices_B_T: Optional[jax.Array] = None,  # (B, V*Tv) ints
+        kv_caches: Optional[list] = None,  # streaming decode: one per block
+        t_start: jax.Array | int = 0,  # absolute latent-frame offset (decode)
     ) -> jax.Array:
         cfg = self.config
         B, C, T, H, W = x_B_C_T_H_W.shape
@@ -451,7 +494,7 @@ class MiniTrainDIT(nn.Module):
             per_view = rope_angles_3d(cfg.rope_spec, Tt // cfg.n_views, Hp, Wp, fps=fps)
             rope_angles = jnp.tile(per_view, (cfg.n_views, 1))
         else:
-            rope_angles = rope_angles_3d(cfg.rope_spec, Tt, Hp, Wp, fps=fps)
+            rope_angles = rope_angles_3d(cfg.rope_spec, Tt, Hp, Wp, fps=fps, t_start=t_start)
 
         # ---- timestep embedding ----
         if timesteps_B_T.ndim == 1:
@@ -490,10 +533,16 @@ class MiniTrainDIT(nn.Module):
 
         # ---- blocks ----
         block_cls = Block
-        if cfg.remat == "block":
+        if cfg.remat == "block" and kv_caches is None:
             block_cls = nn.remat(Block, static_argnums=())
+        new_caches = [] if kv_caches is not None else None
         for i in range(cfg.num_blocks):
-            x = block_cls(cfg, name=f"blocks_{i}")(x, emb_B_T_D, crossattn_emb, rope_angles, adaln_lora_B_T_3D)
+            block = block_cls(cfg, name=f"blocks_{i}")
+            if kv_caches is not None:
+                x, cache_i = block(x, emb_B_T_D, crossattn_emb, rope_angles, adaln_lora_B_T_3D, kv_cache=kv_caches[i])
+                new_caches.append(cache_i)
+            else:
+                x = block(x, emb_B_T_D, crossattn_emb, rope_angles, adaln_lora_B_T_3D)
 
         # ---- final layer + unpatchify ----
         x = FinalLayer(cfg, name="final_layer")(x, emb_B_T_D, adaln_lora_B_T_3D)
@@ -501,6 +550,8 @@ class MiniTrainDIT(nn.Module):
         x = x.reshape(B, Tt, Hp, Wp, ps, ps, pt, cfg.out_channels)
         x = x.transpose(0, 7, 1, 6, 2, 4, 3, 5)  # b c t pt h p1 w p2
         x = x.reshape(B, cfg.out_channels, Tt * pt, Hp * ps, Wp * ps)
+        if kv_caches is not None:
+            return x, new_caches
         return x
 
 

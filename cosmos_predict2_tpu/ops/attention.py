@@ -20,15 +20,22 @@ import jax.numpy as jnp
 _FLASH_MIN_SEQ = 1024
 
 
-def reference_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
+def reference_attention(
+    q: jax.Array, k: jax.Array, v: jax.Array, frame_group: int = 0
+) -> jax.Array:
     """Plain attention with fp32 softmax. q,k,v: (B, S, H, D) -> (B, Sq, H, D).
 
     Matches torch F.scaled_dot_product_attention numerics (scale 1/sqrt(D),
-    softmax in fp32).
+    softmax in fp32). ``frame_group`` > 0 applies frame-block causal
+    masking: key i visible to query j iff i//g <= j//g.
     """
     d = q.shape[-1]
     scale = 1.0 / (d**0.5)
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
+    if frame_group > 0:
+        row = jnp.arange(q.shape[1])[:, None] // frame_group
+        col = jnp.arange(k.shape[1])[None, :] // frame_group
+        logits = jnp.where(col <= row, logits, -1e30)
     probs = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v, preferred_element_type=jnp.float32)
     return out.astype(q.dtype)
@@ -39,10 +46,12 @@ def dot_product_attention(
     k: jax.Array,
     v: jax.Array,
     backend: str | None = None,
+    frame_group: int = 0,
 ) -> jax.Array:
     """Dispatching attention entry point. q,k,v: (B, S, H, D).
 
     backend: None (auto), "flash" (force Pallas), "reference" (force einsum).
+    frame_group > 0 enables frame-block causal masking.
     """
     if backend is None:
         on_tpu = jax.default_backend() == "tpu"
@@ -51,7 +60,7 @@ def dot_product_attention(
     if backend == "flash":
         from cosmos_predict2_tpu.ops.flash_attention import flash_attention
 
-        return flash_attention(q, k, v)
+        return flash_attention(q, k, v, frame_group=frame_group)
     if backend == "reference":
-        return reference_attention(q, k, v)
+        return reference_attention(q, k, v, frame_group=frame_group)
     raise ValueError(f"Unknown attention backend: {backend}")

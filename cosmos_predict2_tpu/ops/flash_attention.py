@@ -51,7 +51,19 @@ def _pad_seq(x: jax.Array, block: int, axis: int) -> jax.Array:
 # ------------------------------- forward -------------------------------
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc, m_scr, l_scr, *, scale: float, kv_len: int, block_kv: int):
+def _frame_block_mask(s_shape, iq, ik, block_q, block_kv, frame_group: int):
+    """Additive-style boolean mask for frame-block causality: token j may
+    attend token i iff (i // frame_group) <= (j // frame_group)."""
+    row = iq * block_q + jax.lax.broadcasted_iota(jnp.int32, s_shape, 0)
+    col = ik * block_kv + jax.lax.broadcasted_iota(jnp.int32, s_shape, 1)
+    return (col // frame_group) <= (row // frame_group)
+
+
+def _fwd_kernel(
+    q_ref, k_ref, v_ref, o_ref, lse_ref, acc, m_scr, l_scr,
+    *, scale: float, kv_len: int, block_q: int, block_kv: int, frame_group: int,
+):
+    iq = pl.program_id(2)
     ik = pl.program_id(3)
     n_kv = pl.num_programs(3)
 
@@ -61,32 +73,45 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc, m_scr, l_scr, *, scale
         m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
         l_scr[:] = jnp.zeros_like(l_scr)
 
-    q = q_ref[0, 0]  # (bq, d)
-    k = k_ref[0, 0]  # (bk, d)
-    v = v_ref[0, 0]  # (bk, d)
+    # frame-causal: skip kv blocks that lie entirely after the last frame
+    # group visible to any row of this q block.
+    if frame_group > 0:
+        q_last = iq * block_q + block_q - 1
+        max_visible = (q_last // frame_group) * frame_group + frame_group  # exclusive
+        run_block = (ik * block_kv) < max_visible
+    else:
+        run_block = True
 
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (bq, bk)
-    s = s * scale
+    @pl.when(run_block)
+    def _compute():
+        q = q_ref[0, 0]  # (bq, d)
+        k = k_ref[0, 0]  # (bk, d)
+        v = v_ref[0, 0]  # (bk, d)
 
-    if kv_len % block_kv != 0:
-        col = ik * block_kv + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(col < kv_len, s, _NEG_INF)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (bq, bk)
+        s = s * scale
 
-    m_prev = m_scr[:, :1]  # (bq, 1)
-    m_cur = jnp.max(s, axis=1, keepdims=True)
-    m_new = jnp.maximum(m_prev, m_cur)
-    p = jnp.exp(s - m_new)  # (bq, bk) f32
-    corr = jnp.exp(m_prev - m_new)  # (bq, 1)
-    l_new = l_scr[:, :1] * corr + jnp.sum(p, axis=1, keepdims=True)
+        if kv_len % block_kv != 0:
+            col = ik * block_kv + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < kv_len, s, _NEG_INF)
+        if frame_group > 0:
+            s = jnp.where(_frame_block_mask(s.shape, iq, ik, block_q, block_kv, frame_group), s, _NEG_INF)
 
-    pv = jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (bq, d)
-    acc[:] = acc[:] * corr + pv
-    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
-    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+        m_prev = m_scr[:, :1]  # (bq, 1)
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)  # (bq, bk) f32
+        corr = jnp.exp(m_prev - m_new)  # (bq, 1)
+        l_new = l_scr[:, :1] * corr + jnp.sum(p, axis=1, keepdims=True)
+
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (bq, d)
+        acc[:] = acc[:] * corr + pv
+        m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+        l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
 
     @pl.when(ik == n_kv - 1)
     def _finalize():
@@ -96,7 +121,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc, m_scr, l_scr, *, scale
 
 
 def _fwd(
-    q: jax.Array, k: jax.Array, v: jax.Array, block_q: int, block_kv: int
+    q: jax.Array, k: jax.Array, v: jax.Array, block_q: int, block_kv: int, frame_group: int = 0
 ) -> tuple[jax.Array, jax.Array]:
     """q,k,v: (B, H, S, D) -> (out (B,H,Sq,D), lse (B,H,Sq))."""
     b, h, sq, d = q.shape
@@ -112,7 +137,9 @@ def _fwd(
     n_q, n_kv = sq_p // block_q, skv_p // block_kv
 
     grid = (b, h, n_q, n_kv)
-    kernel = functools.partial(_fwd_kernel, scale=scale, kv_len=skv, block_kv=block_kv)
+    kernel = functools.partial(
+        _fwd_kernel, scale=scale, kv_len=skv, block_q=block_q, block_kv=block_kv, frame_group=frame_group
+    )
     out, lse = pl.pallas_call(
         kernel,
         grid=grid,
@@ -153,7 +180,11 @@ def out_sz(b, h, s, d):
 # ------------------------------- backward -------------------------------
 
 
-def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_acc, *, scale, kv_len, block_kv):
+def _dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_acc,
+    *, scale, kv_len, block_q, block_kv, frame_group,
+):
+    iq = pl.program_id(2)
     ik = pl.program_id(3)
     n_kv = pl.num_programs(3)
 
@@ -161,23 +192,34 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_acc, 
     def _init():
         dq_acc[:] = jnp.zeros_like(dq_acc)
 
-    q = q_ref[0, 0]
-    k = k_ref[0, 0]
-    v = v_ref[0, 0]
-    do = do_ref[0, 0]
-    lse = lse_ref[0, 0]  # (1, bq)
-    delta = delta_ref[0, 0]  # (1, bq)
+    if frame_group > 0:
+        q_last = iq * block_q + block_q - 1
+        max_visible = (q_last // frame_group) * frame_group + frame_group
+        run_block = (ik * block_kv) < max_visible
+    else:
+        run_block = True
 
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32) * scale
-    if kv_len % block_kv != 0:
-        col = ik * block_kv + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(col < kv_len, s, _NEG_INF)
-    p = jnp.exp(s - lse[0][:, None])  # (bq, bk)
-    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-    ds = p * (dp - delta[0][:, None])  # (bq, bk) f32
-    dq_acc[:] += jax.lax.dot_general(
-        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
+    @pl.when(run_block)
+    def _compute():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
+        lse = lse_ref[0, 0]  # (1, bq)
+        delta = delta_ref[0, 0]  # (1, bq)
+
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32) * scale
+        if kv_len % block_kv != 0:
+            col = ik * block_kv + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < kv_len, s, _NEG_INF)
+        if frame_group > 0:
+            s = jnp.where(_frame_block_mask(s.shape, iq, ik, block_q, block_kv, frame_group), s, _NEG_INF)
+        p = jnp.exp(s - lse[0][:, None])  # (bq, bk)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        ds = p * (dp - delta[0][:, None])  # (bq, bk) f32
+        dq_acc[:] += jax.lax.dot_general(
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
 
     @pl.when(ik == n_kv - 1)
     def _finalize():
@@ -185,8 +227,10 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_acc, 
 
 
 def _dkv_kernel(
-    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref, dk_acc, dv_acc, *, scale, kv_len, block_kv
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref, dk_acc, dv_acc,
+    *, scale, kv_len, block_q, block_kv, frame_group,
 ):
+    ikv = pl.program_id(2)
     iq = pl.program_id(3)
     n_q = pl.num_programs(3)
 
@@ -195,27 +239,41 @@ def _dkv_kernel(
         dk_acc[:] = jnp.zeros_like(dk_acc)
         dv_acc[:] = jnp.zeros_like(dv_acc)
 
-    q = q_ref[0, 0]
-    k = k_ref[0, 0]
-    v = v_ref[0, 0]
-    do = do_ref[0, 0]
-    lse = lse_ref[0, 0]
-    delta = delta_ref[0, 0]
+    # frame-causal: q blocks entirely before this kv block see none of it
+    if frame_group > 0:
+        kv_first = ikv * block_kv
+        min_q = (kv_first // frame_group) * frame_group  # first q that can see kv_first
+        run_block = (iq * block_q + block_q - 1) >= min_q
+    else:
+        run_block = True
 
-    # s^T computed directly as (bk, bq)
-    st = jax.lax.dot_general(k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32) * scale
-    if kv_len % block_kv != 0:
-        row = pl.program_id(2) * block_kv + jax.lax.broadcasted_iota(jnp.int32, st.shape, 0)
-        st = jnp.where(row < kv_len, st, _NEG_INF)
-    pt = jnp.exp(st - lse[0][None, :])  # (bk, bq)
-    dv_acc[:] += jax.lax.dot_general(
-        pt.astype(do.dtype), do, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    dpt = jax.lax.dot_general(v, do, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)  # (bk, bq)
-    dst = pt * (dpt - delta[0][None, :])
-    dk_acc[:] += jax.lax.dot_general(
-        dst.astype(q.dtype), q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
+    @pl.when(run_block)
+    def _compute():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
+        lse = lse_ref[0, 0]
+        delta = delta_ref[0, 0]
+
+        # s^T computed directly as (bk, bq)
+        st = jax.lax.dot_general(k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32) * scale
+        if kv_len % block_kv != 0:
+            row = ikv * block_kv + jax.lax.broadcasted_iota(jnp.int32, st.shape, 0)
+            st = jnp.where(row < kv_len, st, _NEG_INF)
+        if frame_group > 0:
+            row = ikv * block_kv + jax.lax.broadcasted_iota(jnp.int32, st.shape, 0)  # kv idx
+            col = iq * block_q + jax.lax.broadcasted_iota(jnp.int32, st.shape, 1)  # q idx
+            st = jnp.where((row // frame_group) <= (col // frame_group), st, _NEG_INF)
+        pt = jnp.exp(st - lse[0][None, :])  # (bk, bq)
+        dv_acc[:] += jax.lax.dot_general(
+            pt.astype(do.dtype), do, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dpt = jax.lax.dot_general(v, do, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)  # (bk, bq)
+        dst = pt * (dpt - delta[0][None, :])
+        dk_acc[:] += jax.lax.dot_general(
+            dst.astype(q.dtype), q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
 
     @pl.when(iq == n_q - 1)
     def _finalize():
@@ -232,6 +290,7 @@ def _bwd(
     do: jax.Array,
     block_q: int,
     block_kv: int,
+    frame_group: int = 0,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     b, h, sq, d = q.shape
     skv = k.shape[2]
@@ -252,7 +311,9 @@ def _bwd(
     n_q, n_kv = sq_p // block_q, skv_p // block_kv
 
     dq = pl.pallas_call(
-        functools.partial(_dq_kernel, scale=scale, kv_len=skv, block_kv=block_kv),
+        functools.partial(
+            _dq_kernel, scale=scale, kv_len=skv, block_q=block_q, block_kv=block_kv, frame_group=frame_group
+        ),
         grid=(b, h, n_q, n_kv),
         in_specs=[
             pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, iq, ik: (b_, h_, iq, 0)),
@@ -271,7 +332,9 @@ def _bwd(
     )(qp, kp, vp, dop, lsep, deltap)
 
     dk, dv = pl.pallas_call(
-        functools.partial(_dkv_kernel, scale=scale, kv_len=skv, block_kv=block_kv),
+        functools.partial(
+            _dkv_kernel, scale=scale, kv_len=skv, block_q=block_q, block_kv=block_kv, frame_group=frame_group
+        ),
         grid=(b, h, n_kv, n_q),
         in_specs=[
             pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, ik, iq: (b_, h_, iq, 0)),
@@ -304,20 +367,20 @@ def _bwd(
 # ------------------------------- public API -------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _flash_bhsd(q, k, v, block_q=DEFAULT_BLOCK_Q, block_kv=DEFAULT_BLOCK_KV):
-    out, _ = _fwd(q, k, v, block_q, block_kv)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash_bhsd(q, k, v, block_q=DEFAULT_BLOCK_Q, block_kv=DEFAULT_BLOCK_KV, frame_group=0):
+    out, _ = _fwd(q, k, v, block_q, block_kv, frame_group)
     return out
 
 
-def _flash_bhsd_fwd(q, k, v, block_q, block_kv):
-    out, lse = _fwd(q, k, v, block_q, block_kv)
+def _flash_bhsd_fwd(q, k, v, block_q, block_kv, frame_group):
+    out, lse = _fwd(q, k, v, block_q, block_kv, frame_group)
     return out, (q, k, v, out, lse)
 
 
-def _flash_bhsd_bwd(block_q, block_kv, res, do):
+def _flash_bhsd_bwd(block_q, block_kv, frame_group, res, do):
     q, k, v, out, lse = res
-    dq, dk, dv = _bwd(q, k, v, out, lse, do, block_q, block_kv)
+    dq, dk, dv = _bwd(q, k, v, out, lse, do, block_q, block_kv, frame_group)
     return dq, dk, dv
 
 
@@ -330,10 +393,17 @@ def flash_attention(
     v: jax.Array,
     block_q: int = DEFAULT_BLOCK_Q,
     block_kv: int = DEFAULT_BLOCK_KV,
+    frame_group: int = 0,
 ) -> jax.Array:
-    """Flash attention in BSHD layout: q,k,v (B, S, H, D) -> (B, Sq, H, D)."""
+    """Flash attention in BSHD layout: q,k,v (B, S, H, D) -> (B, Sq, H, D).
+
+    frame_group > 0 enables frame-block causal masking (the interactive
+    CausalDIT mask, interactive/networks/blockmask.py:54-118): token j
+    attends token i iff i//frame_group <= j//frame_group. Fully-masked kv
+    tiles are skipped, halving compute for long causal sequences.
+    """
     qt = q.transpose(0, 2, 1, 3)
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
-    out = _flash_bhsd(qt, kt, vt, block_q, block_kv)
+    out = _flash_bhsd(qt, kt, vt, block_q, block_kv, frame_group)
     return out.transpose(0, 2, 1, 3)

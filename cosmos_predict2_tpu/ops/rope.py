@@ -54,6 +54,7 @@ def rope_angles_3d(
     H: int,
     W: int,
     fps: jax.Array | None = None,
+    t_start: jax.Array | int = 0,
 ) -> jax.Array:
     """Angle table of shape (T*H*W, head_dim).
 
@@ -70,7 +71,7 @@ def rope_angles_3d(
     w_freqs = jnp.asarray(_axis_freqs(dim_h, w_theta), dtype=jnp.float32)
     t_freqs = jnp.asarray(_axis_freqs(dim_t, t_theta), dtype=jnp.float32)
 
-    t_pos = jnp.arange(T, dtype=jnp.float32)
+    t_pos = jnp.arange(T, dtype=jnp.float32) + jnp.asarray(t_start, dtype=jnp.float32)
     if spec.enable_fps_modulation and fps is not None and T > 1:
         t_pos = t_pos / fps.reshape(())[None] * spec.base_fps
     h_pos = jnp.arange(H, dtype=jnp.float32)

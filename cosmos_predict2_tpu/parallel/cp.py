@@ -30,10 +30,11 @@ def ulysses_attention(
     v: jax.Array,
     axis_name: str = "cp",
     backend: Optional[str] = None,
+    frame_group: int = 0,
 ) -> jax.Array:
     """Sequence-parallel self-attention. q,k,v: (B, S, H, D) global view,
     sharded over S on ``axis_name``. Must run inside jit with an ambient
-    mesh (jax.sharding.use_mesh) that has ``axis_name``.
+    mesh (jax.set_mesh) that has ``axis_name``.
     """
 
     def inner(q, k, v):
@@ -46,7 +47,7 @@ def ulysses_attention(
             return jax.lax.all_to_all(t, axis_name, split_axis=1, concat_axis=2, tiled=True)
 
         ql, kl, vl = scatter_heads(q), scatter_heads(k), scatter_heads(v)
-        out = dot_product_attention(ql, kl, vl, backend=backend)
+        out = dot_product_attention(ql, kl, vl, backend=backend, frame_group=frame_group)
         return gather_heads(out)
 
     spec = P(None, axis_name, None, None)
