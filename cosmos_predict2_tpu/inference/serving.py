@@ -1,0 +1,137 @@
+"""Serving: HTTP front end + worker queue.
+
+Replaces the reference's Gradio multi-GPU serving stack
+(packages/cosmos-gradio/: ModelServer spawning one OS process per GPU with
+filesystem IPC + barrier, model_ipc/model_server.py:25-145) with the
+TPU-natural shape: ONE process already drives all local chips under SPMD,
+so serving is a single worker thread consuming a job queue behind a small
+stdlib HTTP server — no process orchestration or file IPC needed.
+
+Endpoints:
+  POST /generate   {"prompt": ..., "input_path": ..., ...InferenceArguments}
+                   -> {"job_id": ...}
+  GET  /status/<job_id>  -> {"status": queued|running|done|error, "output": path}
+  GET  /health     -> {"status": "ok", "devices": N}
+
+The worker runs jobs sequentially (the TPU is one big accelerator); batch
+grouping can be added by draining the queue.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import queue
+import threading
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import jax
+
+from cosmos_predict2_tpu.inference.api import Inference, InferenceArguments
+from cosmos_predict2_tpu.utils import log
+
+
+@dataclasses.dataclass
+class Job:
+    job_id: str
+    args: InferenceArguments
+    status: str = "queued"
+    output: Optional[str] = None
+    error: Optional[str] = None
+
+
+class ModelWorker:
+    """Single background worker draining the job queue through Inference."""
+
+    def __init__(self, inference: Inference):
+        self.inference = inference
+        self.jobs: dict[str, Job] = {}
+        self.queue: queue.Queue[Job] = queue.Queue()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def submit(self, args: InferenceArguments) -> str:
+        job = Job(job_id=uuid.uuid4().hex[:12], args=args)
+        self.jobs[job.job_id] = job
+        self.queue.put(job)
+        return job.job_id
+
+    def _run(self):
+        while True:
+            job = self.queue.get()
+            job.status = "running"
+            try:
+                outputs = self.inference.generate([job.args])
+                if not outputs:
+                    raise RuntimeError("generation produced no output (guardrail or failure)")
+                job.output = outputs[0]
+                job.status = "done"
+            except Exception as e:
+                job.status = "error"
+                job.error = str(e)
+                log.error(f"job {job.job_id} failed: {e}")
+
+
+def make_handler(worker: ModelWorker):
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/health":
+                self._send(200, {"status": "ok", "devices": len(jax.devices())})
+            elif self.path.startswith("/status/"):
+                job = worker.jobs.get(self.path.rsplit("/", 1)[-1])
+                if job is None:
+                    self._send(404, {"error": "unknown job"})
+                else:
+                    self._send(200, {"status": job.status, "output": job.output, "error": job.error})
+            else:
+                self._send(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/generate":
+                self._send(404, {"error": "unknown path"})
+                return
+            length = int(self.headers.get("Content-Length", 0))
+            try:
+                payload = json.loads(self.rfile.read(length) or b"{}")
+                known = {f.name for f in dataclasses.fields(InferenceArguments)}
+                args = InferenceArguments(**{k: v for k, v in payload.items() if k in known})
+            except (json.JSONDecodeError, TypeError) as e:
+                self._send(400, {"error": f"bad request: {e}"})
+                return
+            self._send(200, {"job_id": worker.submit(args)})
+
+        def log_message(self, fmt, *args):  # route to our logger
+            log.debug("http: " + fmt % args)
+
+    return Handler
+
+
+class ModelServer:
+    """HTTP server + worker (reference GradioApp/ModelServer equivalent)."""
+
+    def __init__(self, inference: Inference, host: str = "127.0.0.1", port: int = 8080):
+        self.worker = ModelWorker(inference)
+        self.httpd = ThreadingHTTPServer((host, port), make_handler(self.worker))
+        self.port = self.httpd.server_address[1]
+
+    def serve_forever(self):
+        log.info(f"serving on port {self.port}")
+        self.httpd.serve_forever()
+
+    def serve_background(self) -> threading.Thread:
+        thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)
+        thread.start()
+        return thread
+
+    def shutdown(self):
+        self.httpd.shutdown()

@@ -62,6 +62,11 @@ class DiTConfig:
     extra_per_block_abs_pos_emb: bool = False
     min_fps: int = 1
     max_fps: int = 30
+    # --- camera conditioning (reference camera/networks/minimal_v4_dit_camera_conditioned.py) ---
+    # per-block bias-free linear projecting a per-token camera embedding
+    # (Plücker-ray style, dim camera_dim) added to the normalized hidden
+    # states before self-attention (:1080,1189-1195)
+    camera_dim: Optional[int] = None
     # --- interactive / causal (reference interactive/networks/dit_causal.py) ---
     # temporal block-causal self-attention: frame t attends frames <= t
     # (grouped by num_frame_per_block); enables KV-cache streaming decode
@@ -276,7 +281,9 @@ class Block(nn.Module):
     config: DiTConfig
 
     @nn.compact
-    def __call__(self, x_B_T_H_W_D, emb_B_T_D, crossattn_emb, rope_angles, adaln_lora_B_T_3D, kv_cache=None):
+    def __call__(
+        self, x_B_T_H_W_D, emb_B_T_D, crossattn_emb, rope_angles, adaln_lora_B_T_3D, kv_cache=None, camera=None
+    ):
         cfg = self.config
         d = cfg.model_channels
 
@@ -298,6 +305,11 @@ class Block(nn.Module):
         # self attention
         shift_sa, scale_sa, gate_sa = mod("adaln_modulation_self_attn")
         normed = modulated(x_B_T_H_W_D, shift_sa, scale_sa)
+        if cfg.camera_dim is not None and camera is not None:
+            cam_emb = Dense(
+                d, kernel_init=trunc_normal_init(1.0 / np.sqrt(cfg.camera_dim)), dtype=compute_dtype, name="cam_encoder"
+            )(camera.astype(compute_dtype))
+            normed = normed + cam_emb.astype(normed.dtype)
         attn_in = normed.reshape(B, T * H * W, D)
         frame_group = cfg.num_frame_per_block * H * W if cfg.temporal_causal else 0
         self_attn = Attention(
