@@ -62,6 +62,11 @@ class DiTConfig:
     extra_per_block_abs_pos_emb: bool = False
     min_fps: int = 1
     max_fps: int = 30
+    # --- sparse (neighborhood) attention (reference minimal_v4_dit.py:1743-1813) ---
+    # n_dense_blocks = -1: all dense; 0: all sparse; k>0: k blocks stay
+    # dense, evenly distributed; sparse blocks use the NA window below.
+    n_dense_blocks: int = -1
+    natten_window: tuple[int, int, int] = (-1, 12, 24)
     # --- camera conditioning (reference camera/networks/minimal_v4_dit_camera_conditioned.py) ---
     # per-block bias-free linear projecting a per-token camera embedding
     # (Plücker-ray style, dim camera_dim) added to the normalized hidden
@@ -168,6 +173,8 @@ class Attention(nn.Module):
     backend: Optional[str] = None
     cp_axis: Optional[str] = None
     frame_group: int = 0  # >0: frame-block causal self-attention
+    na_video_size: Optional[tuple[int, int, int]] = None  # sparse NA when set
+    na_window: tuple[int, int, int] = (-1, -1, -1)
 
     @nn.compact
     def __call__(self, x, context=None, rope_angles=None, kv_cache=None):
@@ -214,6 +221,18 @@ class Attention(nn.Module):
             probs = jax.nn.softmax(logits, axis=-1)
             out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v_buf, preferred_element_type=jnp.float32)
             out = out.astype(q.dtype)
+        elif self.na_video_size is not None and is_selfattn:
+            from cosmos_predict2_tpu.ops.neighborhood_attention import (
+                VideoSize,
+                neighborhood_attention,
+                neighborhood_attention_reference,
+            )
+
+            size = VideoSize(*self.na_video_size)
+            if jax.default_backend() == "tpu":
+                out = neighborhood_attention(q, k, v, size, self.na_window)
+            else:
+                out = neighborhood_attention_reference(q, k, v, size, self.na_window)
         elif self.cp_axis is not None and is_selfattn:
             from cosmos_predict2_tpu.parallel.cp import ulysses_attention
 
@@ -279,6 +298,7 @@ class Block(nn.Module):
     """
 
     config: DiTConfig
+    use_sparse_attn: bool = False
 
     @nn.compact
     def __call__(
@@ -314,7 +334,9 @@ class Block(nn.Module):
         frame_group = cfg.num_frame_per_block * H * W if cfg.temporal_causal else 0
         self_attn = Attention(
             d, None, cfg.num_heads, cfg.head_dim, dtype=compute_dtype,
-            backend=cfg.atten_backend, cp_axis=cfg.cp_axis, frame_group=frame_group, name="self_attn",
+            backend=cfg.atten_backend, cp_axis=cfg.cp_axis, frame_group=frame_group,
+            na_video_size=(T, H, W) if self.use_sparse_attn else None,
+            na_window=cfg.natten_window, name="self_attn",
         )
         new_cache = None
         if kv_cache is not None:
@@ -547,9 +569,21 @@ class MiniTrainDIT(nn.Module):
         block_cls = Block
         if cfg.remat == "block" and kv_caches is None:
             block_cls = nn.remat(Block, static_argnums=())
+        # sparse/dense interleave (reference replace_selfattn_op_with_sparse
+        # _attn_op, minimal_v4_dit.py:1785-1797): n_dense_blocks evenly spread
+        if cfg.n_dense_blocks == -1:
+            sparse = [False] * cfg.num_blocks
+        elif cfg.n_dense_blocks == 0:
+            sparse = [True] * cfg.num_blocks
+        elif cfg.n_dense_blocks == 1:
+            sparse = [i != cfg.num_blocks // 2 for i in range(cfg.num_blocks)]
+        else:
+            dense_idx = set(np.linspace(0, cfg.num_blocks - 1, cfg.n_dense_blocks, dtype=int).tolist())
+            sparse = [i not in dense_idx for i in range(cfg.num_blocks)]
+
         new_caches = [] if kv_caches is not None else None
         for i in range(cfg.num_blocks):
-            block = block_cls(cfg, name=f"blocks_{i}")
+            block = block_cls(cfg, use_sparse_attn=sparse[i], name=f"blocks_{i}")
             if kv_caches is not None:
                 x, cache_i = block(x, emb_B_T_D, crossattn_emb, rope_angles, adaln_lora_B_T_3D, kv_cache=kv_caches[i])
                 new_caches.append(cache_i)

@@ -1,0 +1,64 @@
+"""Neighborhood (sparse) attention tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from cosmos_predict2_tpu.ops.attention import reference_attention
+from cosmos_predict2_tpu.ops.neighborhood_attention import (
+    VideoSize,
+    neighborhood_attention,
+    neighborhood_attention_reference,
+)
+
+
+def _inputs(size, heads=2, dim=16, seed=0):
+    S = size.T * size.H * size.W
+    keys = jax.random.split(jax.random.PRNGKey(seed), 3)
+    return tuple(jax.random.normal(k, (1, S, heads, dim)) for k in keys)
+
+
+@pytest.mark.level(0)
+def test_full_window_equals_dense():
+    size = VideoSize(2, 3, 4)
+    q, k, v = _inputs(size)
+    out = neighborhood_attention_reference(q, k, v, size, (-1, -1, -1))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(reference_attention(q, k, v)), atol=1e-5)
+
+
+@pytest.mark.level(0)
+def test_window_locality():
+    """With window (1, -1, -1): tokens only attend within their own frame."""
+    size = VideoSize(3, 2, 2)
+    q, k, v = _inputs(size)
+    out = neighborhood_attention_reference(q, k, v, size, (1, -1, -1))
+    hw = 4
+    for t in range(3):
+        per_frame = reference_attention(q[:, t * hw : (t + 1) * hw], k[:, t * hw : (t + 1) * hw], v[:, t * hw : (t + 1) * hw])
+        np.testing.assert_allclose(np.asarray(out[:, t * hw : (t + 1) * hw]), np.asarray(per_frame), atol=1e-5)
+
+
+@pytest.mark.level(0)
+def test_boundary_clamping_gives_constant_bandwidth():
+    """Every query sees exactly prod(window) keys (clamped NA semantics)."""
+    from cosmos_predict2_tpu.ops.neighborhood_attention import _na_mask
+
+    size = VideoSize(5, 4, 4)
+    S = 80
+    rows = jnp.arange(S)[:, None]
+    cols = jnp.arange(S)[None, :]
+    mask = _na_mask(rows, cols, size, (3, 3, 3))
+    counts = np.asarray(mask).sum(axis=1)
+    assert (counts == 27).all()
+
+
+@pytest.mark.level(1)
+def test_pallas_kernel_matches_reference_interpret():
+    size = VideoSize(4, 8, 8)  # S = 256
+    q, k, v = _inputs(size, heads=1, dim=128, seed=1)
+    with pltpu.force_tpu_interpret_mode():
+        out = neighborhood_attention(q, k, v, size, (3, 5, 5), block_q=128, block_kv=128)
+    ref = neighborhood_attention_reference(q, k, v, size, (3, 5, 5))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
