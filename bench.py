@@ -92,12 +92,18 @@ def main() -> None:
     h100_t_step = flops / (989e12 * 0.40)
     baseline_fps = FRAMES / (NUM_STEPS * h100_t_step)
 
+    # per-chip MFU against the chip's own bf16 peak (informational)
+    peaks = {"TPU v5 lite": 197e12, "TPU v5": 459e12, "TPU v4": 275e12, "TPU v6": 918e12}
+    kind = jax.devices()[0].device_kind
+    peak = next((v for k, v in peaks.items() if kind.startswith(k)), 197e12)
+    mfu = flops / t_step / peak
+
     print(
         json.dumps(
             {
                 "metric": "video2world_2b_dit_denoise_frames_per_sec_per_chip",
                 "value": round(frames_per_sec, 4),
-                "unit": "frames/s/chip (17f clip, 35-step CFG sampling, seq 8320)",
+                "unit": f"frames/s/chip (17f clip, 35-step CFG sampling, seq 8320; {mfu * 100:.1f}% MFU on {kind})",
                 "vs_baseline": round(frames_per_sec / baseline_fps, 4),
             }
         )

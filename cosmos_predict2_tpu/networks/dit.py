@@ -359,7 +359,7 @@ class Block(nn.Module):
             ctx = ctx.reshape(B, V, M, -1).transpose(1, 0, 2, 3).reshape(V * B, M, -1)
         attn_out = Attention(
             d, cfg.crossattn_emb_channels, cfg.num_heads, cfg.head_dim,
-            dtype=compute_dtype, backend="reference", name="cross_attn",
+            dtype=compute_dtype, backend=cfg.atten_backend, name="cross_attn",
         )(attn_in, context=ctx)
         if V > 1:
             L = (T // V) * H * W

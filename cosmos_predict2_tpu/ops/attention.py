@@ -55,7 +55,10 @@ def dot_product_attention(
     """
     if backend is None:
         on_tpu = jax.default_backend() == "tpu"
-        long_seq = q.shape[1] >= _FLASH_MIN_SEQ and k.shape[1] >= _FLASH_MIN_SEQ
+        # the q length drives the memory/compute blow-up of the dense path;
+        # short-kv cross-attention (512 text tokens) still wants the flash
+        # kernel to avoid materializing (B, H, Sq, Skv) fp32 logits in HBM.
+        long_seq = q.shape[1] >= _FLASH_MIN_SEQ and k.shape[1] >= 128
         backend = "flash" if (on_tpu and long_seq) else "reference"
     if backend == "flash":
         from cosmos_predict2_tpu.ops.flash_attention import flash_attention

@@ -25,8 +25,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BLOCK_Q = 512
-DEFAULT_BLOCK_KV = 512
+# swept on v5e at seq 8320 (see scripts_tpu_perf.py): 1024/1024 reaches
+# ~77 TF/s vs ~49 at 512/512; 2048/2048 overflows VMEM.
+DEFAULT_BLOCK_Q = 1024
+DEFAULT_BLOCK_KV = 1024
 _NEG_INF = -1e30
 
 

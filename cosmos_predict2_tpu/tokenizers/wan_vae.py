@@ -339,3 +339,8 @@ class WanVAE(nn.Module):
         """encode -> decode round trip (for init/testing)."""
         z = self.encode(x)
         return self.decode(z), z
+
+
+# Streaming (bounded-memory) encode/decode lives in wan_vae_streaming.py:
+# exact cache-carrying chunked processing equivalent to the reference's
+# feature-cache streaming (wan2pt1.py:504-592).

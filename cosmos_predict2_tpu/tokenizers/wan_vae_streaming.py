@@ -1,0 +1,294 @@
+"""Streaming (cache-carrying) Wan VAE encode/decode with bounded memory.
+
+Exact functional equivalent of the reference's feature-cache streaming
+(wan2pt1.py:504-592: encode in pixel chunks [1, 4, 4, ...], decode one
+latent frame at a time, each CausalConv3d carrying its last 2 input frames
+across chunks, stride-2 temporal downsample carrying 1 frame, temporal
+upsample carrying 2 "Rep"-substituted frames).
+
+Here the cache is an explicit pytree threaded through pure functions that
+read the same Flax param tree as tokenizers/wan_vae.WanVAE, so the
+full-clip and streaming paths share weights and are tested for exact
+agreement. Steady-state chunks all have the same shapes => exactly two
+compiled programs (first chunk + steady chunk) per direction, and memory
+is O(chunk) regardless of clip length.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from cosmos_predict2_tpu.ops.normalization import channel_l2_norm
+from cosmos_predict2_tpu.tokenizers.wan_vae import (
+    WAN_LATENT_MEAN,
+    WAN_LATENT_STD,
+    WanVAEConfig,
+    _nearest_upsample2x,
+)
+
+CACHE_T = 2
+
+
+# ----------------------------- primitive ops -----------------------------
+
+
+def _conv3d(p, x, t_pad: tuple[int, int], stride=(1, 1, 1), spatial_pad=1, dtype=jnp.bfloat16):
+    w = p["weight"].astype(dtype)
+    sp = spatial_pad
+    out = jax.lax.conv_general_dilated(
+        x.astype(dtype), w,
+        window_strides=stride,
+        padding=(t_pad, (sp, sp), (sp, sp)),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=dtype,
+    )
+    return out + p["bias"].astype(dtype)
+
+
+def _conv2d(p, x, stride=(1, 1), padding=((1, 1), (1, 1)), dtype=jnp.bfloat16):
+    B, T = x.shape[:2]
+    xf = x.reshape((B * T,) + x.shape[2:]).astype(dtype)
+    out = jax.lax.conv_general_dilated(
+        xf, p["weight"].astype(dtype),
+        window_strides=stride, padding=tuple(padding),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=dtype,
+    )
+    out = out + p["bias"].astype(dtype)
+    return out.reshape((B, T) + out.shape[1:])
+
+
+def _norm(p, x):
+    return channel_l2_norm(x, p["gamma"], axis=-1)
+
+
+def _stream_conv(p, x, cache, dtype):
+    """Causal k_t=3 conv with a 2-frame input cache (zeros at stream start)."""
+    xin = jnp.concatenate([cache.astype(x.dtype), x], axis=1)
+    out = _conv3d(p, xin, (0, 0), dtype=dtype)
+    return out, xin[:, -CACHE_T:]
+
+
+def _init_conv_cache(batch, h, w, c, dtype):
+    return jnp.zeros((batch, CACHE_T, h, w, c), dtype=dtype)
+
+
+# ----------------------------- res / attn -----------------------------
+
+
+def _stream_resblock(p, x, caches: dict, key: str, dtype):
+    h = x
+    if "shortcut" in p:
+        h = _conv3d(p["shortcut"], x, (0, 0), spatial_pad=0, dtype=dtype)
+    y = jax.nn.silu(_norm(p["norm1"], x))
+    y, caches[f"{key}.c1"] = _stream_conv(p["conv1"], y, caches[f"{key}.c1"], dtype)
+    y = jax.nn.silu(_norm(p["norm2"], y))
+    y, caches[f"{key}.c2"] = _stream_conv(p["conv2"], y, caches[f"{key}.c2"], dtype)
+    return y + h
+
+
+def _attn_block(p, x, dtype):
+    B, T, H, W, C = x.shape
+    y = _norm(p["norm"], x)
+    qkv = _conv2d(p["to_qkv"], y, padding=((0, 0), (0, 0)), dtype=dtype).reshape(B * T, H * W, 3 * C)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    logits = jnp.einsum("bqc,bkc->bqk", q, k, preferred_element_type=jnp.float32) / (C**0.5)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bqk,bkc->bqc", probs.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    out = out.astype(x.dtype).reshape(B, T, H, W, C)
+    return x + _conv2d(p["proj"], out, padding=((0, 0), (0, 0)), dtype=dtype)
+
+
+# ------------------------------- encoder -------------------------------
+
+
+@dataclasses.dataclass
+class StreamState:
+    caches: dict[str, Any]
+    first: bool  # is the next chunk the stream's first?
+
+
+def init_encoder_state(cfg: WanVAEConfig, batch: int, height: int, width: int, dtype=jnp.bfloat16) -> StreamState:
+    d = cfg.dim
+    dims = [d * u for u in (1,) + tuple(cfg.dim_mult)]
+    caches: dict[str, Any] = {}
+    h, w = height, width
+    caches["conv1"] = _init_conv_cache(batch, h, w, 3, dtype)
+    li = 0
+    for s, (i_d, o_d) in enumerate(zip(dims[:-1], dims[1:])):
+        in_d = i_d
+        for _ in range(cfg.num_res_blocks):
+            caches[f"down_{li}.c1"] = _init_conv_cache(batch, h, w, in_d, dtype)
+            caches[f"down_{li}.c2"] = _init_conv_cache(batch, h, w, o_d, dtype)
+            in_d = o_d
+            li += 1
+        if s != len(cfg.dim_mult) - 1:
+            h, w = h // 2, w // 2
+            if cfg.temporal_downsample[s]:
+                caches[f"down_{li}.t"] = jnp.zeros((batch, 1, h, w, o_d), dtype=dtype)
+            li += 1
+    for key, c in (("mid_res1", dims[-1]), ("mid_res2", dims[-1])):
+        caches[f"{key}.c1"] = _init_conv_cache(batch, h, w, c, dtype)
+        caches[f"{key}.c2"] = _init_conv_cache(batch, h, w, c, dtype)
+    caches["head"] = _init_conv_cache(batch, h, w, dims[-1], dtype)
+    return StreamState(caches=caches, first=True)
+
+
+def encoder_chunk(cfg: WanVAEConfig, params, x_chunk, state: StreamState):
+    """One encode chunk: x (B, 1 or 4k, H, W, 3) -> latents (B, k', h, w, 16)."""
+    p = params["params"]
+    enc = p["encoder"]
+    dt = cfg.dtype
+    caches = dict(state.caches)
+    first = state.first
+    dims = [cfg.dim * u for u in (1,) + tuple(cfg.dim_mult)]
+
+    x, caches["conv1"] = _stream_conv(enc["conv1"], x_chunk, caches["conv1"], dt)
+    li = 0
+    for s in range(len(cfg.dim_mult)):
+        for _ in range(cfg.num_res_blocks):
+            x = _stream_resblock(enc[f"down_{li}"], x, caches, f"down_{li}", dt)
+            li += 1
+        if s != len(cfg.dim_mult) - 1:
+            rp = enc[f"down_{li}"]
+            x = _conv2d(rp["conv"], x, stride=(2, 2), padding=((0, 1), (0, 1)), dtype=dt)
+            if cfg.temporal_downsample[s]:
+                if first:
+                    # frame-0 bypass: cache the single frame, no downsample
+                    caches[f"down_{li}.t"] = x[:, -1:]
+                else:
+                    xin = jnp.concatenate([caches[f"down_{li}.t"].astype(x.dtype), x], axis=1)
+                    caches[f"down_{li}.t"] = xin[:, -1:]
+                    x = _conv3d(rp["time_conv"], xin, (0, 0), stride=(2, 1, 1), spatial_pad=0, dtype=dt)
+            li += 1
+    x = _stream_resblock(enc["mid_res1"], x, caches, "mid_res1", dt)
+    x = _attn_block(enc["mid_attn"], x, dt)
+    x = _stream_resblock(enc["mid_res2"], x, caches, "mid_res2", dt)
+    y = jax.nn.silu(_norm(enc["head_norm"], x))
+    y, caches["head"] = _stream_conv(enc["head_conv"], y, caches["head"], dt)
+    out = _conv3d(p["conv1"], y, (0, 0), spatial_pad=0, dtype=dt)
+    mu = out[..., : cfg.z_dim]
+    mean = jnp.asarray(WAN_LATENT_MEAN, dtype=jnp.float32)
+    std = jnp.asarray(WAN_LATENT_STD, dtype=jnp.float32)
+    z = ((mu.astype(jnp.float32) - mean) / std).astype(x_chunk.dtype)
+    return z, StreamState(caches=caches, first=False)
+
+
+def encode_streaming(vae_cfg: WanVAEConfig, params, x, chunk_frames: int = 4):
+    """Full streaming encode of (B, 1+4k, H, W, 3); O(chunk) memory."""
+    assert chunk_frames % 4 == 0
+    B, T, H, W, _ = x.shape
+    state = init_encoder_state(vae_cfg, B, H, W, dtype=vae_cfg.dtype)
+    outs = []
+    z, state = encoder_chunk(vae_cfg, params, x[:, :1], state)
+    outs.append(z)
+    pos = 1
+    while pos < T:
+        end = min(pos + chunk_frames, T)
+        z, state = encoder_chunk(vae_cfg, params, x[:, pos:end], state)
+        outs.append(z)
+        pos = end
+    return jnp.concatenate(outs, axis=1)
+
+
+# ------------------------------- decoder -------------------------------
+
+
+def init_decoder_state(cfg: WanVAEConfig, batch: int, latent_h: int, latent_w: int, dtype=jnp.bfloat16) -> StreamState:
+    d = cfg.dim
+    mult = tuple(cfg.dim_mult)
+    dims = [d * u for u in (mult[-1],) + mult[::-1]]
+    temporal_upsample = cfg.temporal_downsample[::-1]
+    caches: dict[str, Any] = {}
+    h, w = latent_h, latent_w
+    caches["conv1"] = _init_conv_cache(batch, h, w, cfg.z_dim, dtype)
+    for key in ("mid_res1", "mid_res2"):
+        caches[f"{key}.c1"] = _init_conv_cache(batch, h, w, dims[0], dtype)
+        caches[f"{key}.c2"] = _init_conv_cache(batch, h, w, dims[0], dtype)
+    li = 0
+    for s, (i_d, o_d) in enumerate(zip(dims[:-1], dims[1:])):
+        in_d = i_d // 2 if s in (1, 2, 3) else i_d
+        for _ in range(cfg.num_res_blocks + 1):
+            caches[f"up_{li}.c1"] = _init_conv_cache(batch, h, w, in_d, dtype)
+            caches[f"up_{li}.c2"] = _init_conv_cache(batch, h, w, o_d, dtype)
+            in_d = o_d
+            li += 1
+        if s != len(mult) - 1:
+            if temporal_upsample[s]:
+                caches[f"up_{li}.t"] = jnp.zeros((batch, CACHE_T, h, w, o_d), dtype=dtype)
+            h, w = h * 2, w * 2
+            li += 1
+    caches["head"] = _init_conv_cache(batch, h, w, dims[-1], dtype)
+    return StreamState(caches=caches, first=True)
+
+
+def decoder_chunk(cfg: WanVAEConfig, params, z_chunk, state: StreamState):
+    """One decode chunk: z (B, k, h, w, 16) -> pixels.
+
+    First chunk must be a single latent frame (the global frame-0 bypass).
+    """
+    p = params["params"]
+    dec = p["decoder"]
+    dt = cfg.dtype
+    caches = dict(state.caches)
+    first = state.first
+    mult = tuple(cfg.dim_mult)
+    dims = [cfg.dim * u for u in (mult[-1],) + mult[::-1]]
+    temporal_upsample = cfg.temporal_downsample[::-1]
+
+    mean = jnp.asarray(WAN_LATENT_MEAN, dtype=jnp.float32)
+    std = jnp.asarray(WAN_LATENT_STD, dtype=jnp.float32)
+    zin = (z_chunk.astype(jnp.float32) * std + mean).astype(dt)
+    x = _conv3d(p["conv2"], zin, (0, 0), spatial_pad=0, dtype=dt)
+    x, caches["conv1"] = _stream_conv(dec["conv1"], x, caches["conv1"], dt)
+    x = _stream_resblock(dec["mid_res1"], x, caches, "mid_res1", dt)
+    x = _attn_block(dec["mid_attn"], x, dt)
+    x = _stream_resblock(dec["mid_res2"], x, caches, "mid_res2", dt)
+
+    li = 0
+    for s in range(len(mult)):
+        for _ in range(cfg.num_res_blocks + 1):
+            x = _stream_resblock(dec[f"up_{li}"], x, caches, f"up_{li}", dt)
+            li += 1
+        if s != len(mult) - 1:
+            rp = dec[f"up_{li}"]
+            if temporal_upsample[s]:
+                B, T, Hh, Ww, C = x.shape
+                if first:
+                    # "Rep": frame 0 bypasses the doubling conv; its history
+                    # stays zero (cache untouched)
+                    assert T == 1, "first decode chunk must be one latent frame"
+                else:
+                    xin = jnp.concatenate([caches[f"up_{li}.t"].astype(x.dtype), x], axis=1)
+                    caches[f"up_{li}.t"] = xin[:, -CACHE_T:]
+                    zt = _conv3d(rp["time_conv"], xin, (0, 0), spatial_pad=0, dtype=dt)
+                    zt = zt.reshape(B, T, Hh, Ww, 2, C)
+                    inter = jnp.stack([zt[..., 0, :], zt[..., 1, :]], axis=2).reshape(B, 2 * T, Hh, Ww, C)
+                    x = inter
+            x = _nearest_upsample2x(x)
+            x = _conv2d(rp["conv"], x, dtype=dt)
+            li += 1
+
+    y = jax.nn.silu(_norm(dec["head_norm"], x))
+    y, caches["head"] = _stream_conv(dec["head_conv"], y, caches["head"], dt)
+    return y, StreamState(caches=caches, first=False)
+
+
+def decode_streaming(vae_cfg: WanVAEConfig, params, z, chunk_latent_frames: int = 1):
+    """Full streaming decode of (B, t, h, w, 16); O(chunk) memory."""
+    B, t, h, w, _ = z.shape
+    state = init_decoder_state(vae_cfg, B, h, w, dtype=vae_cfg.dtype)
+    outs = []
+    px, state = decoder_chunk(vae_cfg, params, z[:, :1], state)
+    outs.append(px)
+    pos = 1
+    while pos < t:
+        end = min(pos + chunk_latent_frames, t)
+        px, state = decoder_chunk(vae_cfg, params, z[:, pos:end], state)
+        outs.append(px)
+        pos = end
+    return jnp.concatenate(outs, axis=1)

@@ -78,3 +78,24 @@ def test_gradients_flow_through_vae(vae_and_params):
     g = jax.grad(loss)(params)
     gnorm = sum(float(jnp.sum(jnp.abs(x))) for x in jax.tree.leaves(g))
     assert np.isfinite(gnorm) and gnorm > 0
+
+
+@pytest.mark.level(1)
+def test_streaming_encode_decode_exact(vae_and_params):
+    """Cache-carrying streaming must agree with full-clip processing."""
+    from cosmos_predict2_tpu.tokenizers.wan_vae_streaming import (
+        decode_streaming,
+        encode_streaming,
+    )
+
+    vae, params = vae_and_params
+    clip = jax.random.uniform(jax.random.PRNGKey(7), (1, 17, 16, 16, 3), minval=-1, maxval=1)
+    z_full = vae.apply(params, clip, method=WanVAE.encode)
+    z_stream = encode_streaming(vae.config, params, clip, chunk_frames=4)
+    assert z_stream.shape == z_full.shape
+    np.testing.assert_allclose(np.asarray(z_stream), np.asarray(z_full), atol=1e-4)
+
+    px_full = vae.apply(params, z_full, method=WanVAE.decode)
+    px_stream = decode_streaming(vae.config, params, z_full, chunk_latent_frames=1)
+    assert px_stream.shape == px_full.shape
+    np.testing.assert_allclose(np.asarray(px_stream), np.asarray(px_full), atol=1e-3)
