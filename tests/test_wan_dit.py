@@ -71,3 +71,34 @@ def test_wan_model_t2v_and_i2v():
     params2 = net2.init(jax.random.PRNGKey(5), x, ts, ctx)
     out3 = net2.apply(params2, x, ts, ctx)
     assert out3.shape == (B, 16, T, H, W)
+
+
+@pytest.mark.level(1)
+def test_wan_model_layer_train_and_generate():
+    import dataclasses as dc
+
+    from cosmos_predict2_tpu.models.wan_video2world import (
+        WanCondition,
+        WanModelConfig,
+        WanVideo2WorldModel,
+    )
+
+    cfg = WanModelConfig(net=WAN_PRESETS["test"], state_t=2)
+    model = WanVideo2WorldModel(cfg)
+    shape = (1, 16, 2, 8, 8)
+    params = model.init_params(jax.random.PRNGKey(0), shape, text_len=16)
+
+    x0 = jax.random.normal(jax.random.PRNGKey(1), shape)
+    mask = jnp.zeros((1, 1, 2, 1, 1)).at[:, :, 0].set(1.0)
+    cond = WanCondition(
+        crossattn_emb=jax.random.normal(jax.random.PRNGKey(2), (1, 16, 4096)) * 0.02,
+        clip_emb=jax.random.normal(jax.random.PRNGKey(3), (1, 257, 1280)) * 0.02,
+        gt_frames=x0,
+        condition_video_mask=mask,
+    )
+    loss, _ = jax.jit(model.training_step)(params, jax.random.PRNGKey(4), x0, cond)
+    assert np.isfinite(float(loss))
+    out = jax.jit(lambda p, n: model.generate(p, n, cond, guidance=2.0, num_steps=2))(
+        params, jax.random.normal(jax.random.PRNGKey(5), shape)
+    )
+    assert out.shape == shape and np.isfinite(np.asarray(out)).all()
