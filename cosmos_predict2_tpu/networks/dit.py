@@ -464,6 +464,7 @@ class MiniTrainDIT(nn.Module):
         view_indices_B_T: Optional[jax.Array] = None,  # (B, V*Tv) ints
         kv_caches: Optional[list] = None,  # streaming decode: one per block
         t_start: jax.Array | int = 0,  # absolute latent-frame offset (decode)
+        intermediate_feature_ids: Optional[tuple[int, ...]] = None,  # GAN head taps
     ) -> jax.Array:
         cfg = self.config
         B, C, T, H, W = x_B_C_T_H_W.shape
@@ -582,6 +583,7 @@ class MiniTrainDIT(nn.Module):
             sparse = [i not in dense_idx for i in range(cfg.num_blocks)]
 
         new_caches = [] if kv_caches is not None else None
+        intermediates = []
         for i in range(cfg.num_blocks):
             block = block_cls(cfg, use_sparse_attn=sparse[i], name=f"blocks_{i}")
             if kv_caches is not None:
@@ -589,6 +591,8 @@ class MiniTrainDIT(nn.Module):
                 new_caches.append(cache_i)
             else:
                 x = block(x, emb_B_T_D, crossattn_emb, rope_angles, adaln_lora_B_T_3D)
+            if intermediate_feature_ids and i in intermediate_feature_ids:
+                intermediates.append(x.reshape(B, -1, cfg.model_channels))
 
         # ---- final layer + unpatchify ----
         x = FinalLayer(cfg, name="final_layer")(x, emb_B_T_D, adaln_lora_B_T_3D)
@@ -598,6 +602,8 @@ class MiniTrainDIT(nn.Module):
         x = x.reshape(B, cfg.out_channels, Tt * pt, Hp * ps, Wp * ps)
         if kv_caches is not None:
             return x, new_caches
+        if intermediate_feature_ids:
+            return x, intermediates
         return x
 
 
