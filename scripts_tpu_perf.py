@@ -1,41 +1,34 @@
-"""Ours vs stock pallas flash attention + bench rerun."""
+"""exp2 kernel: correctness + perf on hardware, incl. bwd and causal."""
 import time
 import jax, jax.numpy as jnp
 import numpy as np
 from cosmos_predict2_tpu.ops.flash_attention import flash_attention
+from cosmos_predict2_tpu.ops.attention import reference_attention
 
 S, H, D = 8320, 16, 128
 q = jax.random.normal(jax.random.PRNGKey(0), (1, S, H, D), dtype=jnp.bfloat16)
-qt = q.transpose(0, 2, 1, 3)  # BHSD for stock
 flops = 4 * S * S * D * H
 ITERS = 20
 
-def bench(fn, x):
-    @jax.jit
-    def many(a):
-        def body(c, _):
-            return fn(c), None
-        out, _ = jax.lax.scan(body, a, None, length=ITERS)
-        return jnp.sum(out.astype(jnp.float32))
-    float(many(x))
-    t0 = time.perf_counter(); float(many(x)); t1 = time.perf_counter()
-    return (t1 - t0) / ITERS
+# correctness (small)
+qs = q[:, :2048, :4]
+out = flash_attention(qs, qs, qs)
+ref = reference_attention(qs, qs, qs)
+print("fwd err:", float(jnp.max(jnp.abs(out.astype(jnp.float32)-ref.astype(jnp.float32)))))
+gf = jax.grad(lambda a: jnp.sum(flash_attention(a, a, a).astype(jnp.float32)**2))(qs)
+gr = jax.grad(lambda a: jnp.sum(reference_attention(a, a, a).astype(jnp.float32)**2))(qs)
+print("grad err:", float(jnp.max(jnp.abs(gf.astype(jnp.float32)-gr.astype(jnp.float32)))))
+oc = flash_attention(qs, qs, qs, frame_group=512)
+rc = reference_attention(qs, qs, qs, frame_group=512)
+print("causal fwd err:", float(jnp.max(jnp.abs(oc.astype(jnp.float32)-rc.astype(jnp.float32)))))
 
-t_ours = bench(lambda a: flash_attention(a, a, a), q)
-print(f"ours 1024/1024 (BSHD): {t_ours*1e3:.2f} ms {flops/t_ours/1e12:.1f} TF/s ({flops/t_ours/197e12*100:.0f}%)")
-
-try:
-    from jax.experimental.pallas.ops.tpu.flash_attention import flash_attention as stock
-    t_stock = bench(lambda a: stock(a, a, a, causal=False), qt)
-    print(f"stock jax kernel (BHSD): {t_stock*1e3:.2f} ms {flops/t_stock/1e12:.1f} TF/s ({flops/t_stock/197e12*100:.0f}%)")
-except Exception as e:
-    print("stock failed:", str(e)[:150])
-
-# XLA-native attention for reference
-def xla_attn(a):
-    return jax.nn.dot_product_attention(a, a, a)
-try:
-    t_xla = bench(xla_attn, q)
-    print(f"jax.nn.dot_product_attention: {t_xla*1e3:.2f} ms {flops/t_xla/1e12:.1f} TF/s")
-except Exception as e:
-    print("xla attn failed:", str(e)[:120])
+@jax.jit
+def many(a):
+    def body(c, _):
+        return flash_attention(c, c, c), None
+    out, _ = jax.lax.scan(body, a, None, length=ITERS)
+    return jnp.sum(out.astype(jnp.float32))
+float(many(q))
+t0 = time.perf_counter(); float(many(q)); t1 = time.perf_counter()
+t = (t1 - t0) / ITERS
+print(f"exp2 kernel: {t*1e3:.2f} ms {flops/t/1e12:.1f} TF/s ({flops/t/197e12*100:.0f}%)")
