@@ -69,8 +69,12 @@ def main() -> None:
 
     @jax.jit
     def cfg_denoise_step(params, x, ts, ctx):
-        cond_v = net.apply(params, x, ts, ctx)
-        uncond_v = net.apply(params, x, ts, jnp.zeros_like(ctx))
+        # batched CFG: cond + uncond in one batch-2 forward
+        x2 = jnp.concatenate([x, x], axis=0)
+        ts2 = jnp.concatenate([ts, ts], axis=0)
+        ctx2 = jnp.concatenate([ctx, jnp.zeros_like(ctx)], axis=0)
+        v = net.apply(params, x2, ts2, ctx2)
+        cond_v, uncond_v = v[:1], v[1:]
         return cond_v + 7.0 * (cond_v - uncond_v)
 
     # compile + warmup

@@ -64,7 +64,15 @@ class CausalVideo2WorldModel(Video2WorldModel):
 
         Returns (velocity/net output, new_caches). Callers decide whether to
         keep new_caches (commit/prefill) or drop them (denoise step).
+        Action conditioning (the reference's ActionStreamingInference)
+        rides through condition.action when the net has action embedders.
         """
+        kwargs = {}
+        if self.config.net.action_dim is not None:
+            kwargs["action"] = condition.action
+        if self.config.net.concat_condition_mask:
+            B, _, T, H, W = x_new_B_C_T_H_W.shape
+            kwargs["condition_mask"] = jnp.zeros((B, 1, T, H, W), dtype=x_new_B_C_T_H_W.dtype)
         return self.net.apply(
             params,
             x_new_B_C_T_H_W,
@@ -74,6 +82,7 @@ class CausalVideo2WorldModel(Video2WorldModel):
             padding_mask=condition.padding_mask,
             kv_caches=kv_caches,
             t_start=t_start,
+            **kwargs,
         )
 
 

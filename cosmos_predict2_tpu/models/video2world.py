@@ -103,8 +103,10 @@ class Video2WorldModel:
         mask = None
         if condition.is_video and condition.condition_video_mask is not None:
             mask = condition.condition_video_mask.astype(xt_B_C_T_H_W.dtype)  # (B,1,T,1,1)
-            use_vc = jnp.asarray(condition.use_video_condition)
-            gt_in = condition.gt_frames.astype(xt_B_C_T_H_W.dtype) * use_vc.astype(xt_B_C_T_H_W.dtype)
+            use_vc = jnp.asarray(condition.use_video_condition).astype(xt_B_C_T_H_W.dtype)
+            if use_vc.ndim == 1:  # per-sample flag (batched CFG)
+                use_vc = use_vc.reshape(-1, 1, 1, 1, 1)
+            gt_in = condition.gt_frames.astype(xt_B_C_T_H_W.dtype) * use_vc
             xt_B_C_T_H_W = gt_in * mask + xt_B_C_T_H_W * (1.0 - mask)
             if cfg.conditional_frame_timestep >= 0:
                 # pin conditional-frame timesteps (per-frame timesteps path)
@@ -199,12 +201,36 @@ class Video2WorldModel:
         guidance: float,
         noise: jax.Array,
     ) -> Callable[[jax.Array, jax.Array], jax.Array]:
+        """CFG velocity function with BATCHED cond/uncond: both branches run
+        in one forward at batch 2B (the reference calls the net twice,
+        text2world_model_rectified_flow.py:508-515 — batching halves weight
+        traffic and doubles kernel grid parallelism on TPU)."""
         cfg = self.config
 
+        def _stack(a, b):
+            if a is None or b is None:
+                return a if a is not None else b
+            return jnp.concatenate([jnp.asarray(a), jnp.asarray(b)], axis=0)
+
+        use_c = jnp.broadcast_to(jnp.asarray(condition.use_video_condition), (noise.shape[0],))
+        use_u = jnp.broadcast_to(jnp.asarray(uncondition.use_video_condition), (noise.shape[0],))
+        batched = condition.replace(
+            crossattn_emb=_stack(condition.crossattn_emb, uncondition.crossattn_emb),
+            fps=_stack(condition.fps, uncondition.fps),
+            padding_mask=_stack(condition.padding_mask, uncondition.padding_mask),
+            gt_frames=_stack(condition.gt_frames, uncondition.gt_frames),
+            condition_video_mask=_stack(condition.condition_video_mask, uncondition.condition_video_mask),
+            use_video_condition=jnp.concatenate([use_c, use_u]),
+            action=_stack(condition.action, uncondition.action),
+        )
+
         def velocity_fn(x: jax.Array, t: jax.Array) -> jax.Array:
-            ts = jnp.broadcast_to(t, (x.shape[0],)).astype(jnp.float32)
-            cond_v = self.denoise(params, noise, x, ts[:, None], condition)
-            uncond_v = self.denoise(params, noise, x, ts[:, None], uncondition)
+            B = x.shape[0]
+            ts = jnp.broadcast_to(t, (2 * B,)).astype(jnp.float32)
+            x2 = jnp.concatenate([x, x], axis=0)
+            noise2 = jnp.concatenate([noise, noise], axis=0)
+            v = self.denoise(params, noise2, x2, ts[:, None], batched)
+            cond_v, uncond_v = v[:B], v[B:]
             if cfg.cfg_mode == "v2w":
                 return cond_v + guidance * (cond_v - uncond_v)
             return uncond_v + guidance * (cond_v - uncond_v)
