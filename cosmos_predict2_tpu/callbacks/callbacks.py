@@ -155,6 +155,28 @@ class WandbLogger(Callback):
                 f.write(json.dumps(scalars) + "\n")
 
 
+class EveryNDrawSample(EveryN):
+    """Periodic sample generation during training (parity:
+    predict2/callbacks/every_n_draw_sample.py / viz_online_sampling):
+    calls ``generate_fn(state, iteration) -> frames (T, H, W, 3)`` and
+    saves the clip under ``out_dir``."""
+
+    def __init__(self, generate_fn, out_dir: str = "outputs/samples", every_n: int = 500):
+        super().__init__(every_n)
+        self.generate_fn = generate_fn
+        self.out_dir = out_dir
+
+    def every_n_impl(self, trainer, state, metrics, iteration):
+        from cosmos_predict2_tpu.utils.io import save_img_or_video
+
+        frames = self.generate_fn(state, iteration)
+        if frames is not None:
+            path = save_img_or_video(
+                np.asarray(frames), os.path.join(self.out_dir, f"iter_{iteration:07d}"), fps=16
+            )
+            log.info(f"sample at iteration {iteration} -> {path}")
+
+
 def basic_callbacks(logging_iter: int = 10) -> list[Callback]:
     """The reference's "basic" callback group."""
     from cosmos_predict2_tpu.training.trainer import IterSpeedCallback

@@ -104,6 +104,42 @@ def compose(base: Any, overrides: list[str] | dict[str, Any] | None = None) -> A
     return node
 
 
+def config_to_dict(node: Any) -> Any:
+    """Dataclass tree -> plain dict (for yaml/json export; LazyConfig.save
+    parity, reference lazy_config/lazy.py:230)."""
+    import dataclasses as dc
+
+    if dc.is_dataclass(node) and not isinstance(node, type):
+        return {f.name: config_to_dict(getattr(node, f.name)) for f in dc.fields(node)}
+    if isinstance(node, dict):
+        return {k: config_to_dict(v) for k, v in node.items()}
+    if isinstance(node, (list, tuple)):
+        return [config_to_dict(v) for v in node]
+    if isinstance(node, type):  # e.g. jnp dtypes stored as classes
+        return getattr(node, "__name__", str(node))
+    return node
+
+
+def save_config(node: Any, path: str) -> None:
+    """Write the composed config as json (or yaml if the path says so)."""
+    import json
+    import os
+
+    data = config_to_dict(node)
+    os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
+    if path.endswith((".yaml", ".yml")):
+        try:
+            import yaml
+
+            with open(path, "w") as f:
+                yaml.safe_dump(data, f, sort_keys=False)
+            return
+        except ImportError:
+            path = path.rsplit(".", 1)[0] + ".json"
+    with open(path, "w") as f:
+        json.dump(data, f, indent=2, default=str)
+
+
 def resolve_experiment(name: str) -> Experiment:
     if name not in _EXPERIMENTS:
         raise KeyError(f"unknown experiment '{name}'; known: {list_experiments()}")

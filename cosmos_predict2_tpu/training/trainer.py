@@ -13,6 +13,7 @@ DDP wrapper.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import signal
 import time
 from typing import Any, Callable, Iterable, Optional
@@ -160,6 +161,29 @@ class Trainer:
             metrics,
         )
 
+    # ----------------------------- validation -----------------------------
+
+    @functools.cached_property
+    def _val_step(self):
+        def val_impl(params, x0, condition, rng):
+            loss, metrics = self.model.training_step(params, rng, x0, condition)
+            return metrics
+
+        return jax.jit(val_impl)
+
+    def validate(self, state: TrainState, val_batches, iteration: int, max_batches: int = 8) -> float:
+        """Average validation loss (reference trainer.validate, trainer.py:333)."""
+        losses = []
+        rng = jax.random.PRNGKey(self.config.seed + 777)
+        for i, (x0, condition) in enumerate(val_batches):
+            if i >= max_batches:
+                break
+            metrics = self._val_step(state.params, x0, condition, jax.random.fold_in(rng, i))
+            losses.append(float(metrics["loss"]))
+        avg = float(sum(losses) / max(1, len(losses)))
+        log.info(f"Validation at iteration {iteration}: loss {avg:.4f} over {len(losses)} batches")
+        return avg
+
     # ------------------------------- loop -------------------------------
 
     def train(
@@ -167,6 +191,7 @@ class Trainer:
         state: TrainState,
         batches: Iterable[tuple[jax.Array, Video2WorldCondition]],
         start_iteration: int = 0,
+        val_batches: Optional[Iterable] = None,
     ) -> TrainState:
         """Run the training loop over (latents, condition) batches."""
         cfg = self.config
@@ -190,6 +215,8 @@ class Trainer:
             state, metrics = self._train_step(state, x0, condition, rng)
             iteration += 1
             self.callbacks.on_training_step_end(self, state, metrics, iteration)
+            if val_batches is not None and cfg.validation_iter > 0 and iteration % cfg.validation_iter == 0:
+                self.validate(state, val_batches, iteration)
             if self.checkpointer is not None and cfg.save_iter > 0 and iteration % cfg.save_iter == 0:
                 self.checkpointer.save(state, iteration)
                 self.callbacks.on_save_checkpoint(self, state, iteration)

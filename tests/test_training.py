@@ -158,3 +158,38 @@ def test_mock_data_schema():
     # deterministic
     batch2 = loader.get_batch(0)
     np.testing.assert_array_equal(batch["video"], batch2["video"])
+
+
+@pytest.mark.level(1)
+def test_validation_and_sample_callback(tmp_path):
+    from cosmos_predict2_tpu.callbacks.callbacks import EveryNDrawSample
+
+    trainer, model = _make_trainer(max_iter=2, validation_iter=2)
+    params = model.init_params(jax.random.PRNGKey(0), (1, 16, 2, 4, 4), text_len=8)
+    state = trainer.init_state(params)
+
+    drawn = []
+    cb = EveryNDrawSample(
+        lambda st, it: np.zeros((2, 8, 8, 3), dtype=np.float32), out_dir=str(tmp_path), every_n=1
+    )
+    trainer.callbacks.callbacks.append(cb)
+    state = trainer.train(state, _batches(model, 2), val_batches=list(_batches(model, 2, seed=9)))
+    assert int(state.step) == 2
+    import os
+
+    assert any(f.startswith("iter_") for f in os.listdir(tmp_path))
+
+
+@pytest.mark.level(0)
+def test_config_save(tmp_path):
+    import json
+
+    from cosmos_predict2_tpu.configs.defaults import make_config
+    from cosmos_predict2_tpu.configs.registry import save_config
+
+    cfg = make_config("error-free_mock_data_smoke")
+    path = str(tmp_path / "config.json")
+    save_config(cfg, path)
+    data = json.load(open(path))
+    assert data["trainer"]["max_iter"] == 3
+    assert data["model"]["net"]["model_channels"] == 1024

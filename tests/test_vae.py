@@ -99,3 +99,31 @@ def test_streaming_encode_decode_exact(vae_and_params):
     px_stream = decode_streaming(vae.config, params, z_full, chunk_latent_frames=1)
     assert px_stream.shape == px_full.shape
     np.testing.assert_allclose(np.asarray(px_stream), np.asarray(px_full), atol=1e-3)
+
+
+@pytest.mark.level(1)
+def test_vae_interface_normalization(vae_and_params):
+    from cosmos_predict2_tpu.tokenizers.interface import VAEInterfaceConfig, WanVAEInterface
+    from cosmos_predict2_tpu.tokenizers.wan_vae import WanVAEConfig
+
+    vae, params = vae_and_params
+    iface = WanVAEInterface(VAEInterfaceConfig(vae=vae.config), params)
+    assert iface.get_latent_num_frames(81) == 21
+    assert iface.get_pixel_num_frames(21) == 81
+    assert iface.latent_chunk_duration == 21
+
+    clip = jax.random.uniform(jax.random.PRNGKey(8), (1, 3, 5, 32, 32), minval=-1, maxval=1)
+    z = iface.encode(clip)
+    assert z.shape == (1, 16, 2, 4, 4)
+    rec = iface.decode(z)
+    assert rec.shape == (1, 3, 5, 32, 32)
+
+    # second-stage normalization round-trips with custom stats
+    import numpy as onp
+
+    vm = onp.random.RandomState(0).randn(1, 1, 50, 1, 1).astype("float32")
+    vs = onp.abs(onp.random.RandomState(1).randn(1, 1, 50, 1, 1)).astype("float32") + 0.5
+    iface2 = WanVAEInterface(VAEInterfaceConfig(vae=vae.config), params, video_mean=vm, video_std=vs)
+    z2 = iface2.encode(clip)
+    rec2 = iface2.decode(z2)
+    np.testing.assert_allclose(np.asarray(rec2), np.asarray(rec), atol=1e-3)
