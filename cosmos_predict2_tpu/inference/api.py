@@ -123,6 +123,7 @@ class Inference:
         emb = self._text_embedding(args, args.prompt)
         neg = self._text_embedding(args, args.negative_prompt) if args.negative_prompt else None
 
+        # k == 0 (no input): pure Text2World, no conditional frames pinned
         if args.enable_autoregressive:
             frames = self.pipe.generate_autoregressive(
                 video,
@@ -130,7 +131,7 @@ class Inference:
                 num_output_frames=args.num_output_frames,
                 chunk_size=args.chunk_size,
                 chunk_overlap=args.chunk_overlap,
-                num_conditional_frames=k or 1,
+                num_conditional_frames=k,
                 guidance=args.guidance,
                 num_steps=args.num_steps,
                 seed=args.seed,
@@ -143,7 +144,7 @@ class Inference:
                 neg_text_emb=neg,
                 guidance=args.guidance,
                 num_steps=args.num_steps,
-                num_conditional_frames=k or 1,
+                num_conditional_frames=k,
                 seed=args.seed,
             )
 

@@ -52,7 +52,10 @@ class RFModelConfig:
     conditional_frames_probs: Optional[tuple[tuple[int, float], ...]] = ((0, 0.5), (1, 0.25), (2, 0.25))
     denoise_replace_gt_frames: bool = True
     conditional_frame_timestep: float = -1.0
+    # training-time conditioning dropout (reference conditioner defaults:
+    # text 0.2, use_video_condition BooleanFlag 0.2)
     text_dropout_rate: float = 0.2
+    video_cond_dropout_rate: float = 0.2
     # CFG composition: "v2w" => cond + g*(cond-uncond); "t2w" => uncond + g*(cond-uncond)
     cfg_mode: str = "v2w"
     # sampling defaults

@@ -126,7 +126,9 @@ def set_timesteps(
         sigma_min = 1.0 / n_train
         sigmas = np.linspace(sigma_max, sigma_min, num_steps + 1)[:-1]
         sigmas = shift_sigmas(sigmas, shift)
-    timesteps = sigmas * n_train
+    # reference casts model-facing timesteps to int64 (set_timesteps :204:
+    # torch .to(torch.int64) truncates); sigmas stay float
+    timesteps = np.floor(sigmas * n_train)
     sigmas = np.concatenate([sigmas, [0.0]]).astype(np.float64)
     n = len(timesteps)
 

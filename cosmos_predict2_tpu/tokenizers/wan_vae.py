@@ -185,11 +185,16 @@ def _nearest_upsample2x(x):
 
 
 class Resample(nn.Module):
-    """Spatial (and optionally temporal) up/down sampling (wan2pt1.py:89-162)."""
+    """Spatial (and optionally temporal) up/down sampling (wan2pt1.py:89-162).
+
+    Wan2.1 halves channels on upsample (conv dim -> dim//2); Wan2.2 keeps
+    them (wan2pt2.py:104-114) — controlled by ``up_out_dim``.
+    """
 
     dim: int
     mode: str  # none|upsample2d|upsample3d|downsample2d|downsample3d
     dtype: jnp.dtype = jnp.bfloat16
+    up_out_dim: Optional[int] = None  # default dim // 2 (Wan2.1)
 
     @nn.compact
     def __call__(self, x):  # (B, T, H, W, C)
@@ -216,7 +221,8 @@ class Resample(nn.Module):
                 _ = time_conv(x[:, :, :1, :1, :])
         if mode in ("upsample2d", "upsample3d"):
             x = _nearest_upsample2x(x)
-            x = SpatialConv(self.dim // 2, dtype=self.dtype, name="conv")(x)
+            out_dim = self.up_out_dim if self.up_out_dim is not None else self.dim // 2
+            x = SpatialConv(out_dim, dtype=self.dtype, name="conv")(x)
             return x
         if mode in ("downsample2d", "downsample3d"):
             # ZeroPad2d((0,1,0,1)): pad right and bottom by 1, stride-2 conv

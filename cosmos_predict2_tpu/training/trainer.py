@@ -138,7 +138,10 @@ class Trainer:
         cfg = self.config
         rng_drop, rng_step = jax.random.split(rng)
         condition = apply_train_dropout(
-            rng_drop, condition, text_dropout_rate=self.model.config.text_dropout_rate
+            rng_drop,
+            condition,
+            text_dropout_rate=self.model.config.text_dropout_rate,
+            video_cond_dropout_rate=getattr(self.model.config, "video_cond_dropout_rate", 0.0),
         )
 
         def loss_fn(params):

@@ -1,4 +1,7 @@
 """Where does the 2B CFG step time go? Ablation timing on hardware."""
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import time, dataclasses
 import jax, jax.numpy as jnp
 import numpy as np

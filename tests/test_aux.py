@@ -140,3 +140,31 @@ def test_watchdog_beat():
     wd.beat("dataloading")
     assert wd._operation == "dataloading"
     wd.close()
+
+
+@pytest.mark.level(0)
+def test_easy_io_roundtrips(tmp_path):
+    from cosmos_predict2_tpu.utils import easy_io
+
+    d = {"a": 1, "b": [1, 2, 3]}
+    p = str(tmp_path / "x.json")
+    easy_io.dump(d, p)
+    assert easy_io.load(p) == d
+
+    arr = np.arange(6).reshape(2, 3)
+    p = str(tmp_path / "x.npy")
+    easy_io.dump(arr, p)
+    np.testing.assert_array_equal(easy_io.load(p), arr)
+
+    easy_io.dump({"v": arr}, str(tmp_path / "x.npz"))
+    np.testing.assert_array_equal(easy_io.load(str(tmp_path / "x.npz"))["v"], arr)
+
+    easy_io.dump("hello", str(tmp_path / "x.txt"))
+    assert easy_io.load(str(tmp_path / "x.txt")) == "hello"
+
+    easy_io.dump([["a", "b"], ["1", "2"]], str(tmp_path / "x.csv"))
+    assert easy_io.load(str(tmp_path / "x.csv")) == [["a", "b"], ["1", "2"]]
+
+    with pytest.raises(NotImplementedError, match="scheme"):
+        easy_io.load("s3://bucket/key.json")
+    assert easy_io.exists(p)

@@ -42,7 +42,8 @@ def _oracle_unipc(velocity_fn, x, sigmas, solver_order=2):
         return h_phi_1, B_h, np.array(b)
 
     for i in range(n):
-        v = velocity_fn(x, sigmas[i] * 1000.0)
+        # the model sees int64-truncated timesteps (reference set_timesteps)
+        v = velocity_fn(x, np.floor(sigmas[i] * 1000.0))
         x0 = x - sigmas[i] * v
         use_corr = i > 0 and last_sample is not None
         if use_corr:
@@ -136,7 +137,8 @@ def test_sigma_schedule_values():
     expected = 5 * base / (1 + 4 * base)
     np.testing.assert_allclose(np.asarray(coeffs.sigmas[:-1]), expected, rtol=1e-6)
     assert coeffs.sigmas[-1] == 0.0
-    np.testing.assert_allclose(np.asarray(coeffs.timesteps), expected * 1000, rtol=1e-6)
+    # model-facing timesteps are int64-truncated like the reference
+    np.testing.assert_allclose(np.asarray(coeffs.timesteps), np.floor(expected * 1000), rtol=1e-6)
 
 
 @pytest.mark.level(0)
