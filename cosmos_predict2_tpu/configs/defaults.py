@@ -88,6 +88,9 @@ register(
 
 register("optimizer", "fusedadamw", OptimizerConfig(lr=2 ** (-14.5), weight_decay=0.001))
 register("tokenizer", "wan2pt1_tokenizer", WanVAEConfig())
+# tiny tokenizer for smoke/mock runs (full-size VAE compiles are expensive
+# on small hosts and irrelevant for plumbing checks)
+register("tokenizer", "mock_tokenizer", dataclasses.replace(WanVAEConfig(), dim=16))
 register("data_train", "mock", MockDataConfig())
 
 
@@ -125,7 +128,12 @@ register_experiment(
 register_experiment(
     Experiment(
         name="error-free_mock_data_smoke",
-        groups={"net": "mini_net", "model": "fsdp_rectified_flow", "optimizer": "fusedadamw"},
+        groups={
+            "net": "mini_net",
+            "model": "fsdp_rectified_flow",
+            "optimizer": "fusedadamw",
+            "tokenizer": "mock_tokenizer",
+        },
         overrides={
             "model.state_t": 4,
             "trainer.max_iter": 3,
