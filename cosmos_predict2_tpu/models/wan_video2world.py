@@ -52,6 +52,35 @@ class WanCondition:
     padding_mask: Optional[jax.Array] = None
 
 
+def make_i2v_condition(
+    crossattn_emb: jax.Array,
+    media_latents_B_C_T_H_W: jax.Array,
+    clip_tower=None,
+    clip_params=None,
+    video_pm1_B_T_H_W_C: Optional[jax.Array] = None,
+) -> WanCondition:
+    """Build the Wan i2v conditioning bundle (reference clip.py:570-588
+    Wan2pt1CLIPEmb.forward): CLIP-encode the first pixel frame for the image
+    cross-attention branch and mark latent frame 0 as conditional. For the
+    text-only/image-gen case (no input video) the CLIP context is zeros and
+    the mask stays empty."""
+    B, C, T, H, W = media_latents_B_C_T_H_W.shape
+    if video_pm1_B_T_H_W_C is not None and clip_tower is not None:
+        from cosmos_predict2_tpu.text_encoders.clip_vision import encode_first_frame
+
+        clip_emb = encode_first_frame(clip_tower, clip_params, video_pm1_B_T_H_W_C)
+        mask = jnp.zeros((B, 1, T, 1, 1)).at[:, :, :1].set(1.0)
+    else:
+        clip_emb = jnp.zeros((B, 257, 1280))
+        mask = jnp.zeros((B, 1, T, 1, 1))
+    return WanCondition(
+        crossattn_emb=crossattn_emb,
+        clip_emb=clip_emb,
+        gt_frames=media_latents_B_C_T_H_W,
+        condition_video_mask=mask,
+    )
+
+
 class WanVideo2WorldModel:
     def __init__(self, config: WanModelConfig):
         self.config = config
