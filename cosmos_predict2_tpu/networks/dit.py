@@ -103,6 +103,9 @@ class DiTConfig:
     remat: str = "block"
     # cp mesh axis name (when run under shard_map sequence parallelism)
     cp_axis: Optional[str] = None
+    # "ulysses" (all-to-all head scatter, cp <= num_heads) or
+    # "ring" (K/V ppermute ring, any cp degree / longest sequences)
+    cp_strategy: str = "ulysses"
 
     @property
     def head_dim(self) -> int:
@@ -172,6 +175,7 @@ class Attention(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     backend: Optional[str] = None
     cp_axis: Optional[str] = None
+    cp_strategy: str = "ulysses"
     frame_group: int = 0  # >0: frame-block causal self-attention
     na_video_size: Optional[tuple[int, int, int]] = None  # sparse NA when set
     na_window: tuple[int, int, int] = (-1, -1, -1)
@@ -234,11 +238,16 @@ class Attention(nn.Module):
             else:
                 out = neighborhood_attention_reference(q, k, v, size, self.na_window)
         elif self.cp_axis is not None and is_selfattn:
-            from cosmos_predict2_tpu.parallel.cp import ulysses_attention
+            if self.cp_strategy == "ring":
+                from cosmos_predict2_tpu.parallel.ring_attention import ring_attention
 
-            out = ulysses_attention(
-                q, k, v, axis_name=self.cp_axis, backend=self.backend, frame_group=self.frame_group
-            )
+                out = ring_attention(q, k, v, axis_name=self.cp_axis, frame_group=self.frame_group)
+            else:
+                from cosmos_predict2_tpu.parallel.cp import ulysses_attention
+
+                out = ulysses_attention(
+                    q, k, v, axis_name=self.cp_axis, backend=self.backend, frame_group=self.frame_group
+                )
         else:
             out = dot_product_attention(
                 q, k, v, backend=self.backend, frame_group=self.frame_group if is_selfattn else 0
@@ -334,7 +343,8 @@ class Block(nn.Module):
         frame_group = cfg.num_frame_per_block * H * W if cfg.temporal_causal else 0
         self_attn = Attention(
             d, None, cfg.num_heads, cfg.head_dim, dtype=compute_dtype,
-            backend=cfg.atten_backend, cp_axis=cfg.cp_axis, frame_group=frame_group,
+            backend=cfg.atten_backend, cp_axis=cfg.cp_axis, cp_strategy=cfg.cp_strategy,
+            frame_group=frame_group,
             na_video_size=(T, H, W) if self.use_sparse_attn else None,
             na_window=cfg.natten_window, name="self_attn",
         )
