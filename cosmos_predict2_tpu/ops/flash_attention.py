@@ -25,19 +25,43 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# swept on v5e at seq 8320 (see scripts_tpu_perf.py): 1024/1024 reaches
-# ~77 TF/s vs ~49 at 512/512; 2048/2048 overflows VMEM.
-DEFAULT_BLOCK_Q = 1024
-DEFAULT_BLOCK_KV = 1024
+# swept on v5e at seq 8320 (see scripts/fa_sweep2.py): padding waste
+# dominates block choice — 8320 pads to 9216 at block 1024 (23% wasted MXU
+# work). Auto-picked divisor blocks 640/1664 reach 91.3 TF/s vs 79.7 at
+# 1024/1024; 2048/2048 overflows VMEM. Pass block_q/block_kv explicitly to
+# override the auto pick.
+DEFAULT_BLOCK_Q = None  # auto: minimal padding, target ~640
+DEFAULT_BLOCK_KV = None  # auto: minimal padding, target ~1664
 _NEG_INF = -1e30
 
 
-def _pick_block(seq: int, preferred: int) -> int:
-    """Largest block <= preferred that keeps alignment; pad otherwise."""
-    if seq >= preferred:
-        return preferred
-    # round down to multiple of 128, min 128
-    return max(128, (seq // 128) * 128) if seq >= 128 else 128
+def _pick_block(seq: int, preferred: int | None) -> int:
+    """Resolve a block size. ``preferred=None`` auto-picks the multiple of
+    128 that minimizes sequence padding (ties -> closest to the swept
+    sweet spot); an explicit int is honored (clamped for short seqs)."""
+    if seq < 128:
+        return 128
+    if preferred is not None:
+        return preferred if seq >= preferred else max(128, (seq // 128) * 128)
+    return _auto_block(seq, target=640, hi=1024)
+
+
+def _auto_block(seq: int, target: int, hi: int) -> int:
+    cands = range(256, min(hi, max(256, (seq // 128) * 128)) + 1, 128)
+    return min(cands, key=lambda b: (-(-seq // b) * b, abs(b - target)))
+
+
+def _auto_blocks(sq: int, skv: int, block_q: int | None, block_kv: int | None) -> tuple[int, int]:
+    """Resolve the (block_q, block_kv) pair, keeping the fp32 score tile
+    under ~6 MB of VMEM."""
+    bq = _auto_block(sq, target=640, hi=1024) if block_q is None and sq >= 256 else _pick_block(sq, block_q)
+    bkv = _auto_block(skv, target=1664, hi=2048) if block_kv is None and skv >= 256 else _pick_block(skv, block_kv)
+    while bq * bkv > 1_572_864:
+        if bkv >= bq:
+            bkv = max(256, (bkv // 2 // 128) * 128)
+        else:
+            bq = max(256, (bq // 2 // 128) * 128)
+    return bq, bkv
 
 
 def _pad_seq(x: jax.Array, block: int, axis: int) -> jax.Array:
@@ -129,8 +153,7 @@ def _fwd(
     b, h, sq, d = q.shape
     skv = k.shape[2]
     scale = 1.0 / (d**0.5)
-    block_q = _pick_block(sq, block_q)
-    block_kv = _pick_block(skv, block_kv)
+    block_q, block_kv = _auto_blocks(sq, skv, block_q, block_kv)
 
     qp = _pad_seq(q, block_q, 2)
     kp = _pad_seq(k, block_kv, 2)
@@ -297,8 +320,7 @@ def _bwd(
     b, h, sq, d = q.shape
     skv = k.shape[2]
     scale = 1.0 / (d**0.5)
-    block_q = _pick_block(sq, block_q)
-    block_kv = _pick_block(skv, block_kv)
+    block_q, block_kv = _auto_blocks(sq, skv, block_q, block_kv)
 
     delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)  # (B,H,S)
 
@@ -393,8 +415,8 @@ def flash_attention(
     q: jax.Array,
     k: jax.Array,
     v: jax.Array,
-    block_q: int = DEFAULT_BLOCK_Q,
-    block_kv: int = DEFAULT_BLOCK_KV,
+    block_q: int | None = DEFAULT_BLOCK_Q,
+    block_kv: int | None = DEFAULT_BLOCK_KV,
     frame_group: int = 0,
 ) -> jax.Array:
     """Flash attention in BSHD layout: q,k,v (B, S, H, D) -> (B, Sq, H, D).
