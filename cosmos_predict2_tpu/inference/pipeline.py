@@ -213,7 +213,12 @@ class Video2WorldInference:
         _, _, t0, H, W = video_u8.shape
         overlap_px = (chunk_overlap - 1) * 4 + 1
 
-        buffer = np.zeros((1, 3, max(num_output_frames, chunk), H, W), dtype=np.uint8)
+        # size the buffer so every window is exactly ``chunk`` frames —
+        # a shorter tail window would change the jitted shape and force a
+        # recompile of the whole sampling graph for the final chunk
+        stride = chunk - overlap_px
+        n_chunks = 1 + max(0, -(-(num_output_frames - chunk) // stride))
+        buffer = np.zeros((1, 3, (n_chunks - 1) * stride + chunk, H, W), dtype=np.uint8)
         buffer[:, :, :t0] = video_u8
         out_frames: list[np.ndarray] = []
 
@@ -242,3 +247,61 @@ class Video2WorldInference:
             log.info(f"autoregressive chunk {chunk_idx}: {len(out_frames)}/{num_output_frames} frames")
 
         return np.stack(out_frames[:num_output_frames])
+
+
+class Text2ImageInference:
+    """Image-mode generation (reference predict2/inference/text2image.py:52-111
+    Text2ImageInference.generate_image): a single-latent-frame (T=1) sample
+    through the same rectified-flow DiT, decoded to one image.
+
+    The T=1 path flows through the standard Video2World machinery — the
+    conditioning mask is all-zero for images (conditioner.py here,
+    set_video_condition), so no frames are pinned and the model runs as a
+    pure text-to-image sampler with IMAGE-type RoPE/temporal handling."""
+
+    def __init__(self, setup: InferenceSetup, params, vae_params, text_encoder=None):
+        # image mode forces a single latent frame
+        import dataclasses as _dc
+
+        setup = _dc.replace(setup, model_config=_dc.replace(setup.model_config, state_t=1))
+        self._v2w = Video2WorldInference(setup, params, vae_params, text_encoder=text_encoder)
+
+    def encode_text(self, prompts: list[str]) -> jax.Array:
+        return self._v2w.encode_text(prompts)
+
+    def generate_image(
+        self,
+        text_emb: jax.Array,
+        neg_text_emb: Optional[jax.Array] = None,
+        guidance: float = 7.0,
+        num_steps: int = 35,
+        seed: int = 1,
+    ) -> np.ndarray:
+        """-> (H, W, 3) uint8 image."""
+        setup = self._v2w.setup
+        if setup.size_override is not None:
+            H, W = setup.size_override
+        else:
+            from cosmos_predict2_tpu.utils.io import get_image_resolution
+
+            w, h = get_image_resolution(setup.resolution, setup.aspect)
+            H, W = h, w
+        # single gray input frame; with num_conditional_frames=0 and the
+        # T=1 zero mask it only sets shapes, never pixels
+        video_u8 = np.full((1, 3, 1, H, W), 127, dtype=np.uint8)
+        frames = self._v2w.generate_vid2world(
+            video_u8,
+            text_emb,
+            neg_text_emb=neg_text_emb,
+            guidance=guidance,
+            num_steps=num_steps,
+            num_conditional_frames=0,
+            seed=seed,
+        )  # (1, H, W, 3) in [-1, 1]
+        return ((frames[0] + 1.0) * 127.5).clip(0, 255).astype(np.uint8)
+
+    def save_image(self, image_u8: np.ndarray, path: str) -> str:
+        from PIL import Image
+
+        Image.fromarray(image_u8).save(path)
+        return path

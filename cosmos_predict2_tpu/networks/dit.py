@@ -99,7 +99,15 @@ class DiTConfig:
     dtype: jnp.dtype = jnp.bfloat16
     # attention backend override (None = auto dispatch)
     atten_backend: Optional[str] = None
-    # remat ("gradient checkpoint") policy for blocks: "none"|"block"
+    # remat ("gradient checkpoint") policy for blocks, the jax.checkpoint
+    # analogue of the reference's SAC (selective_activation_checkpoint.py:1-73
+    # + CheckpointPolicy in minimal_v4_dit.py:58-203):
+    #   "none"      - save everything (inference / small models)
+    #   "block"     - full per-block remat (recompute everything in bwd)
+    #   "selective" - per-block remat but SAVE the self/cross attention
+    #                 outputs (tagged "attn_out"); everything else is
+    #                 recomputed. The reference policy likewise keeps flash
+    #                 results; saving *all* dots OOMs a 16GB v5e at 2B/4800.
     remat: str = "block"
     # cp mesh axis name (when run under shard_map sequence parallelism)
     cp_axis: Optional[str] = None
@@ -252,6 +260,10 @@ class Attention(nn.Module):
             out = dot_product_attention(
                 q, k, v, backend=self.backend, frame_group=self.frame_group if is_selfattn else 0
             )
+        # tag for the "selective" remat policy (save attention, recompute rest)
+        from jax.ad_checkpoint import checkpoint_name
+
+        out = checkpoint_name(out, "attn_out")
         out = out.reshape(out.shape[:-2] + (inner,))
 
         std_o = 1.0 / np.sqrt(inner)
@@ -578,8 +590,15 @@ class MiniTrainDIT(nn.Module):
 
         # ---- blocks ----
         block_cls = Block
-        if cfg.remat == "block" and kv_caches is None:
-            block_cls = nn.remat(Block, static_argnums=())
+        if kv_caches is None:
+            if cfg.remat == "block":
+                block_cls = nn.remat(Block, static_argnums=())
+            elif cfg.remat == "selective":
+                block_cls = nn.remat(
+                    Block,
+                    static_argnums=(),
+                    policy=jax.checkpoint_policies.save_only_these_names("attn_out"),
+                )
         # sparse/dense interleave (reference replace_selfattn_op_with_sparse
         # _attn_op, minimal_v4_dit.py:1785-1797): n_dense_blocks evenly spread
         if cfg.n_dense_blocks == -1:

@@ -98,6 +98,30 @@ class IterSpeedCallback(Callback):
             self._t0 = now
 
 
+@dataclasses.dataclass
+class TrainingStats:
+    """Sample counters (reference networks/model_weights_stats.py:34-64
+    WeightTrainingStat buffers): how many image/video samples this set of
+    weights has consumed, total iterations and train-hours. Host-side
+    bookkeeping — updated in the loop, not inside the jitted step."""
+
+    accum_video_sample_counter: int = 0
+    accum_image_sample_counter: int = 0
+    accum_iteration: int = 0
+    accum_train_in_hours: float = 0.0
+
+    def update(self, batch_size: int, num_frames: int, seconds: float) -> None:
+        if num_frames <= 1:
+            self.accum_image_sample_counter += batch_size
+        else:
+            self.accum_video_sample_counter += batch_size
+        self.accum_iteration += 1
+        self.accum_train_in_hours += seconds / 3600.0
+
+    def as_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+
 class Trainer:
     def __init__(
         self,
@@ -110,6 +134,7 @@ class Trainer:
         self.model = model
         self.callbacks = CallbackGroup(callbacks if callbacks is not None else [IterSpeedCallback(config.logging_iter)])
         self.checkpointer = checkpointer
+        self.stats = TrainingStats()
         self.optimizer = make_optimizer(config.optimizer)
         if config.grad_accum_iter > 1:
             self.optimizer = optax.MultiSteps(self.optimizer, every_k_schedule=config.grad_accum_iter)
@@ -215,7 +240,9 @@ class Trainer:
                 signal.alarm(cfg.timeout_period)
             self.callbacks.on_training_step_start(self, state, (x0, condition), iteration)
             rng = jax.random.fold_in(base_rng, iteration)
+            t_step = time.perf_counter()
             state, metrics = self._train_step(state, x0, condition, rng)
+            self.stats.update(x0.shape[0], x0.shape[2], time.perf_counter() - t_step)
             iteration += 1
             self.callbacks.on_training_step_end(self, state, metrics, iteration)
             if val_batches is not None and cfg.validation_iter > 0 and iteration % cfg.validation_iter == 0:

@@ -102,3 +102,17 @@ def test_text_guardrail_hook(pipe, tmp_path):
     api = Inference(pipe, output_dir=str(tmp_path), text_guardrail=lambda p: "bad" not in p, keep_going=False)
     with pytest.raises(ValueError, match="guardrail"):
         api._generate_sample(InferenceArguments(name="x", prompt="bad prompt", num_steps=1))
+
+
+@pytest.mark.level(1)
+def test_text2image_generate(pipe, tmp_path):
+    from cosmos_predict2_tpu.inference.pipeline import Text2ImageInference
+
+    t2i = Text2ImageInference(pipe.setup, pipe.params, pipe.vae_params, text_encoder=pipe.text_encoder)
+    emb = t2i.encode_text(["a watercolor lighthouse"])
+    img = t2i.generate_image(emb, guidance=3.0, num_steps=2, seed=7)
+    assert img.shape == (32, 32, 3) and img.dtype == np.uint8
+    out = t2i.save_image(img, str(tmp_path / "sample.png"))
+    import os
+
+    assert os.path.exists(out)
