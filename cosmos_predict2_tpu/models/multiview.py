@@ -77,6 +77,7 @@ def view_grid(frames_per_view: list[np.ndarray], cols: int = 4) -> np.ndarray:
     """Arrange per-view clips [(T, H, W, 3)] into one grid video for export
     (reference inference grid layout, predict2_multiview/scripts/inference.py:191-225)."""
     V = len(frames_per_view)
+    cols = min(cols, V)
     rows = (V + cols - 1) // cols
     T, H, W, C = frames_per_view[0].shape
     grid = np.zeros((T, rows * H, cols * W, C), dtype=frames_per_view[0].dtype)

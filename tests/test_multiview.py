@@ -67,3 +67,41 @@ def test_multiview_training_and_cross_view_isolation():
     cond2 = cond.replace(crossattn_emb=emb2)
     v2 = model.denoise(params, noise, noise, jnp.full((1, 1), 500.0), cond2)
     assert np.abs(np.asarray(v1) - np.asarray(v2)).max() > 1e-5
+
+
+@pytest.mark.level(1)
+def test_multiview_inference_pipeline():
+    import dataclasses
+
+    from cosmos_predict2_tpu.inference.multiview import (
+        MultiviewInference,
+        MultiviewInferenceArguments,
+    )
+    from cosmos_predict2_tpu.models.multiview import MultiviewVid2VidModel, multiview_model_config
+    from cosmos_predict2_tpu.networks.dit import PRESETS
+    from cosmos_predict2_tpu.tokenizers.wan_vae import WanVAE, WanVAEConfig
+
+    net = dataclasses.replace(
+        PRESETS["test"], dtype=jnp.float32, remat="none", model_channels=64, num_heads=2, adaln_lora_dim=8
+    )
+    cfg = multiview_model_config(net, n_views=2, state_t=2, sampling_num_steps=2)
+    model = MultiviewVid2VidModel(cfg)
+    latent_shape = (1, 16, 4, 4, 4)  # V*tv = 4
+    params = model.init_params(jax.random.PRNGKey(0), latent_shape, text_len=16)
+    vae_cfg = WanVAEConfig(dim=16, dtype=jnp.float32)
+    vae = WanVAE(vae_cfg)
+    vae_params = vae.init(jax.random.PRNGKey(1), jnp.zeros((1, 5, 32, 32, 3)))
+
+    pipe = MultiviewInference(
+        model, params, vae_params, vae_cfg,
+        text_encoder=lambda prompts: jnp.ones((len(prompts), 8, 1024)) * 0.01,
+        height=32, width=32,
+    )
+    assert pipe.frames_per_view == 5
+    videos = np.random.RandomState(0).randint(0, 255, (2, 5, 32, 32, 3), dtype=np.uint8)
+    args = MultiviewInferenceArguments(
+        prompt="driving", inference_type="image2world", n_views=2, num_steps=2, guidance=2.0
+    )
+    frames, grid = pipe.generate(args, videos)
+    assert frames.shape == (2, 5, 32, 32, 3) and frames.dtype == np.uint8
+    assert grid.shape == (5, 32, 64, 3)
