@@ -65,16 +65,20 @@ def latent_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def param_sharding_rules(path: tuple, leaf) -> P:
-    """FSDP(+TP) sharding for DiT parameters by name.
+    """FSDP(+TP) sharding for transformer parameters by name.
 
-    Every >=1D param is sharded over fsdp on its largest dim; attention and
-    MLP kernels are additionally tensor-parallel over tp:
-      q/k/v kernel (in, heads*dim): out dim over tp
-      output_proj kernel (heads*dim, out): in dim over tp
-      mlp layer1 (d, 4d): out over tp;  layer2 (4d, d): in over tp
+    Covers the DiT (q_proj/…/output_proj, mlp layer1/layer2), the Wan DiT
+    (q/k/v/o, ffn_0/ffn_2) and the Qwen text encoder (q/k/v/o_proj,
+    gate/up/down_proj — the reference's ColwiseParallel/RowwiseParallel
+    plan, reason1/parallelisms/parallelize_qwen.py:114-238). Every >=1D
+    param is sharded over fsdp on its largest dim; attention and MLP
+    kernels are additionally tensor-parallel over tp:
+      qkv kernels (in, heads*dim): out dim over tp (column parallel)
+      attention out kernel (heads*dim, out): in dim over tp (row parallel)
+      mlp in kernels (d, ff): out over tp;  mlp out (ff, d): in over tp
     """
     names = [getattr(p, "key", str(p)) for p in path]
-    joined = "/".join(names)
+    joined = "/" + "/".join(names) + "/"
     ndim = getattr(leaf, "ndim", 0)
     if ndim < 1:
         return P()
@@ -82,10 +86,12 @@ def param_sharding_rules(path: tuple, leaf) -> P:
         # biases / norm weights: replicate (cheap)
         return P()
     # 2D kernels
+    col_keys = ("q_proj", "k_proj", "v_proj", "layer1", "gate_proj", "up_proj", "ffn_0", "/q/", "/k/", "/v/", "/k_img/", "/v_img/")
+    row_keys = ("output_proj", "layer2", "o_proj", "down_proj", "ffn_2", "/o/")
     tp_axis = None
-    if any(k in joined for k in ("q_proj", "k_proj", "v_proj")) or "layer1" in joined:
+    if any(k in joined for k in col_keys):
         tp_axis = 1  # column parallel
-    elif "output_proj" in joined or "layer2" in joined:
+    elif any(k in joined for k in row_keys):
         tp_axis = 0  # row parallel
     shape = leaf.shape
     # fsdp: shard the largest remaining dim

@@ -99,3 +99,30 @@ def test_dit_forward_with_cp():
         xs = jax.device_put(x, NamedSharding(mesh, P(None, None, "cp")))
         got = jax.jit(lambda p, a: net_cp.apply(p, a, ts, ctx))(params, xs)
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=2e-4)
+
+
+@pytest.mark.chips(8)
+@pytest.mark.level(1)
+def test_qwen_tp_fsdp_sharded_forward():
+    """Qwen LM forward with tp=2/fsdp=2 sharded params == single device
+    (the reference's Colwise/Rowwise TP plan, parallelize_qwen.py:114-238)."""
+    import dataclasses
+
+    from cosmos_predict2_tpu.text_encoders.qwen import QwenConfig, QwenLM
+
+    cfg = dataclasses.replace(
+        QwenConfig(),
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, dtype=jnp.float32,
+    )
+    lm = QwenLM(cfg)
+    ids = jnp.asarray(np.random.RandomState(0).randint(0, 128, (2, 16)))
+    params = lm.init(jax.random.PRNGKey(0), ids)
+    expected = lm.apply(params, ids)
+
+    mesh = make_mesh(1, 2, 1, 2, devices=jax.devices()[:4])
+    with jax.set_mesh(mesh):
+        sharded = shard_params(params, mesh)
+        got = jax.jit(lm.apply)(sharded, ids)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=2e-5, rtol=2e-5)
