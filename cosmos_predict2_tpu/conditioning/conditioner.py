@@ -53,6 +53,9 @@ class Video2WorldCondition:
     use_video_condition: Optional[jax.Array] = None  # scalar or (B,) bool
     # action conditioning (robot variants): (B, T_act, action_dim)
     action: Optional[jax.Array] = None
+    # camera conditioning (Plücker-ray style per-token embedding in the
+    # patchified token grid): (B, Tt, Hp, Wp, camera_dim)
+    camera: Optional[jax.Array] = None
 
     @property
     def is_video(self) -> bool:

@@ -130,6 +130,8 @@ class Video2WorldModel:
             net_kwargs["condition_mask"] = full_mask
         if cfg.net.action_dim is not None:
             net_kwargs["action"] = condition.action
+        if cfg.net.camera_dim is not None:
+            net_kwargs["camera"] = condition.camera
 
         v_pred = self.net.apply(
             params,
@@ -225,6 +227,7 @@ class Video2WorldModel:
             condition_video_mask=_stack(condition.condition_video_mask, uncondition.condition_video_mask),
             use_video_condition=jnp.concatenate([use_c, use_u]),
             action=_stack(condition.action, uncondition.action),
+            camera=_stack(condition.camera, uncondition.camera),
         )
 
         def velocity_fn(x: jax.Array, t: jax.Array) -> jax.Array:

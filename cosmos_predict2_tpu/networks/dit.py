@@ -484,6 +484,7 @@ class MiniTrainDIT(nn.Module):
         condition_mask: Optional[jax.Array] = None,  # (B, 1, T, H, W)
         action: Optional[jax.Array] = None,  # (B, T_act, action_dim)
         view_indices_B_T: Optional[jax.Array] = None,  # (B, V*Tv) ints
+        camera: Optional[jax.Array] = None,  # (B, Tt, Hp, Wp, camera_dim)
         kv_caches: Optional[list] = None,  # streaming decode: one per block
         t_start: jax.Array | int = 0,  # absolute latent-frame offset (decode)
         intermediate_feature_ids: Optional[tuple[int, ...]] = None,  # GAN head taps
@@ -619,7 +620,7 @@ class MiniTrainDIT(nn.Module):
                 x, cache_i = block(x, emb_B_T_D, crossattn_emb, rope_angles, adaln_lora_B_T_3D, kv_cache=kv_caches[i])
                 new_caches.append(cache_i)
             else:
-                x = block(x, emb_B_T_D, crossattn_emb, rope_angles, adaln_lora_B_T_3D)
+                x = block(x, emb_B_T_D, crossattn_emb, rope_angles, adaln_lora_B_T_3D, camera=camera)
             if intermediate_feature_ids and i in intermediate_feature_ids:
                 intermediates.append(x.reshape(B, -1, cfg.model_channels))
 
