@@ -94,3 +94,60 @@ class CameraVideo2WorldModel(Video2WorldModel):
         """[zeros | encoded conditioning clip | zeros] (reference :206)."""
         z = jnp.zeros_like(cond_latents)
         return jnp.concatenate([z, cond_latents, z], axis=2)
+
+
+class CameraFrameinitVideo2WorldModel(CameraVideo2WorldModel):
+    """Frame-init camera variant (reference camera_conditioned_frameinit_
+    video2world_model_rectified_flow.py:45 + conditioner.py:115-143): same
+    [out0 | cond | out1] packing, but the mask anchors frame 0 plus the
+    first k frames of the middle and last chunks."""
+
+    def set_camera_condition(self, condition, gt_frames, num_conditional_frames: int):
+        B, _, T, _, _ = gt_frames.shape
+        k = num_conditional_frames
+        if T == 1:
+            mask = jnp.zeros((B, 1, T, 1, 1), dtype=gt_frames.dtype)
+        else:
+            idx = jnp.arange(T)
+            c = T // 3
+            m = (idx == 0) | ((idx >= c) & (idx < c + k)) | ((idx >= 2 * c) & (idx < 2 * c + k))
+            mask = jnp.broadcast_to(m.astype(gt_frames.dtype)[None, None, :, None, None], (B, 1, T, 1, 1))
+        return condition.replace(
+            gt_frames=gt_frames, condition_video_mask=mask, use_video_condition=jnp.asarray(True)
+        )
+
+
+def reorder_camera_chunks_ar(camera: jax.Array) -> jax.Array:
+    """AR dataset order [c0, c1, c2, c3, src] -> model order
+    [c0, c1, src, c2, c3] (reference AR model :96-99)."""
+    chunks = jnp.split(camera, 5, axis=1)
+    return jnp.concatenate([chunks[0], chunks[1], chunks[4], chunks[2], chunks[3]], axis=1)
+
+
+class CameraARVideo2WorldModel(CameraVideo2WorldModel):
+    """Autoregressive camera variant (reference camera_conditioned_ar_
+    video2world_model_rectified_flow.py:45 + conditioner.py:190-224):
+    latents pack [cond0 | cond1 | out | cond2 | cond3]; the mask covers the
+    first 2k and last 2k frames, optionally extending 6 frames into the
+    output chunk for long-video-generation rollouts (``lvg``)."""
+
+    def set_camera_condition(self, condition, gt_frames, num_conditional_frames: int, lvg: bool = False):
+        B, _, T, _, _ = gt_frames.shape
+        k = num_conditional_frames
+        if T == 1:
+            mask = jnp.zeros((B, 1, T, 1, 1), dtype=gt_frames.dtype)
+        else:
+            idx = jnp.arange(T)
+            m = (idx < 2 * k) | (idx >= T - 2 * k)
+            if lvg:
+                m = m | ((idx >= 2 * k) & (idx < 2 * k + 6))
+            mask = jnp.broadcast_to(m.astype(gt_frames.dtype)[None, None, :, None, None], (B, 1, T, 1, 1))
+        return condition.replace(
+            gt_frames=gt_frames, condition_video_mask=mask, use_video_condition=jnp.asarray(True)
+        )
+
+    def pack_inference_latents(self, cond_chunks: list[jax.Array], out_shape_latents: jax.Array) -> jax.Array:
+        """[cond0 | cond1 | zeros-like-out | cond2 | cond3]."""
+        z = jnp.zeros_like(out_shape_latents)
+        c0, c1, c2, c3 = cond_chunks
+        return jnp.concatenate([c0, c1, z, c2, c3], axis=2)

@@ -65,3 +65,29 @@ def test_camera_generate_and_sensitivity():
         lambda p, n, c: model.generate(p, n, c, guidance=1.5, num_conditional_frames=2)
     )(params, noise, cond2)
     assert float(jnp.max(jnp.abs(out - out2))) > 1e-4
+
+
+@pytest.mark.level(0)
+def test_frameinit_and_ar_masks():
+    from cosmos_predict2_tpu.models.camera import (
+        CameraARVideo2WorldModel,
+        CameraFrameinitVideo2WorldModel,
+        reorder_camera_chunks_ar,
+    )
+
+    net = dataclasses.replace(PRESETS["test"], dtype=jnp.float32, camera_dim=6)
+    gt = jnp.ones((1, 16, 9, 2, 2))
+    cond = make_condition(jnp.zeros((1, 8, 1024)), data_type=DataType.VIDEO)
+
+    fi = CameraFrameinitVideo2WorldModel(RFModelConfig(net=net, state_t=9))
+    m = np.asarray(fi.set_camera_condition(cond, gt, 1).condition_video_mask[0, 0, :, 0, 0])
+    np.testing.assert_array_equal(m, [1, 0, 0, 1, 0, 0, 1, 0, 0])  # frame 0 + chunk starts
+
+    gt10 = jnp.ones((1, 16, 10, 2, 2))
+    ar = CameraARVideo2WorldModel(RFModelConfig(net=net, state_t=10))
+    m = np.asarray(ar.set_camera_condition(cond, gt10, 1).condition_video_mask[0, 0, :, 0, 0])
+    np.testing.assert_array_equal(m, [1, 1, 0, 0, 0, 0, 0, 0, 1, 1])  # first/last 2k
+
+    cam = jnp.arange(10)[None, :, None] * jnp.ones((1, 10, 3))
+    out = reorder_camera_chunks_ar(cam)
+    np.testing.assert_array_equal(np.asarray(out[0, :, 0]), [0, 1, 2, 3, 8, 9, 4, 5, 6, 7])
