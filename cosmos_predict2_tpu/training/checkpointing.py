@@ -73,3 +73,18 @@ def load_consolidated(template: Any, path: str) -> Any:
     with open(path, "rb") as f:
         data = f.read()
     return serialization.from_bytes(template, data)
+
+
+def load_ema_to_reg(state: Any, dtype=None) -> Any:
+    """Swap EMA weights into the regular-params slot for inference
+    (reference checkpointer/dcp.py:205-280 ``load_ema_to_reg`` — released
+    checkpoints and samples use the EMA weights).
+
+    Takes a restored TrainState(-like) pytree; returns it with
+    ``params = ema_params`` (cast to ``dtype`` if given). No-op when the
+    checkpoint has no EMA."""
+    ema = getattr(state, "ema_params", None)
+    if ema is None:
+        return state
+    params = jax.tree.map(lambda p: p.astype(dtype) if dtype is not None else p, ema)
+    return state.replace(params=params)

@@ -193,3 +193,17 @@ def test_config_save(tmp_path):
     data = json.load(open(path))
     assert data["trainer"]["max_iter"] == 3
     assert data["model"]["net"]["model_channels"] == 1024
+
+
+@pytest.mark.level(0)
+def test_load_ema_to_reg():
+    from cosmos_predict2_tpu.training.checkpointing import load_ema_to_reg
+    from cosmos_predict2_tpu.training.trainer import TrainState
+
+    p = {"w": jnp.ones((2, 2))}
+    e = {"w": jnp.full((2, 2), 3.0)}
+    st = TrainState(step=jnp.zeros(()), params=p, ema_params=e, opt_state=None)
+    out = load_ema_to_reg(st, dtype=jnp.bfloat16)
+    assert float(out.params["w"][0, 0]) == 3.0 and out.params["w"].dtype == jnp.bfloat16
+    st2 = TrainState(step=jnp.zeros(()), params=p, ema_params=None, opt_state=None)
+    assert load_ema_to_reg(st2) is st2
