@@ -119,3 +119,75 @@ def create_text_guardrail_runner(config: GuardrailConfig = GuardrailConfig()) ->
 def create_video_guardrail_runner(config: GuardrailConfig = GuardrailConfig()):
     runner = GuardrailRunner(config)
     return runner.run_video_guardrail
+
+
+# ------------------- video content safety classifier -------------------
+# JAX port of the reference classifier head
+# (guardrail/video_content_safety_filter/model.py:30-62: SigLIP frame
+# embedding (1152-d) -> Linear/BN/ReLU x2 -> 7-class logits; a video is
+# unsafe when more than CUTOFF_UNSAFE_FRAMES_PERCENT of sampled frames
+# classify non-Safe, video_content_safety_filter.py:115-146).
+
+CUTOFF_UNSAFE_FRAMES_PERCENT = 10.0
+
+
+def safety_classifier_apply(params: dict, x: "np.ndarray"):
+    """Inference-mode classifier head. params: {'fc1','bn1','fc2','bn2','fc3'}
+    with fc={'w','b'}, bn={'scale','bias','mean','var'}; x: (N, input_size)."""
+    import jax.numpy as jnp
+
+    def bn(p, h):
+        return (h - p["mean"]) / jnp.sqrt(p["var"] + 1e-5) * p["scale"] + p["bias"]
+
+    h = x @ params["fc1"]["w"] + params["fc1"]["b"]
+    h = jnp.maximum(bn(params["bn1"], h), 0.0)
+    h = h @ params["fc2"]["w"] + params["fc2"]["b"]
+    h = jnp.maximum(bn(params["bn2"], h), 0.0)
+    return h @ params["fc3"]["w"] + params["fc3"]["b"]
+
+
+def convert_safety_classifier_state_dict(sd: dict) -> dict:
+    """torch VideoSafetyModel state dict -> params for
+    ``safety_classifier_apply`` (layers 0/1, 3/4, 6 of the Sequential)."""
+
+    def a(name):
+        t = sd[name]
+        return np.asarray(t.float().cpu().numpy() if hasattr(t, "cpu") else t, dtype=np.float32)
+
+    def fc(i):
+        return {"w": a(f"network.layers.{i}.weight").T, "b": a(f"network.layers.{i}.bias")}
+
+    def bn(i):
+        return {
+            "scale": a(f"network.layers.{i}.weight"),
+            "bias": a(f"network.layers.{i}.bias"),
+            "mean": a(f"network.layers.{i}.running_mean"),
+            "var": a(f"network.layers.{i}.running_var"),
+        }
+
+    return {"fc1": fc(0), "bn1": bn(1), "fc2": fc(3), "bn2": bn(4), "fc3": fc(6)}
+
+
+class VideoContentSafetyFilter:
+    """Frame-sampled video safety check. ``embed_frames`` maps uint8 frames
+    (N, H, W, 3) to embeddings (N, D) — plug in a SigLIP host hook or the
+    in-repo CLIP tower (text_encoders/clip_vision.py, run_head=True)."""
+
+    def __init__(self, embed_frames: Callable, classifier_params: dict, sample_every: int = 8):
+        self.embed_frames = embed_frames
+        self.params = classifier_params
+        self.sample_every = sample_every
+
+    def is_safe_frames(self, frames_u8: np.ndarray) -> bool:
+        import jax.numpy as jnp
+
+        sampled = frames_u8[:: self.sample_every]
+        emb = self.embed_frames(sampled)
+        logits = safety_classifier_apply(self.params, jnp.asarray(emb))
+        classes = np.asarray(jnp.argmax(logits, axis=-1))
+        unsafe = int((classes != 0).sum())  # class 0 == "Safe"
+        frac = unsafe / max(1, len(classes))
+        if frac > CUTOFF_UNSAFE_FRAMES_PERCENT / 100.0:
+            log.warning(f"video unsafe: {unsafe}/{len(classes)} sampled frames flagged")
+            return False
+        return True

@@ -168,3 +168,44 @@ def test_easy_io_roundtrips(tmp_path):
     with pytest.raises(NotImplementedError, match="scheme"):
         easy_io.load("s3://bucket/key.json")
     assert easy_io.exists(p)
+
+
+@pytest.mark.level(0)
+def test_video_content_safety_filter():
+    import torch
+    import jax.numpy as jnp
+
+    from cosmos_predict2_tpu.utils.guardrails import (
+        VideoContentSafetyFilter,
+        convert_safety_classifier_state_dict,
+        safety_classifier_apply,
+    )
+
+    torch.manual_seed(0)
+    D, NC = 16, 7
+    layers = torch.nn.Sequential(
+        torch.nn.Linear(D, 512), torch.nn.BatchNorm1d(512), torch.nn.ReLU(),
+        torch.nn.Linear(512, 256), torch.nn.BatchNorm1d(256), torch.nn.ReLU(),
+        torch.nn.Linear(256, NC),
+    ).eval()
+    # give BN non-trivial running stats
+    with torch.no_grad():
+        layers(torch.randn(32, D))
+    sd = {f"network.layers.{k}": v for k, v in layers.state_dict().items()}
+    params = convert_safety_classifier_state_dict(sd)
+
+    x = torch.randn(5, D)
+    with torch.no_grad():
+        want = layers(x).numpy()
+    got = np.asarray(safety_classifier_apply(params, jnp.asarray(x.numpy())))
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+    # end-to-end filter with a fake embedder: all frames map to one embedding
+    emb = x[:1].numpy()
+    safe_cls = int(want[0].argmax())
+    filt = VideoContentSafetyFilter(
+        embed_frames=lambda frames: np.repeat(emb, len(frames), axis=0),
+        classifier_params=params, sample_every=1,
+    )
+    frames = np.zeros((4, 8, 8, 3), dtype=np.uint8)
+    assert filt.is_safe_frames(frames) == (safe_cls == 0)
