@@ -301,7 +301,10 @@ class Text2ImageInference:
         return ((frames[0] + 1.0) * 127.5).clip(0, 255).astype(np.uint8)
 
     def save_image(self, image_u8: np.ndarray, path: str) -> str:
+        import os
+
         from PIL import Image
 
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
         Image.fromarray(image_u8).save(path)
         return path
