@@ -51,7 +51,7 @@ def test_to_pm1(lib):
     np.testing.assert_allclose(got, x.astype(np.float32) / 127.5 - 1.0, atol=1e-6)
 
 
-@pytest.mark.level(1)
+@pytest.mark.level(2)  # timing assertion; flaky when the single host core is shared
 def test_native_resize_faster_than_pil(lib):
     from PIL import Image
 
