@@ -223,3 +223,135 @@ def convert_model_checkpoint(path: str, num_blocks: int, use_ema: bool = True, u
     if any(k.startswith(prefix) for k in sd):
         sd = strip_prefix(sd, prefix)
     return convert_dit_state_dict(sd, num_blocks, use_adaln_lora)
+
+
+# ----------------------------- Wan DiT -----------------------------
+
+
+def _wan_lin(sd: Mapping[str, Array], name: str) -> dict:
+    out = {"kernel": _t(sd[name + ".weight"])}
+    if name + ".bias" in sd:
+        out["bias"] = np.asarray(sd[name + ".bias"])
+    return out
+
+
+def convert_wan_dit_state_dict(
+    sd: Mapping[str, Array], num_layers: int, i2v: bool = False, extra_in_channels: int = 1
+) -> dict:
+    """torch WanModel state dict (reference networks/wan2pt1.py:315-783
+    naming) -> flax params for networks/wan_dit.WanModel.
+
+    ``extra_in_channels``: input channels our net concatenates that the
+    released weights were trained without (the Cosmos padding-mask channel,
+    WanConfig.concat_padding_mask). The patch-embedding kernel is
+    zero-extended for them — channel order is (C, kt, kh, kw)-major, so the
+    new rows append at the end."""
+    patch = _wan_lin(sd, "patch_embedding")
+    if extra_in_channels:
+        k = patch["kernel"]
+        # rows per input channel = prod(patch_size); torch in = C*prod
+        # infer prod from the head kernel? safer: rows divisible by channels
+        # is unknown here, so callers pass channels; rows per channel:
+        extra_rows = extra_in_channels * 4  # patch (1, 2, 2)
+        patch["kernel"] = np.concatenate(
+            [k, np.zeros((extra_rows, k.shape[1]), dtype=np.asarray(k).dtype)], axis=0
+        )
+    p: dict = {
+        "patch_embedding": patch,
+        "text_embedding_0": _wan_lin(sd, "text_embedding.0"),
+        "text_embedding_2": _wan_lin(sd, "text_embedding.2"),
+        "time_embedding_0": _wan_lin(sd, "time_embedding.0"),
+        "time_embedding_2": _wan_lin(sd, "time_embedding.2"),
+        "time_projection_1": _wan_lin(sd, "time_projection.1"),
+        "head": _wan_lin(sd, "head.head"),
+        "head_modulation": np.asarray(sd["head.modulation"]),
+    }
+    if i2v:
+        p["img_emb_ln0_w"] = np.asarray(sd["img_emb.proj.0.weight"])
+        p["img_emb_ln0_b"] = np.asarray(sd["img_emb.proj.0.bias"])
+        p["img_emb_1"] = _wan_lin(sd, "img_emb.proj.1")
+        p["img_emb_3"] = _wan_lin(sd, "img_emb.proj.3")
+        p["img_emb_ln4_w"] = np.asarray(sd["img_emb.proj.4.weight"])
+        p["img_emb_ln4_b"] = np.asarray(sd["img_emb.proj.4.bias"])
+    for i in range(num_layers):
+        t = f"blocks.{i}."
+        self_attn = {
+            "q": _wan_lin(sd, t + "self_attn.q"),
+            "k": _wan_lin(sd, t + "self_attn.k"),
+            "v": _wan_lin(sd, t + "self_attn.v"),
+            "o": _wan_lin(sd, t + "self_attn.o"),
+            "norm_q": {"weight": np.asarray(sd[t + "self_attn.norm_q.weight"])},
+            "norm_k": {"weight": np.asarray(sd[t + "self_attn.norm_k.weight"])},
+        }
+        cross = {
+            "q": _wan_lin(sd, t + "cross_attn.q"),
+            "k": _wan_lin(sd, t + "cross_attn.k"),
+            "v": _wan_lin(sd, t + "cross_attn.v"),
+            "o": _wan_lin(sd, t + "cross_attn.o"),
+            "norm_q": {"weight": np.asarray(sd[t + "cross_attn.norm_q.weight"])},
+            "norm_k": {"weight": np.asarray(sd[t + "cross_attn.norm_k.weight"])},
+        }
+        if i2v:
+            cross["k_img"] = _wan_lin(sd, t + "cross_attn.k_img")
+            cross["v_img"] = _wan_lin(sd, t + "cross_attn.v_img")
+            cross["norm_k_img"] = {"weight": np.asarray(sd[t + "cross_attn.norm_k_img.weight"])}
+        p[f"blocks_{i}"] = {
+            "self_attn": self_attn,
+            "cross_attn": cross,
+            "norm3_weight": np.asarray(sd[t + "norm3.weight"]),
+            "norm3_bias": np.asarray(sd[t + "norm3.bias"]),
+            "ffn_0": _wan_lin(sd, t + "ffn.0"),
+            "ffn_2": _wan_lin(sd, t + "ffn.2"),
+            "modulation": np.asarray(sd[t + "modulation"]),
+        }
+    return {"params": p}
+
+
+# ----------------------------- Wan2.2 VAE -----------------------------
+
+
+def convert_wan22_vae_state_dict(
+    sd: Mapping[str, Array], num_res_blocks: int = 2, num_stages: int = 4
+) -> dict:
+    """torch Wan2.2 VAE state dict (reference tokenizers/wan2pt2.py:475-625
+    naming: Down_/Up_ResidualBlock macro stages, param-free AvgDown3D/DupUp3D
+    shortcuts) -> flax params for tokenizers/wan22_vae.Wan22VAE."""
+
+    def causal_conv(prefix: str) -> dict:
+        return {"weight": _conv3d(np.asarray(sd[f"{prefix}.weight"])),
+                "bias": np.asarray(sd[f"{prefix}.bias"])}
+
+    def stage(prefix: str, n_blocks: int, has_resample: bool) -> dict:
+        out = {f"res_{j}": _vae_resblock(sd, f"{prefix}.{j}") for j in range(n_blocks)}
+        if has_resample:
+            out["resample"] = _vae_resample(sd, f"{prefix}.{n_blocks}")
+        return out
+
+    enc: dict = {"conv1": causal_conv("encoder.conv1")}
+    for s in range(num_stages):
+        enc[f"down_{s}"] = stage(
+            f"encoder.downsamples.{s}.downsamples", num_res_blocks, has_resample=s != num_stages - 1
+        )
+    enc["mid_res1"] = _vae_resblock(sd, "encoder.middle.0")
+    enc["mid_attn"] = _vae_attn(sd, "encoder.middle.1")
+    enc["mid_res2"] = _vae_resblock(sd, "encoder.middle.2")
+    enc["head_norm"] = {"gamma": np.asarray(sd["encoder.head.0.gamma"]).reshape(-1)}
+    enc["head_conv"] = causal_conv("encoder.head.2")
+
+    dec: dict = {"conv1": causal_conv("decoder.conv1")}
+    dec["mid_res1"] = _vae_resblock(sd, "decoder.middle.0")
+    dec["mid_attn"] = _vae_attn(sd, "decoder.middle.1")
+    dec["mid_res2"] = _vae_resblock(sd, "decoder.middle.2")
+    for s in range(num_stages):
+        dec[f"up_{s}"] = stage(
+            f"decoder.upsamples.{s}.upsamples", num_res_blocks + 1, has_resample=s != num_stages - 1
+        )
+    dec["head_norm"] = {"gamma": np.asarray(sd["decoder.head.0.gamma"]).reshape(-1)}
+    dec["head_conv"] = causal_conv("decoder.head.2")
+
+    return {"params": {
+        "encoder": enc,
+        "decoder": dec,
+        "conv1": causal_conv("conv1"),
+        "conv2": causal_conv("conv2"),
+    }}

@@ -206,3 +206,66 @@ def test_strip_prefix():
     sd = {"net.a": 1, "net_ema.a": 2, "other": 3}
     assert strip_prefix(sd, "net.") == {"a": 1}
     assert strip_prefix(sd, "net_ema.") == {"a": 2}
+
+
+@pytest.mark.level(1)
+def test_wan_dit_conversion_structure_and_forward():
+    import numpy as onp
+
+    from cosmos_predict2_tpu.networks.wan_dit import WanConfig, WanModel
+    from cosmos_predict2_tpu.utils.checkpoint_convert import convert_wan_dit_state_dict
+
+    cfg = WanConfig(model_type="i2v", dim=32, ffn_dim=64, num_heads=2, num_layers=2,
+                    text_dim=48, clip_dim=16, in_dim=36, out_dim=16, dtype=jnp.float32)
+    net = WanModel(cfg)
+    x = jnp.zeros((1, 16, 3, 4, 4))
+    ref_params = net.init(
+        jax.random.PRNGKey(0), x, jnp.zeros((1,)), jnp.zeros((1, 8, 48)),
+        y_B_C_T_H_W=jnp.zeros((1, 20, 3, 4, 4)),
+        frame_cond_crossattn_emb=jnp.zeros((1, 257, 16)),
+    )
+
+    rng = onp.random.RandomState(0)
+
+    def lin(n, i, o, bias=True):
+        sd[n + ".weight"] = rng.randn(o, i).astype("float32") * 0.05
+        if bias:
+            sd[n + ".bias"] = rng.randn(o).astype("float32") * 0.02
+
+    D, F, TD, CD = 32, 64, 48, 16
+    sd = {}
+    lin("patch_embedding", 36 * 4, D)
+    lin("text_embedding.0", TD, D); lin("text_embedding.2", D, D)
+    lin("time_embedding.0", 256, D); lin("time_embedding.2", D, D)
+    lin("time_projection.1", D, 6 * D)
+    lin("head.head", D, 16 * 4)
+    sd["head.modulation"] = rng.randn(1, 2, D).astype("float32") * 0.1
+    sd["img_emb.proj.0.weight"] = onp.ones(CD, "float32"); sd["img_emb.proj.0.bias"] = onp.zeros(CD, "float32")
+    lin("img_emb.proj.1", CD, CD); lin("img_emb.proj.3", CD, D)
+    sd["img_emb.proj.4.weight"] = onp.ones(D, "float32"); sd["img_emb.proj.4.bias"] = onp.zeros(D, "float32")
+    for i in range(2):
+        t = f"blocks.{i}."
+        for a in ("self_attn", "cross_attn"):
+            for n in "qkvo":
+                lin(t + f"{a}.{n}", D, D)
+            sd[t + f"{a}.norm_q.weight"] = onp.ones(D, "float32")
+            sd[t + f"{a}.norm_k.weight"] = onp.ones(D, "float32")
+        lin(t + "cross_attn.k_img", D, D); lin(t + "cross_attn.v_img", D, D)
+        sd[t + "cross_attn.norm_k_img.weight"] = onp.ones(D, "float32")
+        sd[t + "norm3.weight"] = onp.ones(D, "float32"); sd[t + "norm3.bias"] = onp.zeros(D, "float32")
+        lin(t + "ffn.0", D, F); lin(t + "ffn.2", F, D)
+        sd[t + "modulation"] = rng.randn(1, 6, D).astype("float32") * 0.1
+
+    converted = convert_wan_dit_state_dict(sd, num_layers=2, i2v=True)
+    # identical tree structure (same keys, same shapes)
+    ref_flat = {"/".join(map(str, k)): v.shape for k, v in jax.tree_util.tree_flatten_with_path(ref_params)[0]}
+    got_flat = {"/".join(map(str, k)): onp.shape(v) for k, v in jax.tree_util.tree_flatten_with_path(converted)[0]}
+    assert set(ref_flat) == set(got_flat), set(ref_flat) ^ set(got_flat)
+    for k in ref_flat:
+        assert ref_flat[k] == got_flat[k], (k, ref_flat[k], got_flat[k])
+    out = net.apply(
+        jax.tree.map(jnp.asarray, converted), x, jnp.full((1,), 500.0), jnp.zeros((1, 8, 48)),
+        y_B_C_T_H_W=jnp.zeros((1, 20, 3, 4, 4)),
+        frame_cond_crossattn_emb=jnp.zeros((1, 257, 16)),
+    )
+    assert out.shape == (1, 16, 3, 4, 4) and np.isfinite(np.asarray(out)).all()
