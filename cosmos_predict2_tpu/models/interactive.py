@@ -206,3 +206,104 @@ class StreamingInference:
             if (step * nb + (init_latents.shape[2] if init_latents is not None else 0)) * tokens_per_frame > max_tokens:
                 caches = [shift_cache_window(c, nb * tokens_per_frame) for c in caches]
         return jnp.concatenate(blocks, axis=2)[:, :, :num_latent_frames]
+
+
+# -------------------------- self-forcing training --------------------------
+
+
+class SelfForcingDMD2:
+    """Self-forcing DMD2 training for the causal student (reference
+    interactive/models/action_video2world_self_forcing.py:229-450
+    ActionVideo2WorldModelTrigflowSelfForcingDMD2): the student generates the
+    clip AUTOREGRESSIVELY with its KV cache (instead of the bidirectional
+    backward simulation), then the standard DMD2 losses apply — generator =
+    distribution-matching gradient trick against frozen teacher + fake-score
+    critic, critic = denoising loss on the rolled-out video. Gradients flow
+    only through each block's final denoise step (grad_on_last_step), caches
+    are committed under stop_gradient — the reference's rollout detach.
+    """
+
+    def __init__(self, streaming: StreamingInference):
+        self.streaming = streaming
+        self.dm = streaming.dm
+
+    def rollout(
+        self,
+        params,
+        rng: jax.Array,
+        condition: Video2WorldCondition,
+        n_blocks: int,
+        latent_hw: tuple[int, int],
+        state_ch: int = 16,
+        grad_on_last_step: bool = True,
+    ) -> jax.Array:
+        """Autoregressive student generation, differentiable per-block on
+        the last denoise step. Returns (B, C, n_blocks*nb, h, w)."""
+        s = self.streaming
+        cfg = s.config
+        B = condition.crossattn_emb.shape[0]
+        h, w = latent_hw
+        nb = cfg.num_frame_per_block
+        caches = s.model.init_kv_caches(B, n_blocks * nb, h, w)
+        blocks = []
+        t_pos = 0
+        for step in range(n_blocks):
+            x, caches = s.generate_block(
+                params, jax.random.fold_in(rng, step), condition,
+                jax.tree.map(jax.lax.stop_gradient, caches),
+                (B, state_ch, nb, h, w), t_pos,
+            )
+            if not grad_on_last_step:
+                x = jax.lax.stop_gradient(x)
+            blocks.append(x)
+            t_pos += nb
+        return jnp.concatenate(blocks, axis=2)
+
+    def generator_loss(
+        self, student_params, teacher_params, fake_score_params, rng, condition,
+        uncondition, n_blocks: int, latent_hw: tuple[int, int], state_ch: int = 16,
+    ):
+        """DMD generator loss over the self-forced rollout (reference :252)."""
+        cfg = self.dm.config
+        rng_roll, rng_t, rng_d = jax.random.split(rng, 3)
+        G_x0 = self.rollout(student_params, rng_roll, condition, n_blocks, latent_hw, state_ch)
+        B = G_x0.shape[0]
+        D_time_B_T = self.dm.draw_training_time_D(rng_t, B)
+        # broadcast per-frame times over the rollout length
+        D_time_B_T = jnp.broadcast_to(D_time_B_T[:, :1], (B, G_x0.shape[2]))
+        D_eps = jax.random.normal(rng_d, G_x0.shape, dtype=jnp.float32)
+        D_time = D_time_B_T[:, None, :, None, None]
+        D_xt = G_x0 * jnp.cos(D_time) / cfg.sigma_data + D_eps * jnp.sin(D_time)
+
+        fake_x0 = jax.lax.stop_gradient(self.dm.denoise_edm(fake_score_params, D_xt, D_time_B_T, condition))
+        teacher_x0 = self.dm.denoise_edm(teacher_params, D_xt, D_time_B_T, condition)
+        if cfg.teacher_guidance > 0.0 and uncondition is not None:
+            t_un = self.dm.denoise_edm(teacher_params, D_xt, D_time_B_T, uncondition)
+            teacher_x0 = teacher_x0 + cfg.teacher_guidance * (teacher_x0 - t_un)
+        teacher_x0 = jax.lax.stop_gradient(teacher_x0)
+
+        weight = jnp.clip(jnp.mean(jnp.abs(G_x0 - teacher_x0), axis=(1, 2, 3, 4), keepdims=True), min=1e-5)
+        grad = jax.lax.stop_gradient((fake_x0 - teacher_x0) / weight)
+        loss = cfg.loss_scale_sid * jnp.mean(jnp.nan_to_num(jnp.square(G_x0 - jax.lax.stop_gradient(G_x0 - grad))))
+        return loss, {"self_forcing_dmd_loss": loss}
+
+    def critic_loss(
+        self, student_params, fake_score_params, rng, condition,
+        n_blocks: int, latent_hw: tuple[int, int], state_ch: int = 16,
+    ):
+        """Fake-score denoising loss on the (detached) rollout (reference :276)."""
+        cfg = self.dm.config
+        rng_roll, rng_t, rng_d = jax.random.split(rng, 3)
+        G_x0 = jax.lax.stop_gradient(
+            self.rollout(student_params, rng_roll, condition, n_blocks, latent_hw, state_ch, grad_on_last_step=False)
+        )
+        B = G_x0.shape[0]
+        D_time_B_T = jnp.broadcast_to(self.dm.draw_training_time_D(rng_t, B)[:, :1], (B, G_x0.shape[2]))
+        D_eps = jax.random.normal(rng_d, G_x0.shape, dtype=jnp.float32)
+        D_time = D_time_B_T[:, None, :, None, None]
+        D_xt = G_x0 * jnp.cos(D_time) / cfg.sigma_data + D_eps * jnp.sin(D_time)
+        fake_x0 = self.dm.denoise_edm(fake_score_params, D_xt, D_time_B_T, condition)
+        loss = cfg.loss_scale_fake_score * jnp.mean(
+            jnp.square(G_x0 - fake_x0) / jnp.square(jnp.sin(D_time))
+        )
+        return loss, {"self_forcing_critic_loss": loss}

@@ -84,3 +84,42 @@ def test_streaming_generation(causal_setup):
     out = stream.generate(params, jax.random.PRNGKey(5), cond, init, num_latent_frames=4, latent_shape_hw=(8, 8))
     assert out.shape == (1, 16, 4, 8, 8)
     assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.level(1)
+def test_self_forcing_dmd2_losses(causal_setup):
+    from cosmos_predict2_tpu.models.interactive import (
+        SelfForcingDMD2,
+        StreamingConfig,
+        StreamingInference,
+    )
+
+    model, params, condition, _shape = causal_setup
+    streaming = StreamingInference(
+        StreamingConfig(num_frame_per_block=1, cache_frame_size=8, num_steps=2), model
+    )
+    sf = SelfForcingDMD2(streaming)
+    h = w = 8
+    rng = jax.random.PRNGKey(0)
+
+    # distinct critic weights: grad signal is (fake_x0 - teacher_x0)
+    fake_params = jax.tree.map(lambda x: x * 1.05, params)
+
+    # gradient flows to the student through the rollout
+    def gloss(p):
+        loss, _ = sf.generator_loss(p, params, fake_params, rng, condition, None, n_blocks=2, latent_hw=(h, w))
+        return loss
+
+    loss, g = jax.value_and_grad(gloss)(params)
+    assert np.isfinite(float(loss))
+    gnorm = sum(float(jnp.sum(jnp.abs(x))) for x in jax.tree.leaves(g))
+    assert gnorm > 0.0
+
+    # critic loss: gradient flows to the fake score net, rollout detached
+    def closs(p):
+        loss, _ = sf.critic_loss(params, p, rng, condition, n_blocks=2, latent_hw=(h, w))
+        return loss
+
+    closs_v, cg = jax.value_and_grad(closs)(params)
+    assert np.isfinite(float(closs_v))
+    assert sum(float(jnp.sum(jnp.abs(x))) for x in jax.tree.leaves(cg)) > 0.0
