@@ -126,3 +126,53 @@ def test_qwen_tp_fsdp_sharded_forward():
         sharded = shard_params(params, mesh)
         got = jax.jit(lm.apply)(sharded, ids)
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.chips(8)
+@pytest.mark.level(1)
+def test_sharded_training_step_matches_single_device():
+    """3 trainer steps with params sharded over fsdp=2/tp=2 produce the
+    same losses and final params as the unsharded run (ZeRO-3 + TP is a
+    layout choice, not a numerics change)."""
+    import dataclasses
+
+    from cosmos_predict2_tpu.conditioning.conditioner import make_condition
+    from cosmos_predict2_tpu.models.video2world import RFModelConfig, Video2WorldModel
+    from cosmos_predict2_tpu.networks.dit import PRESETS
+    from cosmos_predict2_tpu.training.optim import OptimizerConfig
+    from cosmos_predict2_tpu.training.trainer import Trainer, TrainerConfig
+
+    net = dataclasses.replace(
+        PRESETS["test"], dtype=jnp.float32, remat="none", model_channels=128, num_heads=4, adaln_lora_dim=16
+    )
+    model = Video2WorldModel(RFModelConfig(net=net, state_t=2))
+    tc = TrainerConfig(
+        max_iter=3, logging_iter=10, save_iter=0, seed=0, ema_enabled=True,
+        optimizer=OptimizerConfig(lr=1e-4, warm_up_steps=(2,), cycle_lengths=(10,)),
+    )
+
+    def batches():
+        for i in range(3):
+            rng = np.random.RandomState(i)
+            latents = jnp.asarray(rng.randn(2, 16, 2, 4, 4), dtype=jnp.float32)
+            emb = jnp.asarray(rng.randn(2, 8, 1024), dtype=jnp.float32) * 0.02
+            yield latents, make_condition(emb).replace(gt_frames=latents)
+
+    params = model.init_params(jax.random.PRNGKey(0), (2, 16, 2, 4, 4), text_len=8)
+
+    trainer_a = Trainer(tc, model)
+    state_a = trainer_a.init_state(jax.tree.map(lambda x: jnp.array(x, copy=True), params))
+    state_a = trainer_a.train(state_a, batches())
+
+    mesh = make_mesh(1, 2, 1, 2, devices=jax.devices()[:4])
+    with jax.set_mesh(mesh):
+        trainer_b = Trainer(tc, model)
+        state_b = trainer_b.init_state(
+            shard_params(jax.tree.map(lambda x: jnp.array(x, copy=True), params), mesh)
+        )
+        state_b = trainer_b.train(state_b, batches())
+
+    for a, b in zip(jax.tree.leaves(state_a.params), jax.tree.leaves(state_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(state_a.ema_params), jax.tree.leaves(state_b.ema_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5)
