@@ -68,3 +68,39 @@ def test_native_resize_faster_than_pil(lib):
     # informational: native should be competitive (PIL uses SIMD too)
     print(f"native {t_native:.3f}s vs PIL {t_pil:.3f}s")
     assert t_native < t_pil * 3
+
+
+@pytest.mark.level(0)
+def test_native_tar_reader(tmp_path):
+    import tarfile
+
+    from cosmos_predict2_tpu.data.native_tar import NativeTarShard, get_lib
+
+    payloads = {f"sample_{i:03d}.bin": bytes([i]) * (100 + i * 37) for i in range(12)}
+    # include a long (>100 char) name to exercise GNU longname handling
+    long_name = "deep/" + "x" * 120 + ".bin"
+    payloads[long_name] = b"L" * 999
+    tar_path = str(tmp_path / "shard.tar")
+    with tarfile.open(tar_path, "w", format=tarfile.GNU_FORMAT) as tf:
+        for name, data in payloads.items():
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            import io as _io
+
+            tf.addfile(info, _io.BytesIO(data))
+
+    shard = NativeTarShard(tar_path)
+    assert get_lib() is not None  # toolchain exists in this image
+    assert len(shard) == len(payloads)
+    names = shard.names
+    assert set(names) == set(payloads)
+    for i, n in enumerate(names):
+        assert shard.read(i) == payloads[n]
+
+    # threaded prefetch returns identical bytes
+    order = list(range(len(names)))[::-1]
+    shard.prefetch(order)
+    for slot, idx in enumerate(order):
+        assert shard.get_prefetched(slot) == payloads[names[idx]]
+    shard.end_prefetch()
+    shard.close()
