@@ -108,21 +108,29 @@ class ShardedTarDataset:
         }
 
     def _iter_shard(self, path: str) -> Iterator[dict]:
-        with tarfile.open(path) as tar:
+        # native path: C++ index + threaded prefetch, IO off the GIL
+        # (data/native_tar.py; falls back to tarfile internally)
+        from cosmos_predict2_tpu.data.native_tar import NativeTarShard
+
+        shard = NativeTarShard(path)
+        try:
+            names = shard.names
+            shard.prefetch(list(range(len(names))))
             current_key, sample = None, {}
-            for member in tar:
-                if not member.isfile():
-                    continue
-                stem, _, ext = member.name.rpartition(".")
+            for i, name in enumerate(names):
+                stem, _, ext = name.rpartition(".")
                 if current_key is not None and stem != current_key and sample:
                     yield sample
                     sample = {}
                 current_key = stem
-                data = tar.extractfile(member).read()
+                data = shard.get_prefetched(i)
                 sample[ext] = self.decoders.get(ext, lambda b: b)(data)
                 sample["__key__"] = stem
             if sample:
                 yield sample
+        finally:
+            shard.end_prefetch()
+            shard.close()
 
     def __iter__(self) -> Iterator[dict]:
         epoch = 0
