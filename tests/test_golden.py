@@ -57,3 +57,33 @@ def test_golden(name):
         pytest.skip(f"golden value for {name} created; rerun to verify")
     expected = np.load(path)["value"]
     np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.level(1)
+def test_activation_dump_and_compare(tmp_path):
+    import dataclasses
+
+    from cosmos_predict2_tpu.networks.dit import MiniTrainDIT, PRESETS
+    from cosmos_predict2_tpu.utils.golden_activations import (
+        compare_activation_dumps,
+        dump_dit_activations,
+    )
+
+    net = MiniTrainDIT(dataclasses.replace(PRESETS["test"], dtype=jnp.float32, remat="none"))
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 2, 4, 4))
+    ts = jnp.full((1,), 500.0)
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 1024)) * 0.05
+    params = net.init(jax.random.PRNGKey(2), x, ts, ctx)
+
+    p1, p2 = str(tmp_path / "a.npz"), str(tmp_path / "b.npz")
+    arrays = dump_dit_activations(net, params, x, ts, ctx, p1)
+    assert set(arrays) == {"block_00", "block_01", "output", "input"}
+    dump_dit_activations(net, params, x, ts, ctx, p2)
+    diffs = compare_activation_dumps(p1, p2)
+    assert all(d.max_abs == 0.0 for d in diffs)  # deterministic reruns
+
+    # a perturbed dump is flagged, worst first
+    perturbed = {k: v + (0.1 if k == "block_01" else 0.0) for k, v in arrays.items()}
+    np.savez_compressed(p2, **perturbed)
+    diffs = compare_activation_dumps(p1, p2)
+    assert diffs[0].name == "block_01" and diffs[0].max_abs > 0.09
