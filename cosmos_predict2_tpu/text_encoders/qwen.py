@@ -156,13 +156,19 @@ class QwenLM(nn.Module):
     config: QwenConfig
 
     @nn.compact
-    def __call__(self, input_ids: jax.Array) -> list[jax.Array]:
+    def __call__(self, input_ids: jax.Array, vision_embeds=None, vision_mask=None) -> list[jax.Array]:
+        """``vision_embeds`` (B, S, D) + boolean ``vision_mask`` (B, S):
+        multimodal prompts — vision-tower outputs replace the text embedding
+        at image/video placeholder positions (the HF Qwen2.5-VL
+        inputs_embeds splice; reference reason1/networks/qwen2_5_vl.py)."""
         cfg = self.config
         B, S = input_ids.shape
         embed = self.param(
             "embed_tokens", nn.initializers.normal(0.02), (cfg.vocab_size, cfg.hidden_size)
         )
         x = embed[input_ids].astype(cfg.dtype)
+        if vision_embeds is not None:
+            x = jnp.where(vision_mask[..., None], vision_embeds.astype(cfg.dtype), x)
 
         positions = jnp.arange(S)
         angles = rope_1d_angles(positions, cfg.head_dim, cfg.rope_theta)

@@ -92,6 +92,23 @@ class CosmosTextEncoder:
     def compute_text_embeddings_online(self, prompts: list[str]) -> jax.Array:
         return self.encode_tokens(self.tokenize(prompts))
 
+    def encode_multimodal(self, input_ids, vision_embeds, vision_mask) -> jax.Array:
+        """Video/image-prompt embeddings (reference reason1 vlm_qwen path):
+        vision-tower outputs (text_encoders/qwen_vision.encode_pixels,
+        projected to hidden_size) are spliced over the placeholder token
+        positions before the LM runs; pooling is unchanged."""
+        if self.params is None:
+            raise ValueError("text encoder params not loaded")
+        hidden_states = self.lm.apply(
+            self.params, jnp.asarray(input_ids),
+            vision_embeds=vision_embeds, vision_mask=jnp.asarray(vision_mask),
+        )
+        return pool_hidden_states(
+            hidden_states,
+            strategy=self.config.embedding_concat_strategy,
+            n_layers_per_group=self.config.n_layers_per_group,
+        )
+
     def __call__(self, prompts: list[str]) -> jax.Array:
         return self.compute_text_embeddings_online(prompts)
 

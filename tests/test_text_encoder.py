@@ -77,3 +77,31 @@ def test_qwen_matches_huggingface():
             np.asarray(ours[i]), hf_hidden[i], atol=2e-4,
             err_msg=f"hidden state {i} mismatch",
         )
+
+
+@pytest.mark.level(1)
+def test_multimodal_vision_splice():
+    """Vision embeddings replace placeholder positions and change pooled
+    output only when the mask marks them."""
+    import dataclasses
+
+    from cosmos_predict2_tpu.text_encoders.qwen import QwenConfig, QwenLM
+
+    cfg = dataclasses.replace(
+        QwenConfig(), vocab_size=64, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=2, num_key_value_heads=1,
+        head_dim=16, dtype=jnp.float32,
+    )
+    lm = QwenLM(cfg)
+    ids = jnp.asarray(np.random.RandomState(0).randint(0, 64, (1, 12)))
+    params = lm.init(jax.random.PRNGKey(0), ids)
+
+    vis = jnp.asarray(np.random.RandomState(1).randn(1, 12, 32), dtype=jnp.float32)
+    mask = jnp.zeros((1, 12), dtype=bool).at[0, 3:7].set(True)
+
+    plain = lm.apply(params, ids)[-1]
+    spliced = lm.apply(params, ids, vision_embeds=vis, vision_mask=mask)[-1]
+    assert float(jnp.max(jnp.abs(plain - spliced))) > 1e-4
+    # a zero mask must be a no-op
+    same = lm.apply(params, ids, vision_embeds=vis, vision_mask=jnp.zeros((1, 12), bool))[-1]
+    np.testing.assert_allclose(np.asarray(plain), np.asarray(same), atol=0)
