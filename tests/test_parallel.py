@@ -176,3 +176,52 @@ def test_sharded_training_step_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5)
     for a, b in zip(jax.tree.leaves(state_a.ema_params), jax.tree.leaves(state_b.ema_params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.chips(8)
+@pytest.mark.level(1)
+def test_sharded_checkpoint_save_restore(tmp_path):
+    """Orbax round-trip of an fsdp/tp-sharded param tree: restore with the
+    same shardings and with different mesh shape (resharding on load)."""
+    from cosmos_predict2_tpu.training.checkpointing import Checkpointer
+
+    params = {
+        "w_big": jnp.arange(64 * 32, dtype=jnp.float32).reshape(64, 32),
+        "qkv": {"q_proj": {"kernel": jnp.ones((32, 64))}},
+        "bias": jnp.arange(8.0),
+    }
+    mesh = make_mesh(1, 2, 1, 2, devices=jax.devices()[:4])
+    with jax.set_mesh(mesh):
+        sharded = shard_params(params, mesh)
+        ckpt = Checkpointer(str(tmp_path / "ckpt"), async_save=False)
+        ckpt.save(sharded, 1)
+        ckpt.wait()
+
+        # restore onto the same shardings
+        from cosmos_predict2_tpu.parallel.mesh import param_shardings
+
+        abstract = jax.tree_util.tree_map_with_path(
+            lambda path, leaf: jax.ShapeDtypeStruct(
+                leaf.shape, leaf.dtype, sharding=NamedSharding(mesh, param_sharding_rules(path, leaf))
+            ),
+            params,
+        )
+        restored = ckpt.load(abstract)
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(restored)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+        ckpt.close()
+
+    # reshard on load: different mesh (fsdp=4)
+    mesh2 = make_mesh(1, 4, 1, 1, devices=jax.devices()[:4])
+    with jax.set_mesh(mesh2):
+        ckpt2 = Checkpointer(str(tmp_path / "ckpt"), async_save=False)
+        abstract2 = jax.tree_util.tree_map_with_path(
+            lambda path, leaf: jax.ShapeDtypeStruct(
+                leaf.shape, leaf.dtype, sharding=NamedSharding(mesh2, param_sharding_rules(path, leaf))
+            ),
+            params,
+        )
+        restored2 = ckpt2.load(abstract2)
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(restored2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+        ckpt2.close()
