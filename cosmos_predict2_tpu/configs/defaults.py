@@ -127,6 +127,61 @@ register_experiment(
 
 register_experiment(
     Experiment(
+        name="predict2_video2world_2b_action_conditioned",
+        base="predict2_video2world_2b_rectified_flow",
+        overrides={
+            # robot action vectors enter the t-embedding + AdaLN-LoRA
+            # (reference action/networks/action_conditioned_minimal_v1_lvg_dit.py:47-112)
+            "model.net.action_dim": 7 * 12,
+            "model.net.concat_condition_mask": True,
+            "model.state_t": 4,
+        },
+    )
+)
+
+register_experiment(
+    Experiment(
+        name="predict2_video2world_2b_camera_conditioned",
+        base="predict2_video2world_2b_rectified_flow",
+        overrides={
+            # per-block cam_encoder on Plücker-ray maps
+            # (reference camera/networks/minimal_v4_dit_camera_conditioned.py:1189)
+            "model.net.camera_dim": 6,
+        },
+    )
+)
+
+register_experiment(
+    Experiment(
+        name="predict2_multiview_2b_7views",
+        base="predict2_video2world_2b_rectified_flow",
+        overrides={
+            # 7-camera packing with per-view RoPE + view embeddings
+            # (reference predict2_multiview configs, buttercup experiments)
+            "model.net.n_views": 7,
+            "model.net.concat_view_embedding": True,
+            "model.net.view_condition_dim": 6,
+            "model.net.concat_condition_mask": True,
+            "model.state_t": 56,  # 8 latent frames x 7 views
+        },
+    )
+)
+
+register_experiment(
+    Experiment(
+        name="predict2_interactive_2b_causal",
+        base="predict2_video2world_2b_rectified_flow",
+        overrides={
+            # temporal block-causal attention for KV-cache streaming
+            # (reference interactive/networks/dit_causal.py:569)
+            "model.net.temporal_causal": True,
+            "model.net.num_frame_per_block": 1,
+        },
+    )
+)
+
+register_experiment(
+    Experiment(
         name="error-free_mock_data_smoke",
         groups={
             "net": "mini_net",

@@ -82,3 +82,20 @@ def test_train_cli_dryrun_and_smoke(tmp_path, monkeypatch):
             "data_train.width=32",
         ]
     ) == 0
+
+
+@pytest.mark.level(0)
+def test_variant_experiments_resolve():
+    from cosmos_predict2_tpu.configs.defaults import make_config
+
+    cfg = make_config("predict2_video2world_2b_action_conditioned")
+    assert cfg.model.net.action_dim == 84 and cfg.model.state_t == 4
+    cfg = make_config("predict2_video2world_2b_camera_conditioned")
+    assert cfg.model.net.camera_dim == 6
+    cfg = make_config("predict2_multiview_2b_7views")
+    assert cfg.model.net.n_views == 7 and cfg.model.state_t == 56
+    cfg = make_config("predict2_interactive_2b_causal")
+    assert cfg.model.net.temporal_causal
+    # base fields inherit through the chain
+    assert cfg.model.net.model_channels == 2048
+    assert cfg.model.net.crossattn_proj_in_channels == 100352
