@@ -37,6 +37,8 @@ def parse_args(argv=None):
     p.add_argument("--resolution", default="480")
     p.add_argument("--num-conditional-frames", type=int, default=1)
     p.add_argument("--autoregressive", action="store_true")
+    p.add_argument("--mode", choices=["video", "text2image"], default="video",
+                   help="text2image: single-frame generation (reference inference/text2image.py)")
     p.add_argument("--num-output-frames", type=int, default=77)
     p.add_argument("--disable-guardrails", action="store_true")
     p.add_argument("--text-embedding-path", default=None, help=".npy precomputed embedding (offline path)")
@@ -136,6 +138,25 @@ def main(argv=None) -> int:
 
     pipe = build_pipeline(args)
     guard = None if (args.disable_guardrails or SMOKE) else create_text_guardrail_runner()
+
+    if args.mode == "text2image":
+        import os
+
+        from cosmos_predict2_tpu.inference.pipeline import Text2ImageInference
+
+        if guard is not None and not guard(args.prompt):
+            print("prompt rejected by guardrail"); return 1
+        t2i = Text2ImageInference(pipe.setup, pipe.params, pipe.vae_params, text_encoder=pipe.text_encoder)
+        img = t2i.generate_image(
+            t2i.encode_text([args.prompt]),
+            guidance=args.guidance,
+            num_steps=args.num_steps or (1 if SMOKE else 35),
+            seed=args.seed,
+        )
+        out = t2i.save_image(img, os.path.join(args.output_dir, "sample.png"))
+        print(out)
+        return 0
+
     api = Inference(pipe, output_dir=args.output_dir, text_guardrail=guard)
 
     if args.batch:
