@@ -48,6 +48,9 @@ class InferenceArguments:
     chunk_overlap: int = 1
     # precomputed text embedding path (.npy) when no online encoder
     text_embedding_path: Optional[str] = None
+    # "video" (default) or "image": image runs the Text2Image single-frame
+    # path (reference inference/text2image.py) and writes a png
+    mode: str = "video"
 
     @staticmethod
     def from_file(path: str) -> list["InferenceArguments"]:
@@ -105,6 +108,23 @@ class Inference:
     def _generate_sample(self, args: InferenceArguments) -> str:
         if self.text_guardrail is not None and not self.text_guardrail(args.prompt):
             raise ValueError(f"prompt for {args.name} blocked by text guardrail")
+
+        if args.mode == "image":
+            from cosmos_predict2_tpu.inference.pipeline import Text2ImageInference
+
+            if not hasattr(self, "_t2i"):
+                self._t2i = Text2ImageInference(
+                    self.pipe.setup, self.pipe.params, self.pipe.vae_params,
+                    text_encoder=self.pipe.text_encoder,
+                )
+            img = self._t2i.generate_image(
+                self._text_embedding(args, args.prompt),
+                neg_text_emb=self._text_embedding(args, args.negative_prompt) if args.negative_prompt else None,
+                guidance=args.guidance, num_steps=args.num_steps, seed=args.seed,
+            )
+            path = self._t2i.save_image(img, os.path.join(self.output_dir, args.name + ".png"))
+            log.info(f"saved {path}")
+            return path
 
         h, w = self.pipe.video_size()
         nvf = self.pipe.num_video_frames

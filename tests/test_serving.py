@@ -84,3 +84,18 @@ def test_bad_requests(server):
     assert exc.value.code == 404
     with pytest.raises(urllib.error.HTTPError):
         _get(server.port, "/bogus")
+
+
+@pytest.mark.level(1)
+def test_generate_image_mode(server):
+    """POST /generate with mode=image produces a png via the job queue."""
+    out = _post(server.port, "/generate", {"name": "img_job", "prompt": "a lighthouse",
+                                           "mode": "image", "num_steps": 2, "guidance": 2.0})
+    job_id = out["job_id"]
+    for _ in range(600):
+        status = _get(server.port, f"/status/{job_id}")
+        if status["status"] in ("done", "error"):
+            break
+        time.sleep(0.5)
+    assert status["status"] == "done", status
+    assert status["output"].endswith(".png")
