@@ -14,6 +14,9 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
+import jax.numpy as jnp
+
 import numpy as np
 
 from cosmos_predict2_tpu.models.video2world import RFModelConfig, Video2WorldModel
@@ -112,3 +115,76 @@ def action_conditioned_model_config(
 
 class ActionConditionedVideo2WorldModel(Video2WorldModel):
     """Same training/sampling flow; the action rides in condition.action."""
+
+
+def get_action_sequence_from_states(
+    arm_states: np.ndarray,
+    gripper_states: np.ndarray,
+    fps_downsample_ratio: int = 1,
+    use_quat: bool = False,
+    action_scaler: float = 20.0,
+    gripper_scale: float = 1.0,
+) -> np.ndarray:
+    """Dataset robot states -> scaled relative-action sequence (reference
+    cosmos_predict2/action_conditioned.py:106-129): optionally fps-downsample
+    the state track, then take per-step relative actions."""
+    r = fps_downsample_ratio
+    return relative_actions_from_states(
+        arm_states[::r], gripper_states[::r],
+        use_quat=use_quat, action_scaler=action_scaler, gripper_scale=gripper_scale,
+    )
+
+
+class ActionConditionedInference:
+    """Robot video prediction: first frame(s) + action sequence -> clip
+    (reference cosmos_predict2/action_conditioned.py:205-320 inference())."""
+
+    def __init__(self, model: ActionConditionedVideo2WorldModel, params, vae, vae_params, text_encoder=None):
+        self.model = model
+        self.params = params
+        self.vae = vae
+        self.vae_params = vae_params
+        self.text_encoder = text_encoder
+        self._jit = jax.jit(self._impl, static_argnames=("num_steps", "num_conditional_frames"))
+
+    def _impl(self, params, vae_params, video_pm1, text_emb, actions, noise, guidance,
+              num_steps: int, num_conditional_frames: int):
+        from cosmos_predict2_tpu.conditioning.conditioner import DataType, make_condition
+        from cosmos_predict2_tpu.tokenizers.wan_vae import WanVAE
+
+        latents = self.vae.apply(vae_params, video_pm1, method=WanVAE.encode)
+        gt = latents.transpose(0, 4, 1, 2, 3).astype(jnp.float32)
+        condition = make_condition(text_emb, data_type=DataType.VIDEO)
+        condition = condition.replace(gt_frames=gt, action=actions)
+        samples = self.model.generate(
+            params, noise, condition, guidance=guidance, num_steps=num_steps,
+            num_conditional_frames=num_conditional_frames,
+        )
+        frames = self.vae.apply(
+            vae_params, samples.astype(jnp.bfloat16).transpose(0, 2, 3, 4, 1), method=WanVAE.decode
+        )
+        return frames
+
+    def generate(
+        self,
+        video_u8: np.ndarray,  # (1, T, H, W, 3) conditioning frames (rest zeros)
+        actions: np.ndarray,  # (T_act, action_dim) from get_action_sequence_from_states
+        prompt_emb: jax.Array,
+        guidance: float = 3.0,
+        num_steps: int = 35,
+        num_conditional_frames: int = 1,
+        seed: int = 1,
+    ) -> np.ndarray:
+        from cosmos_predict2_tpu.utils.misc import arch_invariant_rand
+
+        mc = self.model.config
+        B, T, H, W, _ = video_u8.shape
+        video = jnp.asarray(video_u8, jnp.float32) / 127.5 - 1.0
+        latent_shape = (B, mc.state_ch, 1 + (T - 1) // 4, H // 8, W // 8)
+        noise = arch_invariant_rand(latent_shape, seed=seed)
+        act = jnp.asarray(actions, jnp.float32)[None] if actions.ndim == 2 else jnp.asarray(actions, jnp.float32)
+        frames = self._jit(
+            self.params, self.vae_params, video, prompt_emb, act, noise,
+            jnp.float32(guidance), num_steps=num_steps, num_conditional_frames=num_conditional_frames,
+        )
+        return np.asarray((frames[0] + 1.0) * 127.5).clip(0, 255).astype(np.uint8)

@@ -68,3 +68,43 @@ def test_action_conditioned_training_and_sampling():
     cond2 = cond.replace(action=action + 1.0)
     lat2 = model.generate(params, noise, cond2, guidance=2.0, num_steps=2, num_conditional_frames=1)
     assert np.abs(np.asarray(lat) - np.asarray(lat2))[:, :, 1:].max() > 1e-4
+
+
+@pytest.mark.level(1)
+def test_action_inference_pipeline():
+    from cosmos_predict2_tpu.models.action_conditioned import (
+        ActionConditionedInference,
+        ActionConditionedVideo2WorldModel,
+        action_conditioned_model_config,
+        get_action_sequence_from_states,
+    )
+    from cosmos_predict2_tpu.networks.dit import PRESETS
+    from cosmos_predict2_tpu.tokenizers.wan_vae import WanVAE, WanVAEConfig
+
+    net = dataclasses.replace(PRESETS["test"], dtype=jnp.float32, remat="none")
+    cfg = action_conditioned_model_config(net, action_dim=7, num_action_per_chunk=4,
+                                          state_t=2, sampling_num_steps=2)
+    model = ActionConditionedVideo2WorldModel(cfg)
+    latent_shape = (1, 16, 2, 4, 4)
+    x = jnp.zeros(latent_shape)
+    params = model.net.init(
+        jax.random.PRNGKey(0), x, jnp.zeros((1,)), jnp.zeros((1, 8, 1024)),
+        condition_mask=jnp.zeros((1, 1, 2, 4, 4)), action=jnp.zeros((1, 4, 7)),
+    )
+    vae_cfg = WanVAEConfig(dim=16, dtype=jnp.float32)
+    vae = WanVAE(vae_cfg)
+    vae_params = vae.init(jax.random.PRNGKey(1), jnp.zeros((1, 5, 32, 32, 3)))
+
+    # robot states -> actions
+    rng = np.random.RandomState(0)
+    arm = rng.randn(9, 6) * 0.01
+    grip = rng.rand(9)
+    actions = get_action_sequence_from_states(arm, grip, fps_downsample_ratio=2)
+    assert actions.shape == (4, 7)
+
+    pipe = ActionConditionedInference(model, params, vae, vae_params)
+    video = np.zeros((1, 5, 32, 32, 3), dtype=np.uint8)
+    video[:, 0] = 127
+    emb = np.asarray(jax.random.normal(jax.random.PRNGKey(2), (1, 8, 1024))) * 0.05
+    out = pipe.generate(video, actions, jnp.asarray(emb), num_steps=2, guidance=2.0)
+    assert out.shape == (5, 32, 32, 3) and out.dtype == np.uint8
