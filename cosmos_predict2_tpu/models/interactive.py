@@ -218,9 +218,10 @@ class SelfForcingDMD2:
     clip AUTOREGRESSIVELY with its KV cache (instead of the bidirectional
     backward simulation), then the standard DMD2 losses apply — generator =
     distribution-matching gradient trick against frozen teacher + fake-score
-    critic, critic = denoising loss on the rolled-out video. Gradients flow
-    only through each block's final denoise step (grad_on_last_step), caches
-    are committed under stop_gradient — the reference's rollout detach.
+    critic, critic = denoising loss on the rolled-out video. Gradients flow through
+    each block's few-step denoise (disable with grad_on_last_step=False for
+    the critic's detached rollout); caches are committed under
+    stop_gradient — the reference's rollout detach.
     """
 
     def __init__(self, streaming: StreamingInference):
@@ -237,8 +238,9 @@ class SelfForcingDMD2:
         state_ch: int = 16,
         grad_on_last_step: bool = True,
     ) -> jax.Array:
-        """Autoregressive student generation, differentiable per-block on
-        the last denoise step. Returns (B, C, n_blocks*nb, h, w)."""
+        """Autoregressive student generation; each block's few-step denoise
+        is differentiable, KV caches are detached between blocks.
+        Returns (B, C, n_blocks*nb, h, w)."""
         s = self.streaming
         cfg = s.config
         B = condition.crossattn_emb.shape[0]
