@@ -115,15 +115,15 @@ def set_timesteps(
     if use_karras_sigma:
         sigmas = karras_sigmas(num_steps)
     else:
-        # Reference __init__ computes sigma_max/min from the *shifted* init
-        # schedule; set_timesteps then linspaces over [sigma_max, sigma_min]
-        # of the shift=config.shift init schedule. The init schedule here
-        # uses shift 1.0 default => sigma_max = 1.0, sigma_min = 1/N... but
-        # the reference constructs the scheduler with its config shift. In
-        # the cosmos inference path the scheduler is built with default
-        # shift=1.0 then set_timesteps(shift=5) is called, so:
-        sigma_max = 1.0
-        sigma_min = 1.0 / n_train
+        # Reference __init__ (fm_solvers_unipc.py:100-123): the init schedule
+        # is sigmas = 1 - linspace(1, 1/N, N)[::-1], i.e. descending from
+        # 1 - 1/N to 0, so sigma_max = 1 - 1/N and sigma_min = 0 (scheduler
+        # built with default shift=1; the inference path then calls
+        # set_timesteps(shift=5), which linspaces over [sigma_max, sigma_min]
+        # and applies the shift map). Pinned by
+        # tests/test_reference_parity.py against the actual reference code.
+        sigma_max = 1.0 - 1.0 / n_train
+        sigma_min = 0.0
         sigmas = np.linspace(sigma_max, sigma_min, num_steps + 1)[:-1]
         sigmas = shift_sigmas(sigmas, shift)
     # reference casts model-facing timesteps to int64 (set_timesteps :204:

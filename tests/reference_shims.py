@@ -1,0 +1,310 @@
+"""Import the CUDA/torch reference on CPU for numerics-parity tests.
+
+The reference package (/root/reference) guards import behind a CUDA extra
+and pulls GPU-only / uninstalled deps (megatron, transformer_engine,
+loguru, diffusers, ...). For *numerics parity* we only need the pure-torch
+math — the Wan VAE (tokenizers/wan2pt1.py:264-592 is TE-free) and the
+FlowUniPC scheduler (models/fm_solvers_unipc.py) — so this module installs
+minimal fakes in sys.modules before importing those files.
+
+PARITY-ONLY: nothing here is shipped; it exists so tests can pin the JAX
+implementations against the actual reference code instead of
+self-generated goldens.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import sys
+import types
+
+REFERENCE = "/root/reference"
+
+
+def _mod(name: str, **attrs) -> types.ModuleType:
+    m = types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(m, k, v)
+    sys.modules[name] = m
+    return m
+
+
+def _noop(*a, **k):
+    return None
+
+
+_installed = False
+
+
+def install_shims() -> None:
+    global _installed
+    if _installed:
+        return
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+
+    # --- cosmos_cuda: satisfy the CUDA-extra version guard -------------
+    spec = importlib.util.spec_from_file_location(
+        "_cosmos_about", f"{REFERENCE}/cosmos_predict2/__about__.py"
+    )
+    about = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(about)
+    _mod("cosmos_cuda", __version__=about.__version__)
+
+    # --- megatron.core.parallel_state (CP plumbing; unused on 1 CPU) ---
+    ps = _mod(
+        "megatron.core.parallel_state",
+        get_context_parallel_group=_noop,
+        get_context_parallel_world_size=lambda *a, **k: 1,
+        get_context_parallel_rank=lambda *a, **k: 0,
+        is_initialized=lambda: False,
+    )
+    core = _mod("megatron.core", parallel_state=ps)
+    _mod("megatron", core=core)
+
+    # --- transformer_engine (GPU-only; parity targets never call it) ---
+    te_pytorch = _mod("transformer_engine.pytorch")
+    _mod("transformer_engine", pytorch=te_pytorch)
+
+    # --- boto3/botocore (S3 IO; parity tests only touch local tensors) --
+    class _FakeClient:
+        def __getattr__(self, name):
+            raise RuntimeError("boto3 shim: no network in parity tests")
+
+    _mod("boto3", client=lambda *a, **k: _FakeClient(), Session=_FakeClient)
+    _mod("botocore")
+    _mod("botocore.config", Config=_FakeClient)
+    _mod("botocore.exceptions", ClientError=RuntimeError, NoCredentialsError=RuntimeError)
+    _mod(
+        "multistorageclient",
+        StorageClient=_FakeClient,
+        StorageClientConfig=_FakeClient,
+    )
+    _mod("multistorageclient.types", MSC_PROTOCOL="msc://")
+
+    # --- fvcore (lazy_config re-exports its Registry) --------------------
+    class _Registry:
+        def __init__(self, name="shim"):
+            self._name = name
+            self._map = {}
+
+        def register(self, obj=None):
+            if obj is None:
+                return lambda o: o
+            return obj
+
+        def get(self, name):
+            return self._map[name]
+
+    fv_registry = _mod("fvcore.common.registry", Registry=_Registry)
+    fv_common = _mod("fvcore.common", registry=fv_registry)
+    _mod("fvcore", common=fv_common)
+
+    # --- iopath (lazy_config PathManager plumbing; unused in parity) -----
+    class PathHandler:
+        pass
+
+    class _PathManager:
+        def register_handler(self, *a, **k):
+            pass
+
+        def open(self, path, mode="r", **k):
+            return open(path, mode)
+
+        def exists(self, path):
+            import os as _os
+
+            return _os.path.exists(path)
+
+    iopath_fio = _mod(
+        "iopath.common.file_io",
+        HTTPURLHandler=PathHandler,
+        OneDrivePathHandler=PathHandler,
+        PathHandler=PathHandler,
+        PathManager=_PathManager,
+        PathManagerFactory=types.SimpleNamespace(get=lambda *a, **k: _PathManager()),
+        g_pathmgr=_PathManager(),
+    )
+    iopath_common = _mod("iopath.common", file_io=iopath_fio)
+    _mod("iopath", common=iopath_common)
+
+    # --- omegaconf (conditioner.py type hints / isinstance only) --------
+    class DictConfig(dict):
+        pass
+
+    class ListConfig(list):
+        pass
+
+    class OmegaConf:
+        @staticmethod
+        def to_container(x, **k):
+            return x
+
+        @staticmethod
+        def create(x=None, **k):
+            return DictConfig(x or {})
+
+        @staticmethod
+        def register_new_resolver(*a, **k):
+            return None
+
+        @staticmethod
+        def is_config(x):
+            return isinstance(x, (DictConfig, ListConfig))
+
+    _mod("omegaconf", DictConfig=DictConfig, ListConfig=ListConfig, OmegaConf=OmegaConf)
+    import enum as _enum
+
+    class SCMode(_enum.Enum):
+        DICT = 1
+        DICT_CONFIG = 2
+        INSTANTIATE = 3
+
+    _mod("omegaconf.base", DictKeyType=str, SCMode=SCMode)
+    _mod(
+        "omegaconf.basecontainer",
+        BaseContainer=dict,
+    )
+    _mod("omegaconf.errors", OmegaConfBaseException=Exception)
+
+    # --- torchvision (clip.py uses transforms at runtime only) ----------
+    class _T:
+        def __getattr__(self, name):
+            return lambda *a, **k: (lambda x: x)
+
+    tv_transforms = _mod("torchvision.transforms")
+    tv_transforms.Compose = lambda fns: (lambda x: x)
+    tv_transforms.Normalize = _T().Normalize
+    tv_transforms.Resize = _T().Resize
+    tv_transforms.CenterCrop = _T().CenterCrop
+    tv_transforms.ToTensor = _T().ToTensor
+    _mod("torchvision", transforms=tv_transforms)
+
+    # --- pynvml (GPU monitoring; never called on CPU) -------------------
+    _mod(
+        "pynvml",
+        nvmlInit=_noop,
+        nvmlShutdown=_noop,
+        nvmlDeviceGetHandleByIndex=_noop,
+        nvmlDeviceGetMemoryInfo=_noop,
+        nvmlDeviceGetUtilizationRates=_noop,
+    )
+
+    # --- loguru: map to std logging -------------------------------------
+    import logging
+
+    class _Logger:
+        def __init__(self, *a, **k):
+            self._l = logging.getLogger("reference")
+            # loguru's internal options tuple: (exception, depth, record,
+            # lazy, colors, raw, capture, patchers, extra)
+            self._options = (None, 1, False, False, False, False, True, [], {})
+
+        def opt(self, *a, **k):
+            return self
+
+        def bind(self, *a, **k):
+            return self
+
+        def remove(self, *a, **k):
+            return None
+
+        def add(self, *a, **k):
+            return 0
+
+        def level(self, name, *a, **k):
+            return types.SimpleNamespace(name=name, no=20)
+
+        def log(self, level, msg, *a, **k):
+            self._l.info(msg)
+
+        def __getattr__(self, name):
+            if name in ("trace", "debug", "info", "success", "warning", "error", "critical", "exception"):
+                return lambda msg, *a, **k: self._l.info(str(msg))
+            raise AttributeError(name)
+
+    class _Core:
+        def __init__(self, *a, **k):
+            self.levels = {}
+            self.handlers = {}
+            self.extra = {}
+
+    logger = _Logger()
+    _mod("loguru", logger=logger)
+    _mod("loguru._logger", Core=_Core, Logger=_Logger)
+
+    # --- diffusers: just enough SchedulerMixin/ConfigMixin for UniPC ----
+    class ConfigMixin:
+        config_name = "scheduler_config.json"
+
+        @property
+        def config(self):
+            return types.SimpleNamespace(**getattr(self, "_internal_dict", {}))
+
+    def register_to_config(init):
+        import functools
+        import inspect
+
+        @functools.wraps(init)
+        def wrapped(self, *args, **kwargs):
+            sig = inspect.signature(init)
+            bound = sig.bind(self, *args, **kwargs)
+            bound.apply_defaults()
+            d = dict(bound.arguments)
+            d.pop("self", None)
+            self._internal_dict = d
+            init(self, *args, **kwargs)
+
+        return wrapped
+
+    class SchedulerMixin:
+        pass
+
+    class SchedulerOutput:
+        def __init__(self, prev_sample=None):
+            self.prev_sample = prev_sample
+
+    import enum
+
+    class KarrasDiffusionSchedulers(enum.Enum):
+        UniPCMultistepScheduler = 1
+
+    diffusers = _mod("diffusers", ConfigMixin=ConfigMixin, SchedulerMixin=SchedulerMixin)
+    _mod(
+        "diffusers.configuration_utils",
+        ConfigMixin=ConfigMixin,
+        register_to_config=register_to_config,
+    )
+    _mod("diffusers.schedulers")
+    _mod(
+        "diffusers.schedulers.scheduling_utils",
+        KarrasDiffusionSchedulers=KarrasDiffusionSchedulers,
+        SchedulerMixin=SchedulerMixin,
+        SchedulerOutput=SchedulerOutput,
+    )
+    _mod("diffusers.utils", deprecate=_noop)
+    diffusers.utils = sys.modules["diffusers.utils"]
+
+    # --- heavy cosmos-internal deps of clip.py we don't need for parity --
+    # (conditioner pulls the whole lazy_config/omegaconf stack; the umt5
+    # tokenizer pulls HF downloads; attention is the GPU dispatch). The
+    # parity targets — XLMRoberta / XLMRobertaWithHead — touch none of them.
+    import torch as _torch
+
+    _mod("cosmos_predict2._src.predict2.conditioner", AbstractEmbModel=_torch.nn.Module)
+    _mod("cosmos_predict2._src.predict2.inference.get_umt5_emb", HuggingfaceTokenizer=object)
+
+    def _no_attention(*a, **k):
+        raise RuntimeError("attention shim: GPU dispatch not available in parity tests")
+
+    _mod("cosmos_predict2._src.predict2.networks.attention", attention=_no_attention)
+
+    _installed = True
+
+
+def import_reference(dotted: str):
+    """install_shims() then import a reference module by dotted path."""
+    install_shims()
+    import importlib
+
+    return importlib.import_module(dotted)

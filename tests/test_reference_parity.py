@@ -1,0 +1,170 @@
+"""Numerics parity against the ACTUAL reference implementation (torch, CPU).
+
+Round-1 golden tests were self-referential (generated their own .npz).
+These tests import the reference's pure-torch modules through
+tests/reference_shims.py and pin the JAX implementations to them with
+seeded random weights:
+
+* FlowUniPCMultistepScheduler (reference models/fm_solvers_unipc.py:15-766)
+  vs schedulers/unipc.py — sigma schedule + full 35-step trajectory with a
+  deterministic fake velocity model.
+* WanVAE_ (reference tokenizers/wan2pt1.py:469-592) vs tokenizers/wan_vae.py
+  — encode and decode activations through utils/checkpoint_convert.py.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from reference_shims import import_reference  # tests/ is on sys.path under pytest
+
+
+# --------------------------------------------------------------------------
+# UniPC
+# --------------------------------------------------------------------------
+
+
+def _ref_scheduler(num_steps: int, shift: float, order: int = 2):
+    m = import_reference("cosmos_predict2._src.predict2.models.fm_solvers_unipc")
+    s = m.FlowUniPCMultistepScheduler(num_train_timesteps=1000, solver_order=order)
+    s.set_timesteps(num_steps, device="cpu", shift=shift)
+    return s
+
+
+@pytest.mark.level(1)
+@pytest.mark.parametrize("num_steps,shift", [(35, 5.0), (10, 3.0)])
+def test_unipc_schedule_matches_reference(num_steps, shift):
+    from cosmos_predict2_tpu.schedulers import unipc
+
+    ref = _ref_scheduler(num_steps, shift)
+    mine = unipc.set_timesteps(num_steps, shift=shift)
+
+    np.testing.assert_allclose(
+        np.asarray(mine.sigmas), ref.sigmas.numpy(), rtol=0, atol=1e-6
+    )
+    np.testing.assert_array_equal(
+        np.asarray(mine.timesteps).astype(np.int64), ref.timesteps.numpy()
+    )
+
+
+def _fake_velocity_np(x: np.ndarray, t: float) -> np.ndarray:
+    # deterministic, mildly nonlinear; identical math in torch and jax
+    return np.sin(1.3 * x) * np.float32(0.5 + t / 2000.0) + np.float32(0.05) * x
+
+
+@pytest.mark.level(1)
+@pytest.mark.parametrize("num_steps", [8, 35])
+def test_unipc_trajectory_matches_reference(num_steps):
+    from cosmos_predict2_tpu.schedulers import unipc
+
+    shape = (1, 4, 2, 6, 6)
+    rng = np.random.RandomState(0)
+    x0 = rng.randn(*shape).astype(np.float32)
+
+    # --- reference loop ---
+    ref = _ref_scheduler(num_steps, shift=5.0)
+    x = torch.from_numpy(x0.copy())
+    with torch.no_grad():
+        for t in ref.timesteps:
+            v = torch.sin(1.3 * x) * float(0.5 + float(t) / 2000.0) + 0.05 * x
+            x = ref.step(v, t, x).prev_sample
+    ref_out = x.numpy()
+
+    # --- JAX scan ---
+    coeffs = unipc.set_timesteps(num_steps, shift=5.0)
+
+    def velocity_fn(x, t):
+        return jnp.sin(1.3 * x) * (0.5 + t / 2000.0) + 0.05 * x
+
+    mine = np.asarray(unipc.sample(velocity_fn, jnp.asarray(x0), coeffs))
+
+    assert np.max(np.abs(mine - ref_out)) < 2e-3, (
+        f"max diff {np.max(np.abs(mine - ref_out))}, "
+        f"ref range [{ref_out.min():.3f},{ref_out.max():.3f}]"
+    )
+
+
+# --------------------------------------------------------------------------
+# Wan2.1 VAE
+# --------------------------------------------------------------------------
+
+
+def _ref_vae(dim=16):
+    wan = import_reference("cosmos_predict2._src.predict2.tokenizers.wan2pt1")
+    torch.manual_seed(0)
+    model = wan.WanVAE_(
+        dim=dim,
+        z_dim=16,
+        dim_mult=[1, 2, 4, 4],
+        num_res_blocks=2,
+        attn_scales=[],
+        temperal_downsample=[False, True, True],
+    ).eval()
+    return model
+
+
+def _jax_vae(dim=16):
+    from cosmos_predict2_tpu.tokenizers.wan_vae import WanVAE, WanVAEConfig
+
+    return WanVAE(WanVAEConfig(dim=dim, z_dim=16, dtype=jnp.float32))
+
+
+def _scale():
+    from cosmos_predict2_tpu.tokenizers.wan_vae import WAN_LATENT_MEAN, WAN_LATENT_STD
+
+    mean = torch.from_numpy(WAN_LATENT_MEAN.copy())
+    inv_std = torch.from_numpy((1.0 / WAN_LATENT_STD).copy())
+    return [mean, inv_std]
+
+
+@pytest.fixture(scope="module")
+def vae_pair():
+    from cosmos_predict2_tpu.utils.checkpoint_convert import convert_vae_state_dict
+
+    ref = _ref_vae()
+    sd = {k: v.float() for k, v in ref.state_dict().items()}
+    params = convert_vae_state_dict(sd)
+    params = jax.tree.map(lambda a: jnp.asarray(a, dtype=jnp.float32), params)
+    return ref, _jax_vae(), params
+
+
+@pytest.mark.level(1)
+def test_wan_vae_encode_matches_reference(vae_pair):
+    ref, net, params = vae_pair
+    rng = np.random.RandomState(1)
+    x = rng.uniform(-1, 1, size=(1, 3, 9, 32, 32)).astype(np.float32)
+
+    with torch.no_grad():
+        ref_mu = ref.encode(torch.from_numpy(x), _scale()).numpy()  # (B,16,t,h,w)
+
+    x_jax = jnp.asarray(np.transpose(x, (0, 2, 3, 4, 1)))  # (B,T,H,W,3)
+    mine = net.apply(params, x_jax, method=net.encode)  # (B,t,h,w,16)
+    mine = np.transpose(np.asarray(mine), (0, 4, 1, 2, 3))
+
+    assert mine.shape == ref_mu.shape
+    diff = np.max(np.abs(mine - ref_mu))
+    scale = np.max(np.abs(ref_mu))
+    assert diff < 1e-3 * max(scale, 1.0), f"encode max diff {diff}, ref scale {scale}"
+
+
+@pytest.mark.level(1)
+def test_wan_vae_decode_matches_reference(vae_pair):
+    ref, net, params = vae_pair
+    rng = np.random.RandomState(2)
+    z = rng.randn(1, 16, 3, 4, 4).astype(np.float32)
+
+    with torch.no_grad():
+        ref_px = ref.decode(torch.from_numpy(z), _scale()).numpy()  # (B,3,T,H,W)
+
+    z_jax = jnp.asarray(np.transpose(z, (0, 2, 3, 4, 1)))  # (B,t,h,w,16)
+    mine = net.apply(params, z_jax, method=net.decode)
+    mine = np.transpose(np.asarray(mine), (0, 4, 1, 2, 3))
+
+    assert mine.shape == ref_px.shape
+    diff = np.max(np.abs(mine - ref_px))
+    scale = np.max(np.abs(ref_px))
+    assert diff < 1e-3 * max(scale, 1.0), f"decode max diff {diff}, ref scale {scale}"

@@ -131,9 +131,12 @@ def test_point_mass_recovery():
 
 @pytest.mark.level(0)
 def test_sigma_schedule_values():
-    """Pin the shifted schedule: sigma'_i = 5 s / (1 + 4 s)."""
+    """Pin the shifted schedule: sigma'_i = 5 s / (1 + 4 s), with the base
+    linspace spanning [1 - 1/N, 0] like the reference init schedule
+    (fm_solvers_unipc.py:100-123; verified against the actual torch
+    reference in tests/test_reference_parity.py)."""
     coeffs = unipc.set_timesteps(5, shift=5.0)
-    base = np.linspace(1.0, 1e-3, 6)[:-1]
+    base = np.linspace(1.0 - 1e-3, 0.0, 6)[:-1]
     expected = 5 * base / (1 + 4 * base)
     np.testing.assert_allclose(np.asarray(coeffs.sigmas[:-1]), expected, rtol=1e-6)
     assert coeffs.sigmas[-1] == 0.0
