@@ -170,6 +170,11 @@ class Inference:
 
         if self.video_guardrail is not None:
             frames = self.video_guardrail(frames)
+            if frames is None:
+                # fail-closed with a clear reason instead of an opaque
+                # np.asarray(None) crash downstream (ADVICE r1); with
+                # keep_going=True the batch loop logs and moves on.
+                raise RuntimeError(f"sample {args.name}: video blocked by guardrail")
 
         path = save_img_or_video(frames, os.path.join(self.output_dir, args.name), fps=16)
         log.info(f"saved {path}")

@@ -179,8 +179,22 @@ class Trainer:
 
         ema_params = state.ema_params
         if ema_params is not None:
-            beta = power_ema_beta(state.step, s=cfg.ema_rate)
-            ema_params = ema_update(ema_params, params, beta)
+            if cfg.grad_accum_iter > 1:
+                # Under optax.MultiSteps params change only every k-th
+                # micro-step. Advance EMA once per REAL optimizer step
+                # (reference updates EMA after each optimizer.step(),
+                # imaginaire/trainer.py), with the beta schedule driven by
+                # the optimizer-step count, not the micro-step count.
+                opt_step = state.opt_state.gradient_step
+                beta = power_ema_beta(opt_step, s=cfg.ema_rate)
+                new_ema = ema_update(ema_params, params, beta)
+                has_updated = opt_state.gradient_step > state.opt_state.gradient_step
+                ema_params = jax.tree.map(
+                    lambda n, o: jnp.where(has_updated, n, o), new_ema, ema_params
+                )
+            else:
+                beta = power_ema_beta(state.step, s=cfg.ema_rate)
+                ema_params = ema_update(ema_params, params, beta)
 
         metrics = dict(metrics)
         metrics["grad_norm"] = optax.global_norm(grads)

@@ -236,7 +236,11 @@ def _wan_lin(sd: Mapping[str, Array], name: str) -> dict:
 
 
 def convert_wan_dit_state_dict(
-    sd: Mapping[str, Array], num_layers: int, i2v: bool = False, extra_in_channels: int = 1
+    sd: Mapping[str, Array],
+    num_layers: int,
+    i2v: bool = False,
+    extra_in_channels: int = 1,
+    patch_size: tuple[int, int, int] = (1, 2, 2),
 ) -> dict:
     """torch WanModel state dict (reference networks/wan2pt1.py:315-783
     naming) -> flax params for networks/wan_dit.WanModel.
@@ -249,10 +253,15 @@ def convert_wan_dit_state_dict(
     patch = _wan_lin(sd, "patch_embedding")
     if extra_in_channels:
         k = patch["kernel"]
-        # rows per input channel = prod(patch_size); torch in = C*prod
-        # infer prod from the head kernel? safer: rows divisible by channels
-        # is unknown here, so callers pass channels; rows per channel:
-        extra_rows = extra_in_channels * 4  # patch (1, 2, 2)
+        # rows per input channel = prod(patch_size); the flattened torch
+        # kernel is (C, kt, kh, kw)-major so the new channels' rows append
+        # at the end. ADVICE r1: derive from patch_size, never hardcode.
+        rows_per_channel = int(np.prod(patch_size))
+        assert k.shape[0] % rows_per_channel == 0, (
+            f"patch kernel rows {k.shape[0]} not divisible by prod(patch_size)="
+            f"{rows_per_channel}; wrong patch_size for this checkpoint"
+        )
+        extra_rows = extra_in_channels * rows_per_channel
         patch["kernel"] = np.concatenate(
             [k, np.zeros((extra_rows, k.shape[1]), dtype=np.asarray(k).dtype)], axis=0
         )

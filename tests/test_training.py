@@ -113,6 +113,65 @@ def test_trainer_loss_decreases_and_golden():
 
 
 @pytest.mark.level(1)
+def test_ema_advances_once_per_optimizer_step_with_grad_accum():
+    """ADVICE r1 (medium): with grad_accum_iter=k, optax.MultiSteps applies
+    a real param update every k micro-steps; EMA must advance exactly then,
+    with the beta schedule counting optimizer steps (reference updates EMA
+    once per optimizer.step(), imaginaire/trainer.py)."""
+    trainer, model = _make_trainer(max_iter=4, grad_accum_iter=2)
+    params = model.init_params(jax.random.PRNGKey(0), (1, 16, 2, 4, 4), text_len=8)
+    state = trainer.init_state(params)
+
+    snapshots = []
+
+    class Capture:
+        def __getattr__(self, name):
+            if name == "on_training_step_end":
+                return lambda trainer, state, metrics, iteration: snapshots.append(
+                    (
+                        jax.tree.map(lambda x: np.asarray(x, dtype=np.float32), state.params),
+                        jax.tree.map(np.asarray, state.ema_params),
+                    )
+                )
+            return lambda *a, **k: None
+
+    trainer.callbacks.callbacks.append(Capture())
+    init_ema = jax.tree.map(np.asarray, state.ema_params)
+    trainer.train(state, _batches(model, 6))
+
+    leaves0 = jax.tree.leaves(init_ema)
+
+    # micro-step 1: no optimizer update -> EMA untouched
+    p1, e1 = snapshots[0]
+    for a, b in zip(jax.tree.leaves(e1), leaves0):
+        np.testing.assert_array_equal(a, b)
+
+    # micro-step 2: first real optimizer step; power_ema_beta(0)=0 -> EMA
+    # snaps exactly to the freshly updated params
+    p2, e2 = snapshots[1]
+    assert any(
+        not np.array_equal(a, b) for a, b in zip(jax.tree.leaves(p2), jax.tree.leaves(p1))
+    ), "optimizer step expected at micro-step 2"
+    for a, b in zip(jax.tree.leaves(e2), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(a, b, rtol=1e-6)
+
+    # micro-step 3: accumulating again -> EMA frozen
+    _, e3 = snapshots[2]
+    for a, b in zip(jax.tree.leaves(e3), jax.tree.leaves(e2)):
+        np.testing.assert_array_equal(a, b)
+
+    # micro-step 4: second optimizer step -> EMA moves, beta in (0,1) so it
+    # is neither frozen nor snapped to params
+    p4, e4 = snapshots[3]
+    assert any(
+        not np.array_equal(a, b) for a, b in zip(jax.tree.leaves(e4), jax.tree.leaves(e3))
+    )
+    assert any(
+        not np.allclose(a, b) for a, b in zip(jax.tree.leaves(e4), jax.tree.leaves(p4))
+    )
+
+
+@pytest.mark.level(1)
 def test_checkpoint_save_resume(tmp_path):
     from cosmos_predict2_tpu.training.checkpointing import Checkpointer
 
