@@ -87,6 +87,18 @@ class DiTConfig:
     view_condition_dim: int = 0
     # tokens per view in crossattn_emb (each view's caption length)
     tokens_per_view: int = 512
+    # cross-VIEW attention (reference predict2_multiview/networks/
+    # multiview_cross_dit.py:115-231 CrossViewAttention): between self- and
+    # text-cross-attention, each view's per-frame tokens attend the SAME
+    # frame's tokens of its neighbor views. cross_view_attn_map[v] = tuple
+    # of neighbor view indices for view v. TPU-first: the map is static, so
+    # instead of the reference's gather + padded kv + attention mask we run
+    # one dense (unmasked) attention per view over its exact neighbor set —
+    # zero padding waste, no masks, V small. Views are assumed to be
+    # 0..n_views-1 in order (the full camera rig); the reference's dynamic
+    # view-subset gather is a training-sampler detail, not a capability.
+    enable_cross_view_attn: bool = False
+    cross_view_attn_map: Optional[tuple[tuple[int, ...], ...]] = None
     # --- action conditioning (reference action_conditioned_minimal_v1_lvg_dit.py:47-112) ---
     # concat the (B,1,T,H,W) condition mask as an extra input channel
     concat_condition_mask: bool = False
@@ -273,6 +285,64 @@ class Attention(nn.Module):
         return out
 
 
+class CrossViewAttention(nn.Module):
+    """Per-frame attention from each view to its neighbor views.
+
+    Parity: multiview_cross_dit.py:115-231. One shared set of q/k/v/o
+    projections (bias-free) with per-head q/k RMSNorm, NO RoPE; the output
+    projection is ZERO-initialized so a freshly added cross-view path is an
+    identity residual. The neighbor map is static config, so each view runs
+    a dense attention over exactly its neighbors' same-frame tokens —
+    no padded kv, no attention mask (the reference needs both because its
+    map is a runtime tensor).
+    """
+
+    dim: int
+    n_heads: int
+    head_dim: int
+    attn_map: tuple[tuple[int, ...], ...]
+    dtype: jnp.dtype = jnp.bfloat16
+    backend: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x_B_V_T_H_W_D):
+        B, V, Tv, H, W, D = x_B_V_T_H_W_D.shape
+        inner = self.n_heads * self.head_dim
+        std = 1.0 / np.sqrt(self.dim)
+
+        x_flat = x_B_V_T_H_W_D.reshape(B, V, Tv, H * W, D)
+        q = Dense(inner, kernel_init=trunc_normal_init(std), dtype=self.dtype, name="q_proj")(x_flat)
+        k = Dense(inner, kernel_init=trunc_normal_init(std), dtype=self.dtype, name="k_proj")(x_flat)
+        v = Dense(inner, kernel_init=trunc_normal_init(std), dtype=self.dtype, name="v_proj")(x_flat)
+
+        def heads(t):  # (B, V, Tv, L, inner) -> (B, V, Tv, L, h, d)
+            return t.reshape(t.shape[:-1] + (self.n_heads, self.head_dim))
+
+        q, k, v = heads(q), heads(k), heads(v)
+        q = RMSNormParam(self.head_dim, name="q_norm")(q)
+        k = RMSNormParam(self.head_dim, name="k_norm")(k)
+
+        L = H * W
+        outs = []
+        for view in range(V):
+            neighbors = tuple(n for n in self.attn_map[view] if 0 <= n < V)
+            if not neighbors:
+                outs.append(jnp.zeros((B, Tv, L, inner), dtype=self.dtype))
+                continue
+            # q: this view's tokens per frame; kv: neighbors' same-frame
+            # tokens concatenated along the kv sequence.
+            q_v = q[:, view].reshape(B * Tv, L, self.n_heads, self.head_dim)
+            k_v = jnp.concatenate([k[:, n] for n in neighbors], axis=2)
+            v_v = jnp.concatenate([v[:, n] for n in neighbors], axis=2)
+            k_v = k_v.reshape(B * Tv, len(neighbors) * L, self.n_heads, self.head_dim)
+            v_v = v_v.reshape(B * Tv, len(neighbors) * L, self.n_heads, self.head_dim)
+            o = dot_product_attention(q_v, k_v, v_v, backend=self.backend)
+            outs.append(o.reshape(B, Tv, L, inner))
+        out = jnp.stack(outs, axis=1)  # (B, V, Tv, L, inner)
+        out = Dense(self.dim, kernel_init=nn.initializers.zeros, dtype=self.dtype, name="output_proj")(out)
+        return out.reshape(B, V, Tv, H, W, D)
+
+
 class GPT2FeedForward(nn.Module):
     """Linear -> GELU(exact) -> Linear, both bias-free (minimal_v4_dit.py:227-254)."""
 
@@ -366,6 +436,27 @@ class Block(nn.Module):
         else:
             attn_out = self_attn(attn_in, rope_angles=rope_angles)
         x_B_T_H_W_D = x_B_T_H_W_D + gate_sa.astype(x_B_T_H_W_D.dtype) * attn_out.reshape(B, T, H, W, D).astype(x_B_T_H_W_D.dtype)
+
+        # cross-VIEW attention (multiview_cross_dit.py:445-467): affine
+        # LayerNorm -> CrossViewAttention -> ungated residual (o_proj is
+        # zero-init, so this starts as identity)
+        if cfg.enable_cross_view_attn and cfg.n_views > 1:
+            assert cfg.cross_view_attn_map is not None, "enable_cross_view_attn needs cross_view_attn_map"
+            V = cfg.n_views
+            ln_w = self.param("ln_cross_view_scale", nn.initializers.ones, (D,))
+            ln_b = self.param("ln_cross_view_bias", nn.initializers.zeros, (D,))
+            xv = x_B_T_H_W_D.reshape(B, V, T // V, H, W, D)
+            normed_v = (layer_norm(xv) * ln_w + ln_b).astype(compute_dtype)
+            cv_out = CrossViewAttention(
+                d,
+                cfg.num_heads,
+                cfg.head_dim,
+                attn_map=cfg.cross_view_attn_map,
+                dtype=compute_dtype,
+                backend=cfg.atten_backend,
+                name="cross_view_attn",
+            )(normed_v)
+            x_B_T_H_W_D = x_B_T_H_W_D + cv_out.reshape(B, T, H, W, D).astype(x_B_T_H_W_D.dtype)
 
         # cross attention (multiview: each view attends its own caption —
         # reference MultiViewCrossAttention, multiview_dit.py:40-56)
