@@ -81,12 +81,72 @@ class CachedReplayDataLoader:
         self._stop.set()
 
 
+class ShardSpool:
+    """Local-disk spool for REMOTE tar shards (s3:// gs:// http(s)://).
+
+    Downloads shards through easy_io's backends into a bounded spool
+    directory, fetching the NEXT shard in a background thread while the
+    current one feeds the native reader — the role the reference gives to
+    webdataset's streaming S3 pipe (imaginaire/datasets/webdataset/), built
+    instead as download-ahead + local mmap'd tar (the native prefetcher
+    needs random access, and local NVMe re-reads beat re-fetching ranges).
+    """
+
+    def __init__(self, spool_dir: Optional[str] = None):
+        import tempfile
+
+        self.dir = spool_dir or tempfile.mkdtemp(prefix="cosmos_shard_spool_")
+        os.makedirs(self.dir, exist_ok=True)
+        self._futures: dict[str, Any] = {}
+        import concurrent.futures
+
+        self._pool = concurrent.futures.ThreadPoolExecutor(max_workers=2)
+
+    def _local(self, path: str) -> str:
+        import hashlib
+
+        h = hashlib.sha1(path.encode()).hexdigest()[:16]
+        return os.path.join(self.dir, f"{h}_{os.path.basename(path)}")
+
+    def _download(self, path: str) -> str:
+        from cosmos_predict2_tpu.utils import easy_io
+
+        local = self._local(path)
+        if not os.path.exists(local):
+            data = easy_io._read_bytes(path)
+            tmp = local + ".part"
+            with open(tmp, "wb") as f:
+                f.write(data)
+            os.replace(tmp, local)
+        return local
+
+    def prefetch(self, path: str) -> None:
+        if path not in self._futures:
+            self._futures[path] = self._pool.submit(self._download, path)
+
+    def get(self, path: str) -> str:
+        fut = self._futures.pop(path, None)
+        return fut.result() if fut is not None else self._download(path)
+
+    def discard(self, path: str) -> None:
+        try:
+            os.remove(self._local(path))
+        except OSError:
+            pass
+
+
+def _is_remote(path: str) -> bool:
+    return "://" in path
+
+
 class ShardedTarDataset:
     """webdataset-style loader: tar shards of grouped files.
 
     Files sharing a basename stem form one sample: ``0001.npy`` +
     ``0001.txt`` -> {"npy": array, "txt": str}. Shards are partitioned
-    across hosts (process_index) and shuffled per epoch.
+    across hosts (process_index) and shuffled per epoch. Remote shard
+    paths (s3:// gs:// http://) stream through a :class:`ShardSpool` with
+    one-shard download look-ahead.
     """
 
     def __init__(
@@ -96,9 +156,11 @@ class ShardedTarDataset:
         process_count: int = 1,
         shuffle_seed: Optional[int] = 0,
         decoders: Optional[dict[str, Callable[[bytes], Any]]] = None,
+        spool_dir: Optional[str] = None,
     ):
         self.shards = sorted(shard_paths)[process_index::process_count]
         self.shuffle_seed = shuffle_seed
+        self.spool = ShardSpool(spool_dir) if any(_is_remote(s) for s in self.shards) else None
         self.decoders = {
             "npy": lambda b: np.load(io.BytesIO(b)),
             "npz": lambda b: dict(np.load(io.BytesIO(b))),
@@ -138,8 +200,19 @@ class ShardedTarDataset:
             shards = list(self.shards)
             if self.shuffle_seed is not None:
                 np.random.RandomState(self.shuffle_seed + epoch).shuffle(shards)
-            for shard in shards:
-                yield from self._iter_shard(shard)
+            for i, shard in enumerate(shards):
+                if self.spool is not None and _is_remote(shard):
+                    # download-ahead: next remote shard fetches while this
+                    # one is consumed; spool stays O(2 shards) on disk
+                    if i + 1 < len(shards) and _is_remote(shards[i + 1]):
+                        self.spool.prefetch(shards[i + 1])
+                    local = self.spool.get(shard)
+                    try:
+                        yield from self._iter_shard(local)
+                    finally:
+                        self.spool.discard(shard)
+                else:
+                    yield from self._iter_shard(shard)
             epoch += 1
             if not shards:
                 return

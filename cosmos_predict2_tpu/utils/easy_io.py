@@ -4,9 +4,11 @@ Capability parity with the reference easy_io
 (cosmos_predict2/_src/imaginaire/utils/easy_io/: backends x handlers):
 ``load(path)`` / ``dump(obj, path)`` pick a handler from the extension
 (json / yaml / txt / npy / npz / pt|pth / safetensors / png|jpg / gif /
-mp4 / csv / msgpack) and a backend from the scheme (local file, http(s)
-read-only). Cloud backends (gs://, s3://) raise with a clear message in
-this offline environment and can be registered via ``register_backend``.
+mp4 / csv / msgpack) and a backend from the scheme: local file, http(s)
+read-only, and first-party s3:// / gs:// object-store clients
+(utils/remote_io.py — stdlib SigV4 / JSON-API, no boto3 needed).
+Custom backends (an object with get/put/exists, or a plain reader
+callable) register via ``register_backend``.
 """
 
 from __future__ import annotations
@@ -18,11 +20,36 @@ from typing import Any, Callable
 
 import numpy as np
 
-_BACKENDS: dict[str, Callable[[str], bytes]] = {}
+_BACKENDS: dict[str, Any] = {}
 
 
-def register_backend(scheme: str, reader: Callable[[str], bytes]) -> None:
-    _BACKENDS[scheme] = reader
+def register_backend(scheme: str, backend: Any) -> None:
+    """Register a backend: either an object with get(path)->bytes (and
+    optionally put(bytes, path) / exists(path) / list(prefix)), or a bare
+    reader callable (read-only)."""
+    _BACKENDS[scheme] = backend
+
+
+def get_backend(scheme: str):
+    """Backend for a scheme; s3/gs instantiate lazily with default creds."""
+    if scheme not in _BACKENDS:
+        if scheme == "s3":
+            from cosmos_predict2_tpu.utils.remote_io import S3Backend
+
+            _BACKENDS[scheme] = S3Backend(
+                credential_path=os.environ.get("COSMOS_S3_CREDENTIAL_PATH")
+            )
+        elif scheme == "gs":
+            from cosmos_predict2_tpu.utils.remote_io import GCSBackend
+
+            _BACKENDS[scheme] = GCSBackend()
+        else:
+            raise NotImplementedError(f"no backend registered for scheme '{scheme}://'")
+    return _BACKENDS[scheme]
+
+
+def _scheme(path: str) -> str:
+    return path.split("://", 1)[0] if "://" in path else ""
 
 
 def _read_bytes(path: str) -> bytes:
@@ -31,13 +58,25 @@ def _read_bytes(path: str) -> bytes:
 
         with urllib.request.urlopen(path) as r:
             return r.read()
-    scheme = path.split("://", 1)[0] if "://" in path else ""
+    scheme = _scheme(path)
     if scheme:
-        if scheme in _BACKENDS:
-            return _BACKENDS[scheme](path)
-        raise NotImplementedError(f"no backend registered for scheme '{scheme}://'")
+        backend = get_backend(scheme)
+        return backend.get(path) if hasattr(backend, "get") else backend(path)
     with open(path, "rb") as f:
         return f.read()
+
+
+def _write_bytes(data: bytes, path: str) -> None:
+    scheme = _scheme(path)
+    if scheme:
+        backend = get_backend(scheme)
+        if not hasattr(backend, "put"):
+            raise NotImplementedError(f"backend for '{scheme}://' is read-only")
+        backend.put(data, path)
+        return
+    os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(data)
 
 
 def _ext(path: str) -> str:
@@ -86,6 +125,22 @@ def load(path: str, **kwargs) -> Any:
 
 
 def dump(obj: Any, path: str, **kwargs) -> str:
+    scheme = _scheme(path)
+    if scheme and not path.startswith(("http://", "https://")):
+        # remote: serialize through a local temp file (reuses every
+        # extension handler), then upload via the backend.
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as td:
+            local = os.path.join(td, os.path.basename(path))
+            written = dump(obj, local, **kwargs)
+            with open(written, "rb") as f:
+                data = f.read()
+        # media handlers may change the extension (mp4 -> gif fallback)
+        if os.path.basename(written) != os.path.basename(path):
+            path = path.rsplit("/", 1)[0] + "/" + os.path.basename(written)
+        _write_bytes(data, path)
+        return path
     ext = _ext(path)
     os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
     if ext == "json":
@@ -131,7 +186,10 @@ def dump(obj: Any, path: str, **kwargs) -> str:
 
 def exists(path: str) -> bool:
     if "://" in path and not path.startswith(("http://", "https://")):
-        raise NotImplementedError(f"exists() not supported for scheme of {path}")
+        backend = get_backend(_scheme(path))
+        if hasattr(backend, "exists"):
+            return backend.exists(path)
+        raise NotImplementedError(f"exists() not supported by the '{_scheme(path)}://' backend")
     if path.startswith(("http://", "https://")):
         import urllib.request
 

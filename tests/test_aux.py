@@ -59,10 +59,21 @@ def test_pixelate():
 
 @pytest.mark.level(0)
 def test_checkpoint_db():
-    entry = get_checkpoint_by_uuid("cosmos_predict2.5_2b_base")
-    assert entry.experiment == "predict2_video2world_2b_rectified_flow"
-    assert entry.uuid == "d20b7120-df3e-4911-919d-db593e1d2dcf"
-    assert len(list_checkpoints()) >= 4
+    # full release-registry mirror (reference checkpoint_db.py:190-704)
+    entry = get_checkpoint_by_uuid("d20b7120-df3e-4911-919d-db6e08bad31c")
+    assert entry.name == "nvidia/Cosmos-Predict2.5-2B/base/pre-trained"
+    assert entry.experiment.startswith("Stage-c_pt_4-reason_embeddings-v1p1-Index-26")
+    assert entry.hf_repo == "nvidia/Cosmos-Predict2.5-2B"
+    assert len(list_checkpoints()) >= 22
+    # name lookup + experiment lookup
+    assert get_checkpoint_by_uuid("Wan2.1/vae").hf_filename == "tokenizer.pth"
+    from cosmos_predict2_tpu.utils.checkpoint_db import find_by_experiment
+
+    e = find_by_experiment("multicamera_video2video_rectified_flow_2b_res_720_fps16_s3_agibot")
+    assert e is not None and e.variant == "robot_multiview"
+    # every registered entry resolves by uuid AND name
+    for e in list_checkpoints():
+        assert get_checkpoint_by_uuid(e.uuid) is e
 
 
 @pytest.mark.level(0)
@@ -165,8 +176,10 @@ def test_easy_io_roundtrips(tmp_path):
     easy_io.dump([["a", "b"], ["1", "2"]], str(tmp_path / "x.csv"))
     assert easy_io.load(str(tmp_path / "x.csv")) == [["a", "b"], ["1", "2"]]
 
+    # s3/gs now have first-party backends (tests/test_remote_io.py);
+    # unknown schemes still fail fast
     with pytest.raises(NotImplementedError, match="scheme"):
-        easy_io.load("s3://bucket/key.json")
+        easy_io.load("hdfs://bucket/key.json")
     assert easy_io.exists(p)
 
 
