@@ -156,11 +156,13 @@ class QwenLM(nn.Module):
     config: QwenConfig
 
     @nn.compact
-    def __call__(self, input_ids: jax.Array, vision_embeds=None, vision_mask=None) -> list[jax.Array]:
+    def __call__(self, input_ids: jax.Array, vision_embeds=None, vision_mask=None, return_normed: bool = False):
         """``vision_embeds`` (B, S, D) + boolean ``vision_mask`` (B, S):
         multimodal prompts — vision-tower outputs replace the text embedding
         at image/video placeholder positions (the HF Qwen2.5-VL
-        inputs_embeds splice; reference reason1/networks/qwen2_5_vl.py)."""
+        inputs_embeds splice; reference reason1/networks/qwen2_5_vl.py).
+        ``return_normed``: also return the final-RMSNormed last state (what
+        an LM head consumes — used by the guard classifier)."""
         cfg = self.config
         B, S = input_ids.shape
         embed = self.param(
@@ -182,7 +184,9 @@ class QwenLM(nn.Module):
         # final norm is applied to the last state only (HF semantics: the
         # last entry of output_hidden_states is the pre-norm layer output;
         # Cosmos pooling uses hidden_states[1:] which are pre-final-norm).
-        _ = QwenRMSNorm(cfg.hidden_size, cfg.rms_norm_eps, name="norm")(x)
+        normed = QwenRMSNorm(cfg.hidden_size, cfg.rms_norm_eps, name="norm")(x)
+        if return_normed:
+            return hidden_states, normed
         return hidden_states
 
 
@@ -217,3 +221,29 @@ def pool_hidden_states(
             groups.append(jnp.mean(jnp.stack(normalized[i : i + n_layers_per_group]), axis=0))
         return jnp.concatenate(groups, axis=-1)
     raise ValueError(f"Invalid embedding_concat_strategy: {strategy}")
+
+
+class QwenGuardLM(nn.Module):
+    """Qwen LM + untied lm_head: next-token logits at the last position.
+
+    The model backbone behind the guard prompt classifier
+    (utils/guardrails.py QwenGuardClassifier) — the reference ships
+    Qwen3Guard / LlamaGuard3 as separate checkpoints
+    (imaginaire/auxiliary/guardrail/qwen3guard/, presets.py:28-62); here the
+    same decoder architecture already in the repo serves both the reason1
+    text encoder and the guard, and guard weights load through the same
+    converter path with the extra ``lm_head``.
+    """
+
+    config: QwenConfig
+
+    @nn.compact
+    def __call__(self, input_ids: jax.Array) -> jax.Array:
+        cfg = self.config
+        _, normed = QwenLM(cfg, name="model")(input_ids, return_normed=True)
+        lm_head = self.param(
+            "lm_head", nn.initializers.normal(0.02), (cfg.hidden_size, cfg.vocab_size)
+        )
+        # logits for the LAST position only (single-step classification)
+        last = normed[:, -1, :].astype(jnp.float32)
+        return last @ lm_head.astype(jnp.float32)

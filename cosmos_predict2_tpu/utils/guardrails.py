@@ -191,3 +191,136 @@ class VideoContentSafetyFilter:
             log.warning(f"video unsafe: {unsafe}/{len(classes)} sampled frames flagged")
             return False
         return True
+
+
+# ----------------------- LLM prompt guard (Qwen) -----------------------
+# Default model-backed prompt classifier on the in-repo Qwen decoder
+# (text_encoders/qwen.py QwenGuardLM). The reference wires Qwen3Guard /
+# LlamaGuard3 the same way: a guard chat template around the user prompt,
+# then read off the safety verdict from the first generated token
+# (imaginaire/auxiliary/guardrail/qwen3guard/, llamaGuard3/).
+
+GUARD_TEMPLATE = (
+    "<|im_start|>system\n"
+    "You are a safety classifier. Classify the user prompt as safe or "
+    "unsafe for a video generation model. Answer with one word: safe or "
+    "unsafe.<|im_end|>\n"
+    "<|im_start|>user\n{prompt}<|im_end|>\n"
+    "<|im_start|>assistant\n"
+)
+
+
+class QwenGuardClassifier:
+    """Prompt safety via next-token logit comparison on a guard LM.
+
+    ``apply_fn(input_ids) -> (B, vocab) logits`` is a jitted QwenGuardLM
+    apply; ``tokenize(text) -> list[int]``; safe/unsafe are the token ids
+    of the verdict words under that tokenizer. is_safe compares their
+    logits at the first generated position — the single-step equivalent of
+    generating the verdict, robust and one forward pass.
+    """
+
+    def __init__(
+        self,
+        apply_fn: Callable,
+        tokenize: Callable[[str], list],
+        safe_token_id: int,
+        unsafe_token_id: int,
+        template: str = GUARD_TEMPLATE,
+        max_len: int = 512,
+    ):
+        self.apply_fn = apply_fn
+        self.tokenize = tokenize
+        self.safe_token_id = safe_token_id
+        self.unsafe_token_id = unsafe_token_id
+        self.template = template
+        self.max_len = max_len
+
+    def __call__(self, prompt: str) -> bool:
+        import jax.numpy as jnp
+
+        ids = self.tokenize(self.template.format(prompt=prompt))[-self.max_len :]
+        logits = np.asarray(self.apply_fn(jnp.asarray([ids], dtype=jnp.int32)))[0]
+        return bool(logits[self.safe_token_id] >= logits[self.unsafe_token_id])
+
+
+def create_qwen_guard_classifier(params, config=None, tokenize=None,
+                                 safe_token_id=None, unsafe_token_id=None):
+    """Bind a QwenGuardLM params tree into a prompt classifier callable."""
+    import jax
+
+    from cosmos_predict2_tpu.text_encoders.qwen import QwenConfig, QwenGuardLM
+
+    config = config or QwenConfig.qwen2_5_vl_7b()
+    model = QwenGuardLM(config)
+    apply_fn = jax.jit(lambda ids: model.apply(params, ids))
+    return QwenGuardClassifier(apply_fn, tokenize, safe_token_id, unsafe_token_id)
+
+
+# ----------------------- default face detector -----------------------
+# Host-side heuristic detector for the face-blur path: YCbCr skin
+# segmentation + connected components + box shape filtering. Weak compared
+# to the reference's RetinaFace (guardrail/face_blur_filter/) but a real
+# working default with zero model weights; RetinaFace-style detectors plug
+# into GuardrailConfig.face_detector unchanged.
+
+
+def _connected_components(mask: np.ndarray) -> np.ndarray:
+    """Two-pass union-find labeling of a boolean mask (4-connectivity)."""
+    h, w = mask.shape
+    labels = np.zeros((h, w), dtype=np.int32)
+    parent = [0]
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    nxt = 1
+    for y in range(h):
+        for x in range(w):
+            if not mask[y, x]:
+                continue
+            up = labels[y - 1, x] if y else 0
+            left = labels[y, x - 1] if x else 0
+            if not up and not left:
+                parent.append(nxt)
+                labels[y, x] = nxt
+                nxt += 1
+            elif up and left and up != left:
+                ra, rb = find(up), find(left)
+                parent[max(ra, rb)] = min(ra, rb)
+                labels[y, x] = min(ra, rb)
+            else:
+                labels[y, x] = up or left
+    for y in range(h):
+        for x in range(w):
+            if labels[y, x]:
+                labels[y, x] = find(labels[y, x])
+    return labels
+
+
+def heuristic_face_detector(frame_u8: np.ndarray, downsample: int = 8,
+                            min_area_frac: float = 0.002) -> list:
+    """(H, W, 3) uint8 -> [(x0, y0, x1, y1)] candidate face boxes."""
+    f = frame_u8[::downsample, ::downsample].astype(np.float32)
+    r, g, b = f[..., 0], f[..., 1], f[..., 2]
+    cb = 128 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    skin = (cb > 77) & (cb < 127) & (cr > 133) & (cr < 173)
+    labels = _connected_components(skin)
+    boxes = []
+    hs, ws = frame_u8.shape[:2]
+    for lab in np.unique(labels):
+        if lab == 0:
+            continue
+        ys, xs = np.nonzero(labels == lab)
+        if len(ys) < min_area_frac * skin.size:
+            continue
+        x0, x1 = xs.min() * downsample, (xs.max() + 1) * downsample
+        y0, y1 = ys.min() * downsample, (ys.max() + 1) * downsample
+        bw, bh = x1 - x0, y1 - y0
+        if 0.4 <= bw / max(bh, 1) <= 2.5:  # face-ish aspect
+            boxes.append((int(x0), int(y0), int(min(x1, ws)), int(min(y1, hs))))
+    return boxes
