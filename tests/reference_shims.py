@@ -62,9 +62,49 @@ def install_shims() -> None:
     core = _mod("megatron.core", parallel_state=ps)
     _mod("megatron", core=core)
 
-    # --- transformer_engine (GPU-only; parity targets never call it) ---
-    te_pytorch = _mod("transformer_engine.pytorch")
-    _mod("transformer_engine", pytorch=te_pytorch)
+    # --- transformer_engine: the reference DiT only needs RMSNorm and
+    # apply_rotary_pos_emb at runtime (with atten_backend="torch" the TE
+    # DotProductAttention import never executes). Both are implemented for
+    # real here, to TE semantics, so the reference MiniTrainDIT runs on CPU.
+    import torch
+
+    class _TERMSNorm(torch.nn.Module):
+        def __init__(self, hidden_size, eps=1e-6, **kw):
+            super().__init__()
+            self.eps = eps
+            self.weight = torch.nn.Parameter(torch.ones(hidden_size))
+
+        def reset_parameters(self):
+            torch.nn.init.ones_(self.weight)
+
+        def forward(self, x):
+            xf = x.float()
+            out = xf * torch.rsqrt(xf.pow(2).mean(-1, keepdim=True) + self.eps)
+            return out.type_as(x) * self.weight
+
+    def _te_apply_rotary_pos_emb(t, freqs, tensor_format="bshd", fused=True):
+        # t: (B,S,H,D) for bshd; freqs: (S,1,1,D2) angles (duplicated halves).
+        # TE formula: t*cos + rotate_half(t)*sin in fp32, cast back.
+        ts = t.transpose(0, 1) if tensor_format == "bshd" else t  # (S,B,H,D)
+        rot_dim = freqs.shape[-1]
+        t_rot, t_pass = ts[..., :rot_dim], ts[..., rot_dim:]
+        cos = torch.cos(freqs.float())
+        sin = torch.sin(freqs.float())
+        x = t_rot.float()
+        d2 = rot_dim // 2
+        rotated = torch.cat([-x[..., d2:], x[..., :d2]], dim=-1)
+        out = (x * cos + rotated * sin).to(t.dtype)
+        out = torch.cat([out, t_pass], dim=-1)
+        return out.transpose(0, 1) if tensor_format == "bshd" else out
+
+    te_attention = _mod(
+        "transformer_engine.pytorch.attention",
+        apply_rotary_pos_emb=_te_apply_rotary_pos_emb,
+    )
+    te_pytorch = _mod(
+        "transformer_engine.pytorch", RMSNorm=_TERMSNorm, attention=te_attention
+    )
+    _mod("transformer_engine", pytorch=te_pytorch, __version__="1.14.0")
 
     # --- boto3/botocore (S3 IO; parity tests only touch local tensors) --
     class _FakeClient:
@@ -167,12 +207,34 @@ def install_shims() -> None:
     )
     _mod("omegaconf.errors", OmegaConfBaseException=Exception)
 
-    # --- torchvision (clip.py uses transforms at runtime only) ----------
+    # --- torchvision: the DiT resizes the padding mask with nearest
+    # interpolation at runtime — implement resize for real; the clip.py
+    # transform constructors are runtime-only and stay no-ops.
     class _T:
         def __getattr__(self, name):
             return lambda *a, **k: (lambda x: x)
 
-    tv_transforms = _mod("torchvision.transforms")
+    def _tv_resize(img, size, interpolation=None, antialias=None):
+        x, added = img, 0
+        while x.ndim < 4:
+            x, added = x.unsqueeze(0), added + 1
+        out = torch.nn.functional.interpolate(x.float(), size=tuple(size), mode="nearest").to(img.dtype)
+        for _ in range(added):
+            out = out.squeeze(0)
+        return out
+
+    import enum as _enum2
+
+    class _InterpolationMode(_enum2.Enum):
+        NEAREST = "nearest"
+        BILINEAR = "bilinear"
+
+    tv_functional = _mod("torchvision.transforms.functional", resize=_tv_resize)
+    tv_transforms = _mod(
+        "torchvision.transforms",
+        functional=tv_functional,
+        InterpolationMode=_InterpolationMode,
+    )
     tv_transforms.Compose = lambda fns: (lambda x: x)
     tv_transforms.Normalize = _T().Normalize
     tv_transforms.Resize = _T().Resize
@@ -291,13 +353,25 @@ def install_shims() -> None:
     # parity targets — XLMRoberta / XLMRobertaWithHead — touch none of them.
     import torch as _torch
 
-    _mod("cosmos_predict2._src.predict2.conditioner", AbstractEmbModel=_torch.nn.Module)
+    import enum as _enum3
+
+    class _DataType(str, _enum3.Enum):
+        IMAGE = "image"
+        VIDEO = "video"
+        MIX = "mix"
+
+        def __str__(self):
+            return self.value
+
+    _mod(
+        "cosmos_predict2._src.predict2.conditioner",
+        AbstractEmbModel=_torch.nn.Module,
+        DataType=_DataType,
+    )
     _mod("cosmos_predict2._src.predict2.inference.get_umt5_emb", HuggingfaceTokenizer=object)
 
-    def _no_attention(*a, **k):
-        raise RuntimeError("attention shim: GPU dispatch not available in parity tests")
-
-    _mod("cosmos_predict2._src.predict2.networks.attention", attention=_no_attention)
+    # (networks/attention.py imports cleanly on CPU: flash_attn_3 is inside
+    # try/except and the SDPA path is pure torch — no stub needed.)
 
     _installed = True
 
