@@ -157,10 +157,14 @@ class ShardedTarDataset:
         shuffle_seed: Optional[int] = 0,
         decoders: Optional[dict[str, Callable[[bytes], Any]]] = None,
         spool_dir: Optional[str] = None,
+        augmentors: Optional[list] = None,
     ):
         self.shards = sorted(shard_paths)[process_index::process_count]
         self.shuffle_seed = shuffle_seed
         self.spool = ShardSpool(spool_dir) if any(_is_remote(s) for s in self.shards) else None
+        # augmentor chain (data/augmentors.py zoo); an augmentor returning
+        # None rejects the sample, matching the reference contract
+        self.augmentors = augmentors or []
         self.decoders = {
             "npy": lambda b: np.load(io.BytesIO(b)),
             "npz": lambda b: dict(np.load(io.BytesIO(b))),
@@ -168,6 +172,13 @@ class ShardedTarDataset:
             "json": lambda b: __import__("json").loads(b.decode("utf-8")),
             **(decoders or {}),
         }
+
+    def _augment(self, sample: dict) -> Optional[dict]:
+        if not self.augmentors:
+            return sample
+        from cosmos_predict2_tpu.data.augmentors import apply_augmentors
+
+        return apply_augmentors(sample, self.augmentors)
 
     def _iter_shard(self, path: str) -> Iterator[dict]:
         # native path: C++ index + threaded prefetch, IO off the GIL
@@ -182,14 +193,18 @@ class ShardedTarDataset:
             for i, name in enumerate(names):
                 stem, _, ext = name.rpartition(".")
                 if current_key is not None and stem != current_key and sample:
-                    yield sample
+                    out = self._augment(sample)
+                    if out is not None:
+                        yield out
                     sample = {}
                 current_key = stem
                 data = shard.get_prefetched(i)
                 sample[ext] = self.decoders.get(ext, lambda b: b)(data)
                 sample["__key__"] = stem
             if sample:
-                yield sample
+                out = self._augment(sample)
+                if out is not None:
+                    yield out
         finally:
             shard.end_prefetch()
             shard.close()
