@@ -96,24 +96,34 @@ def _na_kernel(
         m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
         l_scr[:] = jnp.zeros_like(l_scr)
 
-    # temporal tile skipping: rows in this q tile span frames
-    # [q0//HW, q1//HW]; a kv tile whose frames are entirely outside the
-    # (clamp-widened) temporal window contributes nothing.
+    # tile skipping along the token-major axes: a q tile of contiguous
+    # tokens spans a contiguous (t, h) coordinate range; a kv tile whose
+    # t-range (and, within a single frame, h-range) is entirely outside the
+    # clamp-widened window contributes nothing and is skipped wholesale.
     hw = size.H * size.W
+
+    def axis_range_overlap(w, length, q_lo_c, q_hi_c, k_lo_c, k_hi_c):
+        r_lo = (w - 1) // 2
+        r_hi = w - 1 - r_lo
+        lo = jnp.maximum(jnp.minimum(q_lo_c, length - 1 - r_hi), r_lo) - r_lo
+        hi = jnp.minimum(jnp.maximum(q_hi_c, r_lo), length - 1 - r_hi) + r_hi
+        return (k_hi_c >= lo) & (k_lo_c <= hi)
+
+    run_block = True
     wt = window[0]
+    q0, q1 = iq * block_q, iq * block_q + block_q - 1
+    k0, k1 = ik * block_kv, ik * block_kv + block_kv - 1
     if 0 <= wt < size.T:
-        r_lo = (wt - 1) // 2
-        r_hi = wt - 1 - r_lo
-        q_t_min = (iq * block_q) // hw
-        q_t_max = (iq * block_q + block_q - 1) // hw
-        # clamped centers lie within [r_lo, T-1-r_hi]
-        lo = jnp.maximum(jnp.minimum(q_t_min, size.T - 1 - r_hi), r_lo) - r_lo
-        hi = jnp.minimum(jnp.maximum(q_t_max, r_lo), size.T - 1 - r_hi) + r_hi
-        k_t_min = (ik * block_kv) // hw
-        k_t_max = (ik * block_kv + block_kv - 1) // hw
-        run_block = (k_t_max >= lo) & (k_t_min <= hi)
-    else:
-        run_block = True
+        run_block = run_block & axis_range_overlap(wt, size.T, q0 // hw, q1 // hw, k0 // hw, k1 // hw)
+    wh = window[1]
+    if 0 <= wh < size.H:
+        # h-skip is exact only when both tiles sit inside ONE frame
+        # (otherwise the h-range wraps); guard on that.
+        same_frame = (q0 // hw == q1 // hw) & (k0 // hw == k1 // hw)
+        h_ok = axis_range_overlap(
+            wh, size.H, (q0 % hw) // size.W, (q1 % hw) // size.W, (k0 % hw) // size.W, (k1 % hw) // size.W
+        )
+        run_block = run_block & (h_ok | ~same_frame)
 
     @pl.when(run_block)
     def _compute():
@@ -161,6 +171,13 @@ def neighborhood_attention(
     b, s_len, h, d = q.shape
     qt, kt, vt = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
     scale = 1.0 / np.sqrt(d)
+    # prefer tiles that divide one frame's tokens (H*W): then every tile
+    # sits inside a single frame and the h-axis tile skip is always exact
+    # (e.g. 720p hw=3520 -> 440). Fall back to the caller's blocks.
+    hw = video_size.H * video_size.W
+    frame_divisor = next((bb for bb in range(512, 127, -8) if hw % bb == 0), None)
+    if s_len > 16384 and frame_divisor is not None and 0 <= window[1] < video_size.H:
+        block_q = block_kv = frame_divisor
     bq = min(block_q, max(128, (s_len // 128) * 128) if s_len >= 128 else 128)
     bkv = min(block_kv, bq)
 
