@@ -81,6 +81,13 @@ class InferenceSetup:
     # explicit (height, width) override of the resolution bucket (tests,
     # custom sizes); must be divisible by 16 (VAE /8 x patch /2)
     size_override: Optional[tuple[int, int]] = None
+    # Stream the VAE through O(chunk)-memory causal chunks instead of the
+    # one-shot whole-clip encode/decode inside the jit. Required for the
+    # full-scale 93-frame 720p workload: a one-shot decode materializes
+    # ~93*704*1280*128ch activations (>HBM); the reference likewise chunks
+    # (wan2pt1.py:504-592, chunk_duration=81). Sampling stays jitted; the
+    # VAE runs as a host loop over two cached compiled chunk programs.
+    streaming_vae: bool = False
 
 
 class Video2WorldInference:
@@ -103,6 +110,9 @@ class Video2WorldInference:
         # num_steps / num_conditional_frames change the graph -> static.
         self._generate_jit = jax.jit(
             self._generate_impl, static_argnames=("num_steps", "num_conditional_frames")
+        )
+        self._sample_jit = jax.jit(
+            self._sample_impl, static_argnames=("num_steps", "num_conditional_frames")
         )
 
     # ------------------------------ helpers ------------------------------
@@ -158,6 +168,57 @@ class Video2WorldInference:
         )
         return frames  # (B, T, H, W, 3) in [-1, 1]
 
+    def _sample_impl(
+        self,
+        params,
+        gt_latents,  # (B, C, t, h, w) float32
+        text_emb,
+        neg_text_emb,
+        noise,
+        guidance: float,
+        num_steps: int,
+        num_conditional_frames: int,
+    ):
+        """Sampling loop only (streaming-VAE path: encode/decode run as
+        host-chunked streams outside this jit)."""
+        condition = make_condition(text_emb, data_type=DataType.VIDEO).replace(gt_frames=gt_latents)
+        return self.model.generate(
+            params,
+            noise,
+            condition,
+            guidance=guidance,
+            num_steps=num_steps,
+            num_conditional_frames=num_conditional_frames,
+            negative_text_embeddings=neg_text_emb,
+        )
+
+    def _run_streaming(
+        self, video_u8, text_emb, neg_text_emb, noise, guidance, num_steps, num_conditional_frames
+    ):
+        from cosmos_predict2_tpu.tokenizers.wan_vae_streaming import decode_streaming, encode_streaming
+
+        video = jnp.asarray(video_u8).astype(jnp.bfloat16) / 127.5 - 1.0
+        latents = encode_streaming(
+            self.vae.config, self.vae_params, video.transpose(0, 2, 3, 4, 1)
+        )
+        gt_latents = latents.transpose(0, 4, 1, 2, 3).astype(jnp.float32)
+        samples = self._sample_jit(
+            self.params,
+            gt_latents,
+            text_emb,
+            neg_text_emb,
+            noise,
+            guidance=guidance,
+            num_steps=num_steps,
+            num_conditional_frames=num_conditional_frames,
+        )
+        return decode_streaming(
+            self.vae.config,
+            self.vae_params,
+            samples.astype(self.vae.config.dtype).transpose(0, 2, 3, 4, 1),
+            out="host",
+        )
+
     def generate_vid2world(
         self,
         video_u8: np.ndarray,
@@ -173,17 +234,22 @@ class Video2WorldInference:
         _, _, T, H, W = video_u8.shape
         state_shape = (1, mc.state_ch, 1 + (T - 1) // 4, H // 8, W // 8)
         noise = arch_invariant_rand(state_shape, seed=seed)
-        frames = self._generate_jit(
-            self.params,
-            self.vae_params,
-            jnp.asarray(video_u8),
-            text_emb,
-            neg_text_emb,
-            noise,
-            guidance=guidance,
-            num_steps=num_steps,
-            num_conditional_frames=num_conditional_frames,
-        )
+        if self.setup.streaming_vae:
+            frames = self._run_streaming(
+                video_u8, text_emb, neg_text_emb, noise, guidance, num_steps, num_conditional_frames
+            )
+        else:
+            frames = self._generate_jit(
+                self.params,
+                self.vae_params,
+                jnp.asarray(video_u8),
+                text_emb,
+                neg_text_emb,
+                noise,
+                guidance=guidance,
+                num_steps=num_steps,
+                num_conditional_frames=num_conditional_frames,
+            )
         return np.asarray(frames[0], dtype=np.float32)
 
     def generate_vid2world_batch(
@@ -210,17 +276,22 @@ class Video2WorldInference:
         assert len(seeds) == B, f"need {B} seeds, got {len(seeds)}"
         per = (1, mc.state_ch, 1 + (T - 1) // 4, H // 8, W // 8)
         noise = jnp.concatenate([arch_invariant_rand(per, seed=s) for s in seeds], axis=0)
-        frames = self._generate_jit(
-            self.params,
-            self.vae_params,
-            jnp.asarray(video_u8),
-            text_emb,
-            neg_text_emb,
-            noise,
-            guidance=guidance,
-            num_steps=num_steps,
-            num_conditional_frames=num_conditional_frames,
-        )
+        if self.setup.streaming_vae:
+            frames = self._run_streaming(
+                video_u8, text_emb, neg_text_emb, noise, guidance, num_steps, num_conditional_frames
+            )
+        else:
+            frames = self._generate_jit(
+                self.params,
+                self.vae_params,
+                jnp.asarray(video_u8),
+                text_emb,
+                neg_text_emb,
+                noise,
+                guidance=guidance,
+                num_steps=num_steps,
+                num_conditional_frames=num_conditional_frames,
+            )
         return np.asarray(frames, dtype=np.float32)
 
     # ----------------------- autoregressive mode -----------------------

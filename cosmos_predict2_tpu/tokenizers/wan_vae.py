@@ -240,7 +240,10 @@ class Resample(nn.Module):
                     # output j>=1 sees input frames (2j-2, 2j-1, 2j).
                     z = time_conv(x)
                     x = jnp.concatenate([x[:, :1], z], axis=1)
-                else:
+                elif self.is_initializing():
+                    # image batches (T==1) bypass the temporal conv; touch it
+                    # at INIT ONLY so the param tree (and checkpoint layout)
+                    # is identical for image and video batches.
                     _ = time_conv(jnp.concatenate([x[:, :, :1, :1, :]] * 3, axis=1))
             return x
         if mode == "none":

@@ -179,17 +179,23 @@ def encoder_chunk(cfg: WanVAEConfig, params, x_chunk, state: StreamState):
 
 
 def encode_streaming(vae_cfg: WanVAEConfig, params, x, chunk_frames: int = 4):
-    """Full streaming encode of (B, 1+4k, H, W, 3); O(chunk) memory."""
+    """Full streaming encode of (B, 1+4k, H, W, 3); O(chunk) memory.
+
+    Chunks run through a cached ``jax.jit`` of :func:`encoder_chunk`:
+    the first chunk and the steady-state chunk each compile once, every
+    later chunk reuses the compiled program (same shapes).
+    """
     assert chunk_frames % 4 == 0
     B, T, H, W, _ = x.shape
     state = init_encoder_state(vae_cfg, B, H, W, dtype=vae_cfg.dtype)
     outs = []
-    z, state = encoder_chunk(vae_cfg, params, x[:, :1], state)
+    z, caches = _jitted_chunk("enc", vae_cfg, first=True)(params, x[:, :1], state.caches)
     outs.append(z)
     pos = 1
+    steady = _jitted_chunk("enc", vae_cfg, first=False)
     while pos < T:
         end = min(pos + chunk_frames, T)
-        z, state = encoder_chunk(vae_cfg, params, x[:, pos:end], state)
+        z, caches = steady(params, x[:, pos:end], caches)
         outs.append(z)
         pos = end
     return jnp.concatenate(outs, axis=1)
@@ -278,17 +284,70 @@ def decoder_chunk(cfg: WanVAEConfig, params, z_chunk, state: StreamState):
     return y, StreamState(caches=caches, first=False)
 
 
-def decode_streaming(vae_cfg: WanVAEConfig, params, z, chunk_latent_frames: int = 1):
-    """Full streaming decode of (B, t, h, w, 16); O(chunk) memory."""
+def decode_streaming(
+    vae_cfg: WanVAEConfig, params, z, chunk_latent_frames: int = 1, out: str = "device"
+):
+    """Full streaming decode of (B, t, h, w, 16); O(chunk) memory.
+
+    Chunks run through a cached ``jax.jit`` of :func:`decoder_chunk`
+    (two compiled programs total: first chunk + steady chunk).
+
+    ``out="host"`` spools each decoded pixel chunk to host memory and
+    returns a numpy array — required at full scale (93f x 704x1280
+    accumulates ~0.5 GB of pixels; keeping every chunk resident on device
+    next to the decoder working set exhausts a 16 GB chip).
+    """
+    import numpy as np
+
     B, t, h, w, _ = z.shape
     state = init_decoder_state(vae_cfg, B, h, w, dtype=vae_cfg.dtype)
+    to_out = (lambda a: np.asarray(a)) if out == "host" else (lambda a: a)
     outs = []
-    px, state = decoder_chunk(vae_cfg, params, z[:, :1], state)
-    outs.append(px)
+    px, caches = _jitted_chunk("dec", vae_cfg, first=True)(params, z[:, :1], state.caches)
+    outs.append(to_out(px))
     pos = 1
+    steady = _jitted_chunk("dec", vae_cfg, first=False)
     while pos < t:
         end = min(pos + chunk_latent_frames, t)
-        px, state = decoder_chunk(vae_cfg, params, z[:, pos:end], state)
-        outs.append(px)
+        px, caches = steady(params, z[:, pos:end], caches)
+        outs.append(to_out(px))
         pos = end
+    if out == "host":
+        return np.concatenate(outs, axis=1)
     return jnp.concatenate(outs, axis=1)
+
+
+# ---------------------- jit plumbing for the host loops ----------------------
+
+
+_JIT_CACHE: dict[tuple, Any] = {}
+
+
+def _cfg_key(cfg: WanVAEConfig) -> tuple:
+    return (
+        cfg.dim,
+        cfg.z_dim,
+        tuple(cfg.dim_mult),
+        cfg.num_res_blocks,
+        tuple(cfg.temporal_downsample),
+        jnp.dtype(cfg.dtype).name,
+    )
+
+
+def _jitted_chunk(kind: str, cfg: WanVAEConfig, *, first: bool):
+    """Compiled (params, chunk, caches) -> (out, caches) for one stream
+    chunk. ``first`` is a trace-time constant (the frame-0 "Rep" bypass is
+    Python control flow), so first/steady chunks get separate programs."""
+    key = (kind, _cfg_key(cfg), first)
+    fn = _JIT_CACHE.get(key)
+    if fn is None:
+        base = encoder_chunk if kind == "enc" else decoder_chunk
+
+        def flat(params, chunk, caches, _base=base, _cfg=cfg, _first=first):
+            out, st = _base(_cfg, params, chunk, StreamState(caches=caches, first=_first))
+            return out, st.caches
+
+        # donate the cache pytree: in/out cache shapes match, so XLA
+        # updates them in place instead of double-buffering (~GBs at 720p)
+        fn = _JIT_CACHE[key] = jax.jit(flat, donate_argnums=(2,))
+    return fn
