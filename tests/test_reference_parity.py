@@ -244,3 +244,71 @@ def test_wan_vae_decode_matches_reference(vae_pair):
     diff = np.max(np.abs(mine - ref_px))
     scale = np.max(np.abs(ref_px))
     assert diff < 1e-3 * max(scale, 1.0), f"decode max diff {diff}, ref scale {scale}"
+
+
+# ---------------------------------------------------------------------------
+# TrigFlow denoiser scalings (distillation)
+# ---------------------------------------------------------------------------
+
+
+def test_trigflow_scalings_match_reference():
+    ds = import_reference("cosmos_predict2._src.predict2.modules.denoiser_scaling")
+    from cosmos_predict2_tpu.models.distillation import trigflow_scalings_edm, trigflow_scalings_rf
+
+    t = np.linspace(0.05, np.pi / 2 - 0.05, 17).astype(np.float32)
+    for sigma_data in (1.0, 0.5):
+        ref = ds.EDM_sCMWrapper(sigma_data)(torch.from_numpy(t))
+        mine = trigflow_scalings_edm(jnp.asarray(t), sigma_data)
+        for r, m in zip(ref, mine):
+            np.testing.assert_allclose(np.asarray(m), r.numpy(), rtol=1e-6, atol=1e-6)
+        ref = ds.RectifiedFlow_sCMWrapper(sigma_data)(torch.from_numpy(t))
+        mine = trigflow_scalings_rf(jnp.asarray(t), sigma_data)
+        for r, m in zip(ref, mine):
+            np.testing.assert_allclose(np.asarray(m), r.numpy(), rtol=1e-6, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Legacy EDM "2ab" multistep solver
+# ---------------------------------------------------------------------------
+
+
+def test_edm_2ab_sampler_matches_reference():
+    """Our scan-based EDM sampler vs a torch loop built from the reference's
+    own order2_fn/reg_x0_euler_step (imaginaire/functional/multi_step.py:27-49)
+    driving the same schedule + sample_clean step (res_sampler.py:185-190,
+    215-258; no churn)."""
+    ms = import_reference("cosmos_predict2._src.imaginaire.functional.multi_step")
+    from cosmos_predict2_tpu.schedulers import edm_sampler
+
+    num_steps = 9
+    sigmas = edm_sampler.karras_rev_ts(0.002, 80.0, num_steps, 7.0)  # (n+1,)
+    rng = np.random.RandomState(0)
+    x_init = (rng.randn(2, 3, 4, 4) * sigmas[0]).astype(np.float64)
+    W = rng.randn(4, 4).astype(np.float64) * 0.2
+
+    def x0_fn_torch(x, sigma):
+        s = sigma.reshape(-1, 1, 1, 1).to(torch.float64)
+        return torch.tanh(x / (1.0 + s)) + (x @ torch.from_numpy(W)) / (1.0 + s * s)
+
+    def x0_fn_jax(x, sigma):
+        s = jnp.float64(sigma) if jnp.ndim(sigma) == 0 else sigma
+        return jnp.tanh(x / (1.0 + s)) + (x @ jnp.asarray(W)) / (1.0 + s * s)
+
+    # reference loop (differential_equation_solver semantics, is_multi, "2ab")
+    x = torch.from_numpy(x_init)
+    ones = torch.ones(x.shape[0], dtype=torch.float64)
+    x0_preds = []
+    for i in range(num_steps):
+        s_cur, s_next = float(sigmas[i]), float(sigmas[i + 1])
+        x0 = x0_fn_torch(x, s_cur * ones)
+        x, x0_preds = ms.order2_fn(x, s_cur * ones, s_next * ones, x0, x0_preds)
+    ref = x0_fn_torch(x, float(sigmas[-1]) * ones).numpy()  # sample_clean
+
+    # our sampler computes in float32 (coefficients precomputed in float64)
+    mine = edm_sampler.sample(
+        x0_fn_jax,
+        jnp.asarray(x_init, jnp.float32),
+        num_steps=num_steps,
+        sample_clean=True,
+    )
+    np.testing.assert_allclose(np.asarray(mine, np.float64), ref, rtol=2e-4, atol=2e-4)
