@@ -82,51 +82,77 @@ def neighborhood_attention_reference(
     return out.astype(q.dtype)
 
 
+def _build_kv_tile_table(
+    seq_len: int, bq: int, bkv: int, size: VideoSize, window: tuple[int, int, int]
+) -> tuple[np.ndarray, np.ndarray]:
+    """Host-side block-sparsity table: for every q tile, the kv tiles that
+    can contain in-window keys (conservative per-axis interval test, the
+    same logic the old kernel evaluated per grid step). Returns
+    (table (nq, max_cnt) int32 padded with the last valid tile, counts (nq,)).
+
+    This is what turns the kernel from mask-and-skip (every (i, j) pair
+    still costs a grid step + K/V HBM copy) into a gathered sparse kernel
+    (grid and DMA sized to the work that exists) — the splash-attention
+    scalar-prefetch pattern.
+    """
+    hw = size.H * size.W
+    nq = -(-seq_len // bq)
+    nk = -(-seq_len // bkv)
+
+    def axis_overlap(w: int, length: int, q_lo: int, q_hi: int, k_lo: int, k_hi: int) -> bool:
+        r_lo = (w - 1) // 2
+        r_hi = w - 1 - r_lo
+        lo = max(min(q_lo, length - 1 - r_hi), r_lo) - r_lo
+        hi = min(max(q_hi, r_lo), length - 1 - r_hi) + r_hi
+        return k_hi >= lo and k_lo <= hi
+
+    wt, wh = window[0], window[1]
+    rows: list[list[int]] = []
+    for i in range(nq):
+        q0, q1 = i * bq, min(seq_len, (i + 1) * bq) - 1
+        keep: list[int] = []
+        for j in range(nk):
+            k0, k1 = j * bkv, min(seq_len, (j + 1) * bkv) - 1
+            ok = True
+            if 0 <= wt < size.T:
+                ok = axis_overlap(wt, size.T, q0 // hw, q1 // hw, k0 // hw, k1 // hw)
+            if ok and 0 <= wh < size.H and (q0 // hw == q1 // hw) and (k0 // hw == k1 // hw):
+                ok = axis_overlap(
+                    wh, size.H, (q0 % hw) // size.W, (q1 % hw) // size.W,
+                    (k0 % hw) // size.W, (k1 % hw) // size.W,
+                )
+            if ok:
+                keep.append(j)
+        rows.append(keep)
+    counts = np.asarray([len(r) for r in rows], dtype=np.int32)
+    max_cnt = int(counts.max()) if nq else 1
+    table = np.zeros((nq, max_cnt), dtype=np.int32)
+    for i, r in enumerate(rows):
+        table[i, : len(r)] = r
+        if len(r) < max_cnt:  # pad with the last real tile (compute is gated off)
+            table[i, len(r):] = r[-1] if r else 0
+    return table, counts
+
+
 def _na_kernel(
-    q_ref, k_ref, v_ref, o_ref, acc, m_scr, l_scr,
+    tab_ref, cnt_ref, q_ref, k_ref, v_ref, o_ref, acc, m_scr, l_scr,
     *, scale, size: VideoSize, window, block_q, block_kv, seq_len,
 ):
+    """Gathered block-sparse NA forward: grid (b, h, nq, max_cnt); the kv
+    tile actually loaded at step (i, j) is tab[i, j] (scalar-prefetched, so
+    the DMA pipeline gathers only in-window tiles)."""
     iq = pl.program_id(2)
-    ik = pl.program_id(3)
-    n_kv = pl.num_programs(3)
+    j = pl.program_id(3)
 
-    @pl.when(ik == 0)
+    @pl.when(j == 0)
     def _init():
         acc[:] = jnp.zeros_like(acc)
         m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
         l_scr[:] = jnp.zeros_like(l_scr)
 
-    # tile skipping along the token-major axes: a q tile of contiguous
-    # tokens spans a contiguous (t, h) coordinate range; a kv tile whose
-    # t-range (and, within a single frame, h-range) is entirely outside the
-    # clamp-widened window contributes nothing and is skipped wholesale.
-    hw = size.H * size.W
-
-    def axis_range_overlap(w, length, q_lo_c, q_hi_c, k_lo_c, k_hi_c):
-        r_lo = (w - 1) // 2
-        r_hi = w - 1 - r_lo
-        lo = jnp.maximum(jnp.minimum(q_lo_c, length - 1 - r_hi), r_lo) - r_lo
-        hi = jnp.minimum(jnp.maximum(q_hi_c, r_lo), length - 1 - r_hi) + r_hi
-        return (k_hi_c >= lo) & (k_lo_c <= hi)
-
-    run_block = True
-    wt = window[0]
-    q0, q1 = iq * block_q, iq * block_q + block_q - 1
-    k0, k1 = ik * block_kv, ik * block_kv + block_kv - 1
-    if 0 <= wt < size.T:
-        run_block = run_block & axis_range_overlap(wt, size.T, q0 // hw, q1 // hw, k0 // hw, k1 // hw)
-    wh = window[1]
-    if 0 <= wh < size.H:
-        # h-skip is exact only when both tiles sit inside ONE frame
-        # (otherwise the h-range wraps); guard on that.
-        same_frame = (q0 // hw == q1 // hw) & (k0 // hw == k1 // hw)
-        h_ok = axis_range_overlap(
-            wh, size.H, (q0 % hw) // size.W, (q1 % hw) // size.W, (k0 % hw) // size.W, (k1 % hw) // size.W
-        )
-        run_block = run_block & (h_ok | ~same_frame)
-
-    @pl.when(run_block)
+    @pl.when(j < cnt_ref[iq])
     def _compute():
+        ik = tab_ref[iq, j]
         q = q_ref[0, 0]
         k = k_ref[0, 0]
         v = v_ref[0, 0]
@@ -148,7 +174,7 @@ def _na_kernel(
         m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
         l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
 
-    @pl.when(ik == n_kv - 1)
+    @pl.when(j == pl.num_programs(3) - 1)
     def _finalize():
         l = jnp.maximum(l_scr[:, :1], 1e-20)
         o_ref[0, 0] = (acc[:] / l).astype(o_ref.dtype)
@@ -171,13 +197,6 @@ def neighborhood_attention(
     b, s_len, h, d = q.shape
     qt, kt, vt = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
     scale = 1.0 / np.sqrt(d)
-    # prefer tiles that divide one frame's tokens (H*W): then every tile
-    # sits inside a single frame and the h-axis tile skip is always exact
-    # (e.g. 720p hw=3520 -> 440). Fall back to the caller's blocks.
-    hw = video_size.H * video_size.W
-    frame_divisor = next((bb for bb in range(512, 127, -8) if hw % bb == 0), None)
-    if s_len > 16384 and frame_divisor is not None and 0 <= window[1] < video_size.H:
-        block_q = block_kv = frame_divisor
     bq = min(block_q, max(128, (s_len // 128) * 128) if s_len >= 128 else 128)
     bkv = min(block_kv, bq)
 
@@ -187,27 +206,40 @@ def neighborhood_attention(
 
     qp, kp, vp = pad(qt, bq), pad(kt, bkv), pad(vt, bkv)
     sp = qp.shape[2]
-    grid = (b, h, sp // bq, sp // bkv)
-    out = pl.pallas_call(
-        functools.partial(
-            _na_kernel, scale=scale, size=video_size, window=tuple(window),
-            block_q=bq, block_kv=bkv, seq_len=s_len,
-        ),
+    nq = sp // bq
+    table_np, counts_np = _build_kv_tile_table(s_len, bq, bkv, video_size, tuple(window))
+    # padded q tiles (beyond the real sequence) read tile 0 and skip compute
+    if table_np.shape[0] < nq:
+        pad_rows = nq - table_np.shape[0]
+        table_np = np.concatenate([table_np, np.zeros((pad_rows, table_np.shape[1]), np.int32)])
+        counts_np = np.concatenate([counts_np, np.zeros((pad_rows,), np.int32)])
+    max_cnt = table_np.shape[1]
+
+    grid = (b, h, nq, max_cnt)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # (table, counts)
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, bq, d), lambda b_, h_, i, j: (b_, h_, i, 0)),
-            pl.BlockSpec((1, 1, bkv, d), lambda b_, h_, i, j: (b_, h_, j, 0)),
-            pl.BlockSpec((1, 1, bkv, d), lambda b_, h_, i, j: (b_, h_, j, 0)),
+            pl.BlockSpec((1, 1, bq, d), lambda b_, h_, i, j, tab, cnt: (b_, h_, i, 0)),
+            pl.BlockSpec((1, 1, bkv, d), lambda b_, h_, i, j, tab, cnt: (b_, h_, tab[i, j], 0)),
+            pl.BlockSpec((1, 1, bkv, d), lambda b_, h_, i, j, tab, cnt: (b_, h_, tab[i, j], 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, bq, d), lambda b_, h_, i, j: (b_, h_, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, h, sp, d), q.dtype),
+        out_specs=pl.BlockSpec((1, 1, bq, d), lambda b_, h_, i, j, tab, cnt: (b_, h_, i, 0)),
         scratch_shapes=[
             pltpu.VMEM((bq, d), jnp.float32),
             pltpu.VMEM((bq, 128), jnp.float32),
             pltpu.VMEM((bq, 128), jnp.float32),
         ],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _na_kernel, scale=scale, size=video_size, window=tuple(window),
+            block_q=bq, block_kv=bkv, seq_len=s_len,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, sp, d), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
-    )(qp, kp, vp)
+    )(jnp.asarray(table_np), jnp.asarray(counts_np), qp, kp, vp)
     return out[:, :, :s_len].transpose(0, 2, 1, 3)
