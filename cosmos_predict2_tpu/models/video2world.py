@@ -62,6 +62,13 @@ class RFModelConfig:
     sampling_num_steps: int = 35
     sampling_shift: float = 5.0
     use_karras_sigma_at_inference: bool = False
+    # high-sigma strategy: bias a fraction of training samples toward the
+    # near-pure-noise timesteps (reference
+    # text2world_model_rectified_flow.py:103-106,375-390)
+    use_high_sigma_strategy: bool = False
+    high_sigma_ratio: float = 0.05
+    high_sigma_timesteps_min: int = 980
+    high_sigma_timesteps_max: int = 1000
 
 
 class Video2WorldModel:
@@ -178,7 +185,7 @@ class Video2WorldModel:
         """
         cfg = self.config
         B = x0_B_C_T_H_W.shape[0]
-        rng_eps, rng_t, rng_k = jax.random.split(rng, 3)
+        rng_eps, rng_t, rng_k, rng_hs = jax.random.split(rng, 4)
 
         if condition.is_video and condition.gt_frames is not None:
             k = self.sample_num_conditional_frames(rng_k, B)
@@ -187,6 +194,11 @@ class Video2WorldModel:
         eps = jax.random.normal(rng_eps, x0_B_C_T_H_W.shape, dtype=jnp.float32)
         u = self.rectified_flow.sample_train_time(rng_t, B)
         timesteps, sigmas = self.rectified_flow.discretize(u)
+        if cfg.use_high_sigma_strategy:
+            timesteps, sigmas = self.rectified_flow.apply_high_sigma(
+                rng_hs, timesteps, sigmas, cfg.high_sigma_ratio,
+                cfg.high_sigma_timesteps_min, cfg.high_sigma_timesteps_max,
+            )
 
         xt, v_target = self.rectified_flow.get_interpolation(eps, x0_B_C_T_H_W.astype(jnp.float32), sigmas)
         v_pred = self.denoise(params, eps, xt, timesteps[:, None], condition)
@@ -253,8 +265,15 @@ class Video2WorldModel:
         shift: Optional[float] = None,
         num_conditional_frames: int = 1,
         negative_text_embeddings: Optional[jax.Array] = None,
+        host_loop: bool = False,
     ) -> jax.Array:
-        """Full UniPC sampling from noise. All shapes static; jit-able."""
+        """Full UniPC sampling from noise. All shapes static; jit-able.
+
+        ``host_loop=True`` steps the UniPC loop from the host (one jitted
+        CFG forward per step) instead of one scan program — required at
+        full-scale geometries where a single 35-step program runs for many
+        minutes. Do not wrap the host_loop variant in an outer jit.
+        """
         cfg = self.config
         num_steps = num_steps or cfg.sampling_num_steps
         shift = shift if shift is not None else cfg.sampling_shift
@@ -269,6 +288,8 @@ class Video2WorldModel:
             uncondition = uncondition.edit_for_inference(False, num_conditional_frames)
 
         velocity_fn = self.velocity_fn_from_condition(params, condition, uncondition, guidance, noise)
+        if host_loop:
+            return unipc.sample_host_loop(velocity_fn, noise.astype(jnp.float32), coeffs)
         return unipc.sample(velocity_fn, noise.astype(jnp.float32), coeffs)
 
     def state_shape(self, n_sample: int, height: int, width: int, spatial_compression: int = 8) -> tuple:

@@ -83,6 +83,33 @@ class RectifiedFlow:
         dot_x_t = x_0 - x_1
         return x_t, dot_x_t
 
+    def apply_high_sigma(
+        self,
+        rng: jax.Array,
+        timesteps: jax.Array,
+        sigmas: jax.Array,
+        ratio: float,
+        timesteps_min: int = 980,
+        timesteps_max: int = 1000,
+    ) -> tuple[jax.Array, jax.Array]:
+        """High-sigma strategy: with probability ``ratio`` per sample,
+        replace the drawn timestep with one sampled uniformly from the
+        schedule's timesteps in [timesteps_min, timesteps_max] — biasing
+        training toward the near-pure-noise region (reference
+        text2world_model_rectified_flow.py:375-390).
+        """
+        ts_np = np.asarray(self.timesteps)
+        cand = np.nonzero((ts_np >= timesteps_min) & (ts_np <= timesteps_max))[0]
+        if cand.size == 0:
+            raise ValueError("No candidate timesteps found for high sigma strategy")
+        rng_mask, rng_pick = jax.random.split(rng)
+        mask = jax.random.uniform(rng_mask, timesteps.shape) < ratio
+        picks = jnp.asarray(cand)[jax.random.randint(rng_pick, timesteps.shape, 0, cand.size)]
+        return (
+            jnp.where(mask, self.timesteps[picks], timesteps),
+            jnp.where(mask, self.sigmas[picks], sigmas),
+        )
+
     def time_weight(self, t: jax.Array) -> jax.Array:
         if self.config.train_time_weight in ("uniform", "reweighting"):
             return jnp.ones_like(t)

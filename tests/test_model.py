@@ -108,3 +108,24 @@ def test_image_batch_condition():
     gt = jnp.zeros((1, 16, 1, 8, 8))
     c = cond.set_video_condition(gt, 1)
     assert np.asarray(c.condition_video_mask).sum() == 0  # T=1 -> no cond frames
+
+
+@pytest.mark.level(0)
+def test_high_sigma_strategy():
+    """ratio=1 pushes every sampled timestep into [t_min, t_max]
+    (reference text2world_model_rectified_flow.py:375-390)."""
+    model = tiny_model(use_high_sigma_strategy=True, high_sigma_ratio=1.0)
+    ts, sig = model.rectified_flow.discretize(jnp.linspace(0.01, 0.99, 8))
+    ts2, sig2 = model.rectified_flow.apply_high_sigma(jax.random.PRNGKey(0), ts, sig, 1.0, 980, 1000)
+    assert bool(((np.asarray(ts2) >= 980) & (np.asarray(ts2) <= 1000)).all())
+    # sigmas stay consistent with the schedule (sigma = t/1000 on this map)
+    np.testing.assert_allclose(np.asarray(sig2), np.asarray(ts2) / 1000.0, rtol=1e-5)
+    # ratio=0 must be a no-op
+    ts3, _ = model.rectified_flow.apply_high_sigma(jax.random.PRNGKey(0), ts, sig, 0.0)
+    np.testing.assert_allclose(np.asarray(ts3), np.asarray(ts))
+    # training step still runs with the flag on
+    params = model.init_params(jax.random.PRNGKey(0), LATENT, text_len=8)
+    x0 = jax.random.normal(jax.random.PRNGKey(2), LATENT)
+    loss, metrics = model.training_step(params, jax.random.PRNGKey(3), x0, _condition(gt=x0))
+    assert np.isfinite(float(loss))
+    assert float(metrics["sigma_mean"]) > 0.97  # all samples near sigma=1
