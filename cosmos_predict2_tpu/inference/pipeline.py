@@ -111,9 +111,6 @@ class Video2WorldInference:
         self._generate_jit = jax.jit(
             self._generate_impl, static_argnames=("num_steps", "num_conditional_frames")
         )
-        self._sample_jit = jax.jit(
-            self._sample_impl, static_argnames=("num_steps", "num_conditional_frames")
-        )
 
     # ------------------------------ helpers ------------------------------
 
@@ -168,30 +165,6 @@ class Video2WorldInference:
         )
         return frames  # (B, T, H, W, 3) in [-1, 1]
 
-    def _sample_impl(
-        self,
-        params,
-        gt_latents,  # (B, C, t, h, w) float32
-        text_emb,
-        neg_text_emb,
-        noise,
-        guidance: float,
-        num_steps: int,
-        num_conditional_frames: int,
-    ):
-        """Sampling loop only (streaming-VAE path: encode/decode run as
-        host-chunked streams outside this jit)."""
-        condition = make_condition(text_emb, data_type=DataType.VIDEO).replace(gt_frames=gt_latents)
-        return self.model.generate(
-            params,
-            noise,
-            condition,
-            guidance=guidance,
-            num_steps=num_steps,
-            num_conditional_frames=num_conditional_frames,
-            negative_text_embeddings=neg_text_emb,
-        )
-
     def _run_streaming(
         self, video_u8, text_emb, neg_text_emb, noise, guidance, num_steps, num_conditional_frames
     ):
@@ -202,15 +175,19 @@ class Video2WorldInference:
             self.vae.config, self.vae_params, video.transpose(0, 2, 3, 4, 1)
         )
         gt_latents = latents.transpose(0, 4, 1, 2, 3).astype(jnp.float32)
-        samples = self._sample_jit(
+        # host-stepped UniPC (one jitted CFG forward per device execution):
+        # at full scale a single 35-step scan program runs ~17 min, long
+        # enough to hit connection/watchdog limits
+        condition = make_condition(text_emb, data_type=DataType.VIDEO).replace(gt_frames=gt_latents)
+        samples = self.model.generate(
             self.params,
-            gt_latents,
-            text_emb,
-            neg_text_emb,
             noise,
+            condition,
             guidance=guidance,
             num_steps=num_steps,
             num_conditional_frames=num_conditional_frames,
+            negative_text_embeddings=neg_text_emb,
+            host_loop=True,
         )
         return decode_streaming(
             self.vae.config,

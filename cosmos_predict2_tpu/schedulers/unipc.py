@@ -24,6 +24,7 @@ orders[i] = min(solver_order, n - i, i + 1).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from typing import Callable
 
@@ -255,34 +256,44 @@ def sample(
     """
     n = coeffs.num_steps
     order_hist = max(coeffs.c_hist.shape[1], 1)
-
-    def step(carry, per_step):
-        x, last_x, hist = carry  # hist: (order_hist+1, *x.shape), hist[0] newest
-        (t, sigma, use_c, c_ratio, c_m0, c_hist, c_d1t, p_ratio, p_m0, p_hist) = per_step
-
-        v = velocity_fn(x, t)
-        x0 = x - sigma * v.astype(x.dtype)
-
-        # corrector on x (uses history of *previous* x0 preds)
-        m0 = hist[0]
-        corr = c_ratio * last_x - c_m0 * m0 - c_d1t * (x0 - m0)
-        for k in range(order_hist):
-            corr = corr - c_hist[k] * (hist[k + 1] - m0)
-        x = jnp.where(use_c, corr, x)
-
-        # append x0 to history
-        hist = jnp.concatenate([x0[None], hist[:-1]], axis=0)
-        m0 = x0
-
-        # predictor
-        x_next = p_ratio * x - p_m0 * m0
-        for k in range(order_hist):
-            x_next = x_next - p_hist[k] * (hist[k + 1] - m0)
-
-        return (x_next, x, hist), None
+    step = functools.partial(_unipc_step, velocity_fn, order_hist)
 
     hist0 = jnp.zeros((order_hist + 1,) + x_init.shape, dtype=x_init.dtype)
-    per_step = (
+    (x, _, _), _ = jax.lax.scan(
+        step, (x_init, jnp.zeros_like(x_init), hist0), _per_step_arrays(coeffs), length=n
+    )
+    return x
+
+
+def _unipc_step(velocity_fn, order_hist, carry, per_step):
+    x, last_x, hist = carry  # hist: (order_hist+1, *x.shape), hist[0] newest
+    (t, sigma, use_c, c_ratio, c_m0, c_hist, c_d1t, p_ratio, p_m0, p_hist) = per_step
+
+    v = velocity_fn(x, t)
+    x0 = x - sigma * v.astype(x.dtype)
+
+    # corrector on x (uses history of *previous* x0 preds)
+    m0 = hist[0]
+    corr = c_ratio * last_x - c_m0 * m0 - c_d1t * (x0 - m0)
+    for k in range(order_hist):
+        corr = corr - c_hist[k] * (hist[k + 1] - m0)
+    x = jnp.where(use_c, corr, x)
+
+    # append x0 to history
+    hist = jnp.concatenate([x0[None], hist[:-1]], axis=0)
+    m0 = x0
+
+    # predictor
+    x_next = p_ratio * x - p_m0 * m0
+    for k in range(order_hist):
+        x_next = x_next - p_hist[k] * (hist[k + 1] - m0)
+
+    return (x_next, x, hist), None
+
+
+def _per_step_arrays(coeffs: UniPCCoeffs):
+    n = coeffs.num_steps
+    return (
         coeffs.timesteps,
         coeffs.sigmas[:n],
         coeffs.use_corrector,
@@ -294,5 +305,32 @@ def sample(
         coeffs.p_m0,
         coeffs.p_hist,
     )
-    (x, _, _), _ = jax.lax.scan(step, (x_init, jnp.zeros_like(x_init), hist0), per_step, length=n)
-    return x
+
+
+def sample_host_loop(
+    velocity_fn: Callable[[jax.Array, jax.Array], jax.Array],
+    x_init: jax.Array,
+    coeffs: UniPCCoeffs,
+    jit_velocity: bool = True,
+) -> jax.Array:
+    """Same math as :func:`sample`, stepped from the host.
+
+    Each denoise is one device execution (seconds) instead of one
+    monolithic multi-minute scan program — at the full-scale 720p geometry
+    a single 35-step scan runs ~17 min on one chip, long enough to trip
+    connection/watchdog limits, and host stepping also streams progress.
+    The UniPC update math between forwards is a handful of elementwise ops,
+    negligible eagerly.
+    """
+    n = coeffs.num_steps
+    order_hist = max(coeffs.c_hist.shape[1], 1)
+    vfn = jax.jit(velocity_fn) if jit_velocity else velocity_fn
+    step = functools.partial(_unipc_step, vfn, order_hist)
+
+    hist0 = jnp.zeros((order_hist + 1,) + x_init.shape, dtype=x_init.dtype)
+    carry = (x_init, jnp.zeros_like(x_init), hist0)
+    arrays = _per_step_arrays(coeffs)
+    for i in range(n):
+        per_step = tuple(a[i] for a in arrays)
+        carry, _ = step(carry, per_step)
+    return carry[0]

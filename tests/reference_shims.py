@@ -23,6 +23,10 @@ REFERENCE = "/root/reference"
 
 def _mod(name: str, **attrs) -> types.ModuleType:
     m = types.ModuleType(name)
+    # a real ModuleSpec: importlib.util.find_spec(name) reads module.__spec__
+    # for already-imported modules and raises ValueError on None (transformers
+    # probes e.g. torchvision this way)
+    m.__spec__ = importlib.util.spec_from_loader(name, loader=None)
     for k, v in attrs.items():
         setattr(m, k, v)
     sys.modules[name] = m
