@@ -2,11 +2,17 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Metric: frames/sec/chip for Video2World DiT denoising — the sampling hot
-loop (35 UniPC steps x 2 CFG forwards of the 2B DiT), which dominates clip
-latency in the reference (SURVEY.md §3.1 hot loop). We time the steady-state
-CFG denoise step at a 17-frame clip geometry and derive
-  frames_per_sec = num_frames / (num_steps * t_step).
+Metric: frames/sec/chip for Video2World DiT denoising at the reference's
+FULL-SCALE default workload — 93 output frames at the 720p "720" bucket
+(1280x704), latent (16, 24, 88, 160), DiT sequence 24*44*80 = 84,480
+tokens, 35 UniPC steps x 2 CFG forwards (reference:
+cosmos_predict2/config.py:418-421, predict2/datasets/utils.py:53,
+SURVEY.md §3.1 hot loop / §5.7 geometry). We time the steady-state CFG
+denoise step and derive frames_per_sec = 93 / (35 * t_step).
+
+FLOP model counts self-attention, qkv/out, cross-attention, MLP, the
+AdaLN-LoRA modulation, patch embed and final layer (all the matmuls in
+MiniTrainDIT) — see dit_flops_per_forward below.
 
 ``vs_baseline``: the reference publishes no numbers (BASELINE.md), so the
 baseline is an analytic H100 estimate for the same workload: identical
@@ -17,27 +23,48 @@ than that H100 model.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
+
+jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+
 import jax.numpy as jnp
 import numpy as np
 
-# Clip geometry: 17 pixel frames @ 512x832 -> latent (16, 5, 64, 104)
-# -> DiT tokens 5 * 32 * 52 = 8320. (720p = 24 x 44 x 80 tokens is the
-# full-scale config; this bench fits comfortably on one v5e chip.)
-FRAMES = 17
-LATENT = (1, 16, 5, 64, 104)
+# Full-scale clip geometry: 93 pixel frames @ 704x1280 -> latent
+# (16, 24, 88, 160) -> DiT tokens 24 * 44 * 80 = 84,480.
+FRAMES = 93
+LATENT = (1, 16, 24, 88, 160)
 NUM_STEPS = 35
-TIMING_ITERS = 4
+TIMING_ITERS = 3
 
 
-def dit_flops_per_forward(seq: int, d_model: int, n_blocks: int, d_ff: int, ctx_len: int = 512) -> float:
+def dit_flops_per_forward(
+    seq: int,
+    d_model: int,
+    n_blocks: int,
+    d_ff: int,
+    *,
+    ctx_len: int = 512,
+    lora_dim: int = 256,
+    patch_in: int = 68,  # (16 latent + 1 padding-mask) channels x 2x2x1 patch
+    out_dim: int = 64,  # 16 ch x 2x2 patch
+    tokens_per_frame: int = 44 * 80,
+) -> float:
+    """All matmul FLOPs in one MiniTrainDIT forward (2 FLOPs per MAC)."""
+    n_frames = seq // tokens_per_frame
     attn = 4 * seq * seq * d_model  # qk^T + pv
     qkvo = 8 * seq * d_model * d_model
     cross = 4 * seq * ctx_len * d_model + 6 * seq * d_model * d_model  # q + out + kv on ctx
     mlp = 4 * seq * d_model * d_ff
-    return n_blocks * (attn + qkvo + cross + mlp)
+    # AdaLN-LoRA: per-frame timesteps -> 3*d (self) + 3*d (mlp gate via same emb)
+    adaln = 2 * n_frames * (d_model * lora_dim + lora_dim * 3 * d_model) * 2
+    per_block = attn + qkvo + cross + mlp + adaln
+    embed = 2 * seq * patch_in * d_model
+    final = 2 * seq * d_model * out_dim + 2 * n_frames * (d_model * lora_dim + lora_dim * 2 * d_model)
+    return n_blocks * per_block + embed + final
 
 
 def main() -> None:
@@ -63,9 +90,9 @@ def main() -> None:
     shapes = jax.eval_shape(lambda: net.init(jax.random.PRNGKey(0), x, ts, ctx))
     keys = iter(jax.random.split(jax.random.PRNGKey(42), len(jax.tree.leaves(shapes))))
     params = jax.tree.map(
-        lambda s: (jax.random.normal(next(keys), s.shape, jnp.float32) * 0.02).astype(s.dtype), shapes
+        lambda s: (jax.random.normal(next(keys), s.shape, jnp.float32) * 0.02).astype(jnp.bfloat16),
+        shapes,
     )
-    params = jax.tree.map(lambda p: p.astype(jnp.bfloat16), params)
 
     @jax.jit
     def cfg_denoise_step(params, x, ts, ctx):
@@ -92,7 +119,10 @@ def main() -> None:
     frames_per_sec = FRAMES / (NUM_STEPS * t_step)
 
     seq = T * (H // 2) * (W // 2)
-    flops = 2 * dit_flops_per_forward(seq, cfg.model_channels, cfg.num_blocks, int(cfg.model_channels * 4))
+    flops = 2 * dit_flops_per_forward(  # x2: cond + uncond CFG forwards
+        seq, cfg.model_channels, cfg.num_blocks, int(cfg.model_channels * 4),
+        tokens_per_frame=(H // 2) * (W // 2),
+    )
     h100_t_step = flops / (989e12 * 0.40)
     baseline_fps = FRAMES / (NUM_STEPS * h100_t_step)
 
@@ -105,9 +135,12 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "video2world_2b_dit_denoise_frames_per_sec_per_chip",
+                "metric": "video2world_2b_dit_denoise_frames_per_sec_per_chip_720p",
                 "value": round(frames_per_sec, 4),
-                "unit": f"frames/s/chip (17f clip, 35-step CFG sampling, seq 8320; {mfu * 100:.1f}% MFU on {kind})",
+                "unit": (
+                    f"frames/s/chip (FULL-SCALE 93f 720p clip, 35-step CFG sampling, seq {seq}; "
+                    f"{mfu * 100:.1f}% MFU on {kind}; clip denoise {NUM_STEPS * t_step:.0f}s)"
+                ),
                 "vs_baseline": round(frames_per_sec / baseline_fps, 4),
             }
         )

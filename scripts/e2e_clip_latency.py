@@ -1,0 +1,116 @@
+"""End-to-end clip latency: the WHOLE generate_vid2world on the real chip.
+
+Times what BASELINE.md's north star asks for — p50 seconds per clip through
+the actual inference pipeline: VAE encode of the conditioning frames, the
+35-step CFG UniPC sampling loop, and VAE decode to pixels (text embeddings
+precomputed, as the reference's offline-t5 path does:
+predict2/inference/video2world.py:385-599 runs the same three stages).
+
+Geometries:
+  small — 17 frames 512x832 (fits one-shot VAE, seq 8320)
+  full  — 93 frames 704x1280 "720" bucket (seq 84480, streaming VAE)
+
+Run:  python scripts/e2e_clip_latency.py [small|full] [--steps N] [--repeat K]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+)
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_pipe(geom: str, num_steps: int):
+    from cosmos_predict2_tpu.inference.pipeline import InferenceSetup, Video2WorldInference
+    from cosmos_predict2_tpu.models.video2world import RFModelConfig, Video2WorldModel
+    from cosmos_predict2_tpu.networks.dit import DiTConfig
+    from cosmos_predict2_tpu.tokenizers.wan_vae import WanVAE, WanVAEConfig
+
+    if geom == "small":
+        H, W, state_t = 512, 832, 5
+    else:
+        H, W, state_t = 704, 1280, 24
+    # streaming VAE for both: the one-shot whole-pipeline jit (encode +
+    # 35-step scan + decode) exceeds 16 GB HBM even at 17f 512x832 (2B bf16
+    # params 4G + decode activations); streaming keeps the VAE O(chunk).
+    streaming = True
+
+    net = DiTConfig(
+        model_channels=2048,
+        num_heads=16,
+        num_blocks=28,
+        use_adaln_lora=True,
+        rope_h_extrapolation_ratio=3.0,
+        rope_w_extrapolation_ratio=3.0,
+        rope_enable_fps_modulation=False,
+        dtype=jnp.bfloat16,
+        remat="none",
+    )
+    setup = InferenceSetup(
+        model_config=RFModelConfig(net=net, state_t=state_t, sampling_num_steps=num_steps),
+        vae_config=WanVAEConfig(dtype=jnp.bfloat16),
+        size_override=(H, W),
+        streaming_vae=streaming,
+    )
+    model = Video2WorldModel(setup.model_config)
+    latent = (1, 16, state_t, H // 8, W // 8)
+    print(f"[e2e] init params for latent {latent} ...", flush=True)
+    params = model.init_params(jax.random.PRNGKey(0), latent, text_len=512)
+    params = jax.tree.map(lambda p: p.astype(jnp.bfloat16) if p.ndim >= 2 else p, params)
+    vae = WanVAE(setup.vae_config)
+    vae_params = jax.jit(lambda k: vae.init(k, jnp.zeros((1, 1, 64, 64, 3), jnp.bfloat16)))(
+        jax.random.PRNGKey(1)
+    )
+    fake_te = lambda prompts: jnp.ones((len(prompts), 512, 1024), jnp.bfloat16) * 0.01
+    return Video2WorldInference(setup, params, vae_params, text_encoder=fake_te), (H, W, state_t)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("geom", nargs="?", default="small", choices=["small", "full"])
+    ap.add_argument("--steps", type=int, default=35)
+    ap.add_argument("--repeat", type=int, default=2)
+    args = ap.parse_args()
+
+    pipe, (H, W, state_t) = build_pipe(args.geom, args.steps)
+    T = (state_t - 1) * 4 + 1
+    video = np.random.RandomState(0).randint(0, 255, (1, 3, T, H, W), dtype=np.uint8)
+    video[:, :, 1:] = 0  # image2world: frame 0 conditions
+    emb = pipe.encode_text(["a robot arm pouring coffee into a cup"])
+
+    print(f"[e2e] {args.geom}: {T}f {H}x{W}, {args.steps} steps — first run (incl compile)...", flush=True)
+    t0 = time.perf_counter()
+    frames = pipe.generate_vid2world(video, emb, guidance=7.0, num_steps=args.steps, seed=1)
+    t_first = time.perf_counter() - t0
+    assert frames.shape == (T, H, W, 3) and np.isfinite(frames).all()
+    print(f"[e2e] first={t_first:.1f}s", flush=True)
+
+    laps = []
+    for i in range(args.repeat):
+        t0 = time.perf_counter()
+        frames = pipe.generate_vid2world(video, emb, guidance=7.0, num_steps=args.steps, seed=2 + i)
+        laps.append(time.perf_counter() - t0)
+        print(f"[e2e] steady run {i}: {laps[-1]:.1f}s", flush=True)
+    p50 = float(np.median(laps))
+    print(
+        f"[e2e] RESULT geom={args.geom} frames={T} size={H}x{W} steps={args.steps} "
+        f"p50_clip_latency={p50:.1f}s  frames_per_sec_e2e={T / p50:.4f}",
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

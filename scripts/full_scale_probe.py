@@ -15,8 +15,11 @@ Run: python scripts/full_scale_probe.py cfg  (from /root/repo)
 
 from __future__ import annotations
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -158,12 +161,12 @@ def run_vae():
     )
     print("[vae] streaming decode 24 latent frames -> 93 frames 704x1280 ...", flush=True)
     t0 = time.perf_counter()
-    out = wvs.streaming_decode(net, params, z)
-    _ = float(jnp.sum(out))
+    out = wvs.decode_streaming(cfg, params, z, out="host")
+    _ = float(np.sum(np.asarray(out, np.float32)))
     t_first = time.perf_counter() - t0
     t0 = time.perf_counter()
-    out = wvs.streaming_decode(net, params, z)
-    _ = float(jnp.sum(out))
+    out = wvs.decode_streaming(cfg, params, z, out="host")
+    _ = float(np.sum(np.asarray(out, np.float32)))
     t = time.perf_counter() - t0
     print(f"[vae] decode shape={out.shape}  first(incl compile)={t_first:.1f}s  steady={t:.1f}s", flush=True)
 
