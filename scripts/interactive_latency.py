@@ -1,0 +1,104 @@
+"""Interactive (self-forcing) streaming latency on the real chip.
+
+Measures the per-frame-block latency of the causal KV-cache streaming
+generator (models/interactive.py StreamingInference) with the DMD2 4-step
+student at the 2B scale — the real-time story: one latent frame = 4 pixel
+frames at 16 fps, so real-time means >= 4 latent frames/s.
+
+Reference being proxied: interactive/inference/
+action_video2world_streaming.py:90-297 (cache_frame_size rolling window).
+
+Run: python scripts/interactive_latency.py [--hw 44 80] [--blocks 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+)
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--hw", type=int, nargs=2, default=(44, 80), help="latent h w (44 80 = 720p)")
+    ap.add_argument("--blocks", type=int, default=8)
+    ap.add_argument("--cache-frames", type=int, default=16)
+    args = ap.parse_args()
+
+    from cosmos_predict2_tpu.conditioning.conditioner import make_condition
+    from cosmos_predict2_tpu.models.interactive import (
+        CausalVideo2WorldModel,
+        StreamingConfig,
+        StreamingInference,
+        causal_model_config,
+    )
+    from cosmos_predict2_tpu.networks.dit import DiTConfig
+
+    net = DiTConfig(
+        model_channels=2048,
+        num_heads=16,
+        num_blocks=28,
+        use_adaln_lora=True,
+        rope_h_extrapolation_ratio=3.0,
+        rope_w_extrapolation_ratio=3.0,
+        rope_enable_fps_modulation=False,
+        dtype=jnp.bfloat16,
+        remat="none",
+        temporal_causal=True,
+    )
+    h, w = args.hw
+    model = CausalVideo2WorldModel(causal_model_config(net, num_frame_per_block=1))
+    scfg = StreamingConfig(num_frame_per_block=1, cache_frame_size=args.cache_frames, num_steps=4)
+    stream = StreamingInference(scfg, model)
+
+    latent = (1, 16, 1, h, w)
+    print(f"[stream] init 2B causal params, latent frame {h}x{w} ...", flush=True)
+    params = model.init_params(jax.random.PRNGKey(0), (1, 16, 4, h, w), text_len=512)
+    params = jax.tree.map(lambda p: p.astype(jnp.bfloat16) if p.ndim >= 2 else p, params)
+    emb = jnp.ones((1, 512, 1024), jnp.bfloat16) * 0.01
+    cond = make_condition(emb)
+
+    caches = model.init_kv_caches(1, args.cache_frames + 1, h, w)
+
+    step_fn = jax.jit(
+        lambda params, rng, caches, t_pos: stream.generate_block(
+            params, rng, cond, caches, latent, t_pos
+        )
+    )
+
+    print("[stream] compiling block step ...", flush=True)
+    t0 = time.perf_counter()
+    x, caches = step_fn(params, jax.random.PRNGKey(1), caches, 0)
+    x.block_until_ready()
+    print(f"[stream] first block (incl compile): {time.perf_counter() - t0:.1f}s", flush=True)
+
+    laps = []
+    for i in range(args.blocks):
+        t0 = time.perf_counter()
+        x, caches = step_fn(params, jax.random.PRNGKey(2 + i), caches, i + 1)
+        x.block_until_ready()
+        laps.append(time.perf_counter() - t0)
+    p50 = float(np.median(laps))
+    print(
+        f"[stream] RESULT latent {h}x{w}: p50 block latency {p50 * 1e3:.0f} ms "
+        f"-> {1 / p50:.2f} latent frames/s = {4 / p50:.1f} pixel fps "
+        f"(real-time 16 fps needs 4 latent f/s: {'YES' if 4 / p50 >= 16 else 'no'})",
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()
