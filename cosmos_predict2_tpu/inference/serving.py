@@ -12,6 +12,7 @@ Endpoints:
                    -> {"job_id": ...}
   GET  /status/<job_id>  -> {"status": queued|running|done|error, "output": path}
   GET  /health     -> {"status": "ok", "devices": N}
+  GET  /schema     -> validated parameter schema (types/ranges/defaults)
 
 The worker runs jobs sequentially (the TPU is one big accelerator); batch
 grouping can be added by draining the queue.
@@ -31,6 +32,32 @@ import jax
 
 from cosmos_predict2_tpu.inference.api import Inference, InferenceArguments
 from cosmos_predict2_tpu.utils import log
+from cosmos_predict2_tpu.utils import validator as V
+
+
+class GenerateRequest(V.ValidatedParams):
+    """Validated /generate payload (the reference validates its serving
+    model params with the same descriptor library — imaginaire/utils/
+    validator.py via gradio ModelParams). Mirrors InferenceArguments with
+    ranges; unknown keys are rejected with HTTP 400."""
+
+    name = V.String(default="sample", max_len=128)
+    prompt = V.String(default="", max_len=10_000)
+    input_path = V.Path(default=None, tooltip="image or video; omit for Text2World")
+    negative_prompt = V.String(default="", max_len=10_000)
+    num_output_frames = V.Int(default=77, min=1, max=4096)
+    num_steps = V.Int(default=InferenceArguments.num_steps, min=1, max=200)
+    guidance = V.Float(default=7.0, min=0.0, max=30.0)
+    seed = V.Int(default=1, min=0)
+    num_conditional_frames = V.OneOf(default=1, options=(0, 1, 2), type_cast=int)
+    enable_autoregressive = V.Bool(default=False)
+    chunk_size = V.Int(default=77, min=2, max=4096)
+    chunk_overlap = V.Int(default=1, min=1, max=64)
+    text_embedding_path = V.Path(default=None)
+    mode = V.OneOf(default="video", options=("video", "image"))
+
+    def to_args(self) -> InferenceArguments:
+        return InferenceArguments(**self.to_dict())
 
 
 @dataclasses.dataclass
@@ -122,6 +149,8 @@ def make_handler(worker: ModelWorker):
                 self._send(200, {"status": "ok", "devices": len(jax.devices())})
             elif self.path == "/queue":
                 self._send(200, {"depth": worker.queue_depth(), "max_batch": worker.max_batch})
+            elif self.path == "/schema":
+                self._send(200, GenerateRequest.schema())
             elif self.path.startswith("/status/"):
                 job = worker.jobs.get(self.path.rsplit("/", 1)[-1])
                 if job is None:
@@ -138,9 +167,8 @@ def make_handler(worker: ModelWorker):
             length = int(self.headers.get("Content-Length", 0))
             try:
                 payload = json.loads(self.rfile.read(length) or b"{}")
-                known = {f.name for f in dataclasses.fields(InferenceArguments)}
-                args = InferenceArguments(**{k: v for k, v in payload.items() if k in known})
-            except (json.JSONDecodeError, TypeError) as e:
+                args = GenerateRequest.from_dict(payload).to_args()
+            except (json.JSONDecodeError, TypeError, ValueError) as e:
                 self._send(400, {"error": f"bad request: {e}"})
                 return
             self._send(200, {"job_id": worker.submit(args)})

@@ -161,3 +161,18 @@ def test_batched_generation_matches_single(server):
     np.testing.assert_allclose(batched[0], s0, rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(batched[1], s1, rtol=1e-4, atol=1e-4)
     assert np.abs(batched[0] - batched[1]).max() > 1e-6  # seeds differ
+
+
+@pytest.mark.level(1)
+def test_schema_and_param_validation(server):
+    import urllib.error
+
+    schema = _get(server.port, "/schema")
+    assert schema["num_steps"]["min"] == 1
+    assert sorted(schema["mode"]["values"]) == ["image", "video"]
+
+    # out-of-range and unknown params are rejected with 400
+    for bad in ({"guidance": 99.0}, {"mode": "audio"}, {"bogus_key": 1}, {"num_steps": 0}):
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _post(server.port, "/generate", {"prompt": "x", **bad})
+        assert exc.value.code == 400
