@@ -121,6 +121,30 @@ def load(path: str, **kwargs) -> Any:
         from flax import serialization
 
         return serialization.msgpack_restore(_read_bytes(path))
+    if ext == "jsonl":
+        return [json.loads(line) for line in _read_bytes(path).decode("utf-8").splitlines() if line.strip()]
+    if ext in ("pkl", "pickle"):
+        import pickle
+
+        return pickle.loads(_read_bytes(path))
+    if ext == "gz":
+        # gzipped inner handler, e.g. .json.gz / .jsonl.gz / .txt.gz
+        import gzip
+        import tempfile
+
+        inner = os.path.basename(path)[: -len(".gz")]
+        data = gzip.decompress(_read_bytes(path))
+        with tempfile.TemporaryDirectory() as td:
+            local = os.path.join(td, inner)
+            with open(local, "wb") as f:
+                f.write(data)
+            return load(local, **kwargs)
+    if ext == "tar":
+        import tarfile
+
+        return tarfile.open(fileobj=io.BytesIO(_read_bytes(path)), mode="r")
+    if ext in ("bin", "bytes"):
+        return _read_bytes(path)
     raise NotImplementedError(f"no load handler for extension .{ext}")
 
 
@@ -179,6 +203,30 @@ def dump(obj: Any, path: str, **kwargs) -> str:
 
         with open(path, "wb") as f:
             f.write(serialization.msgpack_serialize(obj))
+    elif ext == "jsonl":
+        with open(path, "w") as f:
+            for row in obj:
+                f.write(json.dumps(row, default=str) + "\n")
+    elif ext in ("pkl", "pickle"):
+        import pickle
+
+        with open(path, "wb") as f:
+            pickle.dump(obj, f)
+    elif ext == "gz":
+        import gzip
+        import tempfile
+
+        inner = os.path.basename(path)[: -len(".gz")]
+        with tempfile.TemporaryDirectory() as td:
+            local = os.path.join(td, inner)
+            written = dump(obj, local, **kwargs)
+            with open(written, "rb") as f:
+                data = f.read()
+        with open(path, "wb") as f:
+            f.write(gzip.compress(data))
+    elif ext in ("bin", "bytes"):
+        with open(path, "wb") as f:
+            f.write(obj)
     else:
         raise NotImplementedError(f"no dump handler for extension .{ext}")
     return path

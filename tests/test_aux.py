@@ -176,6 +176,24 @@ def test_easy_io_roundtrips(tmp_path):
     easy_io.dump([["a", "b"], ["1", "2"]], str(tmp_path / "x.csv"))
     assert easy_io.load(str(tmp_path / "x.csv")) == [["a", "b"], ["1", "2"]]
 
+    easy_io.dump([{"i": 0}, {"i": 1}], str(tmp_path / "x.jsonl"))
+    assert easy_io.load(str(tmp_path / "x.jsonl")) == [{"i": 0}, {"i": 1}]
+
+    easy_io.dump({"nested": {"k": [1, 2]}}, str(tmp_path / "x.pkl"))
+    assert easy_io.load(str(tmp_path / "x.pkl")) == {"nested": {"k": [1, 2]}}
+
+    easy_io.dump(d, str(tmp_path / "x.json.gz"))
+    assert easy_io.load(str(tmp_path / "x.json.gz")) == d
+
+    easy_io.dump(b"raw-bytes", str(tmp_path / "x.bin"))
+    assert easy_io.load(str(tmp_path / "x.bin")) == b"raw-bytes"
+
+    import tarfile
+    with tarfile.open(str(tmp_path / "x.tar"), "w") as tf:
+        tf.add(str(tmp_path / "x.txt"), arcname="x.txt")
+    tf2 = easy_io.load(str(tmp_path / "x.tar"))
+    assert "x.txt" in tf2.getnames()
+
     # s3/gs now have first-party backends (tests/test_remote_io.py);
     # unknown schemes still fail fast
     with pytest.raises(NotImplementedError, match="scheme"):
