@@ -10,10 +10,31 @@ inside a per-axis window centered on the query with boundary clamping
 Two paths:
 * :func:`neighborhood_attention_reference` — jnp mask + softmax (CPU tests,
   tiny shapes);
-* :func:`neighborhood_attention` — Pallas flash-style kernel with the 3D
-  window mask evaluated per tile from decomposed token coordinates and
-  whole-tile skipping along the (token-major) temporal axis, which is where
-  video sparsity lives.
+* :func:`neighborhood_attention` — tiled-layout gathered block-sparse
+  Pallas kernel (below).
+
+Kernel design (TPU-first, v3). The video's token-major (t, h, w) order
+scatters each spatial neighborhood across every frame, so block-level
+sparsity is poor (~50% of kv tiles overlap any window at the 720p
+geometry) and the in-tile membership mask needs integer div/mod per
+element — expensive on the VPU. Instead we **permute tokens into
+spatial-tile-major order**: the (H, W) token grid is cut into (4, 16)
+tiles and tokens are laid out as (tile_h, tile_w, t, intra_h, intra_w).
+Consequences:
+
+* a kv block (a run of t-slices of one spatial tile) has a single (h, w)
+  footprint, so the host-built kv-block table prunes on ALL THREE axes
+  (w included — impossible before) — block density at the 720p window
+  (-1, 12, 24) drops to ~27% of dense;
+* intra-block coordinates are pure bit math (64 = 2^6 tokens per t-slice,
+  16 = 2^4 per row), so the in-kernel mask is shifts/ands/compares — no
+  div/mod;
+* the gathered kv blocks for one query block are mostly contiguous runs
+  (consecutive t-slices of each neighboring tile), which the scalar-
+  prefetched DMA pipeline overlaps like splash attention.
+
+The permutation itself is two O(S) gathers around the kernel (<2% of the
+attention time at seq 84k).
 """
 
 from __future__ import annotations
@@ -28,6 +49,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _NEG_INF = -1e30
+
+# spatial tile of the permuted layout; 4*16 = 64 = 2^6 tokens per t-slice
+_TILE_H = 4
+_TILE_W = 16
+_PER_T = _TILE_H * _TILE_W
 
 
 class VideoSize(NamedTuple):
@@ -82,65 +108,124 @@ def neighborhood_attention_reference(
     return out.astype(q.dtype)
 
 
-def _build_kv_tile_table(
-    seq_len: int, bq: int, bkv: int, size: VideoSize, window: tuple[int, int, int]
-) -> tuple[np.ndarray, np.ndarray]:
-    """Host-side block-sparsity table: for every q tile, the kv tiles that
-    can contain in-window keys (conservative per-axis interval test, the
-    same logic the old kernel evaluated per grid step). Returns
-    (table (nq, max_cnt) int32 padded with the last valid tile, counts (nq,)).
+# ---------------------------------------------------------------------------
+# tiled layout plan (host side)
+# ---------------------------------------------------------------------------
 
-    This is what turns the kernel from mask-and-skip (every (i, j) pair
-    still costs a grid step + K/V HBM copy) into a gathered sparse kernel
-    (grid and DMA sized to the work that exists) — the splash-attention
-    scalar-prefetch pattern.
-    """
-    hw = size.H * size.W
-    nq = -(-seq_len // bq)
-    nk = -(-seq_len // bkv)
 
-    def axis_overlap(w: int, length: int, q_lo: int, q_hi: int, k_lo: int, k_hi: int) -> bool:
-        r_lo = (w - 1) // 2
-        r_hi = w - 1 - r_lo
-        lo = max(min(q_lo, length - 1 - r_hi), r_lo) - r_lo
-        hi = min(max(q_hi, r_lo), length - 1 - r_hi) + r_hi
-        return k_hi >= lo and k_lo <= hi
+class _Plan(NamedTuple):
+    perm: np.ndarray  # (S_pad,) source index in (t,h,w) order (0 for pad slots)
+    inv: np.ndarray  # (S,) position of each original token in the permuted order
+    block: int  # q/kv block size (multiple of _PER_T, divides a superblock)
+    s_pad: int
+    coords: np.ndarray  # (n_blocks, 3) int32: (t0, h0, w0) base of each block
+    table: np.ndarray  # (n_blocks, max_cnt) kv block ids per q block
+    counts: np.ndarray  # (n_blocks,)
 
-    wt, wh = window[0], window[1]
+
+def _axis_overlap(w: int, length: int, q_lo: int, q_hi: int, k_lo: int, k_hi: int) -> bool:
+    """Can any key row in [k_lo,k_hi] fall in the clamped window of any
+    query row in [q_lo,q_hi]?  (exact for interval inputs)"""
+    r_lo = (w - 1) // 2
+    r_hi = w - 1 - r_lo
+    lo = max(min(q_lo, length - 1 - r_hi), r_lo) - r_lo
+    hi = min(max(q_hi, r_lo), length - 1 - r_hi) + r_hi
+    return k_hi >= lo and k_lo <= hi
+
+
+@functools.lru_cache(maxsize=32)
+def _build_plan(size: VideoSize, window: tuple[int, int, int], block_cap: int) -> _Plan:
+    T, H, W = size
+    nth = -(-H // _TILE_H)
+    ntw = -(-W // _TILE_W)
+    sb = _PER_T * T  # superblock = one spatial tile, all frames
+
+    # block size: multiple of _PER_T, divides the superblock, <= cap
+    bt = max(1, min(T, max(block_cap, _PER_T) // _PER_T))
+    while T % bt:
+        bt -= 1
+    block = _PER_T * bt
+
+    # permutation: new order enumerates (tile_h, tile_w, t, ih, iw)
+    a = np.arange(nth)[:, None, None, None, None]
+    b = np.arange(ntw)[None, :, None, None, None]
+    t = np.arange(T)[None, None, :, None, None]
+    ih = np.arange(_TILE_H)[None, None, None, :, None]
+    iw = np.arange(_TILE_W)[None, None, None, None, :]
+    h = a * _TILE_H + ih
+    w = b * _TILE_W + iw
+    valid = (h < H) & (w < W) & np.ones_like(t, bool)
+    orig = t * (H * W) + np.minimum(h, H - 1) * W + np.minimum(w, W - 1)
+    perm = np.where(valid, orig, 0).reshape(-1).astype(np.int32)
+    inv = np.zeros(T * H * W, dtype=np.int32)
+    inv[perm.reshape(-1)[valid.reshape(-1)]] = np.nonzero(valid.reshape(-1))[0].astype(np.int32)
+
+    s_pad = nth * ntw * sb
+    nblk = s_pad // block
+    per_sb = sb // block  # kv/q blocks per superblock
+
+    # block base coordinates
+    m = np.arange(nblk)
+    sb_idx = m // per_sb
+    coords = np.stack(
+        [
+            (m % per_sb) * bt,  # t0
+            (sb_idx // ntw) * _TILE_H,  # h0
+            (sb_idx % ntw) * _TILE_W,  # w0
+        ],
+        axis=1,
+    ).astype(np.int32)
+
+    wt, wh, ww = window
     rows: list[list[int]] = []
-    for i in range(nq):
-        q0, q1 = i * bq, min(seq_len, (i + 1) * bq) - 1
+    for i in range(nblk):
+        qt0, qh0, qw0 = (int(x) for x in coords[i])
+        if qh0 >= H or qw0 >= W:  # fully-pad query block: no work
+            rows.append([])
+            continue
+        qh1 = min(qh0 + _TILE_H, H) - 1
+        qw1 = min(qw0 + _TILE_W, W) - 1
         keep: list[int] = []
-        for j in range(nk):
-            k0, k1 = j * bkv, min(seq_len, (j + 1) * bkv) - 1
+        for j in range(nblk):
+            kt0, kh0, kw0 = (int(x) for x in coords[j])
+            if kh0 >= H or kw0 >= W:  # fully-pad kv block: never attended
+                continue
             ok = True
-            if 0 <= wt < size.T:
-                ok = axis_overlap(wt, size.T, q0 // hw, q1 // hw, k0 // hw, k1 // hw)
-            if ok and 0 <= wh < size.H and (q0 // hw == q1 // hw) and (k0 // hw == k1 // hw):
-                ok = axis_overlap(
-                    wh, size.H, (q0 % hw) // size.W, (q1 % hw) // size.W,
-                    (k0 % hw) // size.W, (k1 % hw) // size.W,
-                )
+            if 0 <= wt < T:
+                ok = _axis_overlap(wt, T, qt0, qt0 + bt - 1, kt0, kt0 + bt - 1)
+            if ok and 0 <= wh < H:
+                ok = _axis_overlap(wh, H, qh0, qh1, kh0, min(kh0 + _TILE_H, H) - 1)
+            if ok and 0 <= ww < W:
+                ok = _axis_overlap(ww, W, qw0, qw1, kw0, min(kw0 + _TILE_W, W) - 1)
             if ok:
                 keep.append(j)
         rows.append(keep)
     counts = np.asarray([len(r) for r in rows], dtype=np.int32)
-    max_cnt = int(counts.max()) if nq else 1
-    table = np.zeros((nq, max_cnt), dtype=np.int32)
+    max_cnt = max(int(counts.max()), 1) if nblk else 1
+    table = np.zeros((nblk, max_cnt), dtype=np.int32)
     for i, r in enumerate(rows):
         table[i, : len(r)] = r
-        if len(r) < max_cnt:  # pad with the last real tile (compute is gated off)
-            table[i, len(r):] = r[-1] if r else 0
-    return table, counts
+        if len(r) < max_cnt:  # pad with the last real id: same block index in
+            table[i, len(r):] = r[-1] if r else 0  # consecutive steps => no re-DMA
+    return _Plan(perm, inv, block, s_pad, coords, table, counts)
+
+
+# ---------------------------------------------------------------------------
+# kernel
+# ---------------------------------------------------------------------------
 
 
 def _na_kernel(
-    tab_ref, cnt_ref, q_ref, k_ref, v_ref, o_ref, acc, m_scr, l_scr,
-    *, scale, size: VideoSize, window, block_q, block_kv, seq_len,
+    tab_ref, cnt_ref, co_ref, q_ref, k_ref, v_ref, o_ref, acc, m_scr, l_scr,
+    *, scale, size: VideoSize, window,
 ):
-    """Gathered block-sparse NA forward: grid (b, h, nq, max_cnt); the kv
-    tile actually loaded at step (i, j) is tab[i, j] (scalar-prefetched, so
-    the DMA pipeline gathers only in-window tiles)."""
+    """Gathered block-sparse NA forward on the permuted layout.
+
+    grid (b, h, nq, max_cnt); the kv block loaded at (i, j) is tab[i, j]
+    (scalar-prefetched). Token coordinates inside a block are bit math:
+    64 tokens per t-slice (4x16 tile), so t = base_t + (idx >> 6),
+    h = base_h + ((idx & 63) >> 4), w = base_w + (idx & 15).
+    """
     iq = pl.program_id(2)
     j = pl.program_id(3)
 
@@ -157,11 +242,25 @@ def _na_kernel(
         k = k_ref[0, 0]
         v = v_ref[0, 0]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32) * scale
-        rows = iq * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-        cols = ik * block_kv + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        mask = _na_mask(rows, cols, size, window)
-        valid = cols < seq_len
-        mask = valid if mask is None else (mask & valid)
+
+        row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        t_q = co_ref[iq, 0] + (row >> 6)
+        h_q = co_ref[iq, 1] + ((row & 63) >> 4)
+        w_q = co_ref[iq, 2] + (row & 15)
+        t_k = co_ref[ik, 0] + (col >> 6)
+        h_k = co_ref[ik, 1] + ((col & 63) >> 4)
+        w_k = co_ref[ik, 2] + (col & 15)
+
+        mask = (h_k < size.H) & (w_k < size.W)  # spatial pad slots are not keys
+        for (ci, cj, length, w_) in (
+            (t_q, t_k, size.T, window[0]),
+            (h_q, h_k, size.H, window[1]),
+            (w_q, w_k, size.W, window[2]),
+        ):
+            ok = _axis_window_ok(ci, cj, length, w_)
+            if ok is not None:
+                mask = mask & ok
         s = jnp.where(mask, s, _NEG_INF)
 
         m_prev = m_scr[:, :1]
@@ -186,60 +285,60 @@ def neighborhood_attention(
     v: jax.Array,
     video_size: VideoSize,
     window: tuple[int, int, int],
-    block_q: int = 256,
-    block_kv: int = 256,
+    block_q: int = 512,
+    block_kv: int = 512,  # kept for API compat; blocks are symmetric
 ) -> jax.Array:
     """Pallas 3D neighborhood attention. q,k,v: (B, S, H, D), S = T*H*W.
 
     Inference-oriented (forward); training sparse-attention gradients can
     use the reference path or a custom VJP later.
     """
+    del block_kv
     b, s_len, h, d = q.shape
-    qt, kt, vt = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
+    size = VideoSize(*video_size)
+    assert s_len == size.T * size.H * size.W, (s_len, size)
+    plan = _build_plan(size, tuple(window), int(block_q))
     scale = 1.0 / np.sqrt(d)
-    bq = min(block_q, max(128, (s_len // 128) * 128) if s_len >= 128 else 128)
-    bkv = min(block_kv, bq)
 
-    def pad(x, blk):
-        rem = x.shape[2] % blk
-        return x if rem == 0 else jnp.pad(x, ((0, 0), (0, 0), (0, blk - rem), (0, 0)))
+    perm = jnp.asarray(plan.perm)
+    # permute into tiled layout, (B, H, S_pad, D) for the kernel
+    qt, kt, vt = (jnp.take(t, perm, axis=1).transpose(0, 2, 1, 3) for t in (q, k, v))
 
-    qp, kp, vp = pad(qt, bq), pad(kt, bkv), pad(vt, bkv)
-    sp = qp.shape[2]
-    nq = sp // bq
-    table_np, counts_np = _build_kv_tile_table(s_len, bq, bkv, video_size, tuple(window))
-    # padded q tiles (beyond the real sequence) read tile 0 and skip compute
-    if table_np.shape[0] < nq:
-        pad_rows = nq - table_np.shape[0]
-        table_np = np.concatenate([table_np, np.zeros((pad_rows, table_np.shape[1]), np.int32)])
-        counts_np = np.concatenate([counts_np, np.zeros((pad_rows,), np.int32)])
-    max_cnt = table_np.shape[1]
-
+    blk = plan.block
+    nq = plan.s_pad // blk
+    max_cnt = plan.table.shape[1]
     grid = (b, h, nq, max_cnt)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # (table, counts)
+        num_scalar_prefetch=3,  # (table, counts, block coords)
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, bq, d), lambda b_, h_, i, j, tab, cnt: (b_, h_, i, 0)),
-            pl.BlockSpec((1, 1, bkv, d), lambda b_, h_, i, j, tab, cnt: (b_, h_, tab[i, j], 0)),
-            pl.BlockSpec((1, 1, bkv, d), lambda b_, h_, i, j, tab, cnt: (b_, h_, tab[i, j], 0)),
+            pl.BlockSpec((1, 1, blk, d), lambda b_, h_, i, j, tab, cnt, co: (b_, h_, i, 0)),
+            pl.BlockSpec((1, 1, blk, d), lambda b_, h_, i, j, tab, cnt, co: (b_, h_, tab[i, j], 0)),
+            pl.BlockSpec((1, 1, blk, d), lambda b_, h_, i, j, tab, cnt, co: (b_, h_, tab[i, j], 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, bq, d), lambda b_, h_, i, j, tab, cnt: (b_, h_, i, 0)),
+        out_specs=pl.BlockSpec((1, 1, blk, d), lambda b_, h_, i, j, tab, cnt, co: (b_, h_, i, 0)),
         scratch_shapes=[
-            pltpu.VMEM((bq, d), jnp.float32),
-            pltpu.VMEM((bq, 128), jnp.float32),
-            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((blk, d), jnp.float32),
+            pltpu.VMEM((blk, 128), jnp.float32),
+            pltpu.VMEM((blk, 128), jnp.float32),
         ],
     )
     out = pl.pallas_call(
         functools.partial(
-            _na_kernel, scale=scale, size=video_size, window=tuple(window),
-            block_q=bq, block_kv=bkv, seq_len=s_len,
+            _na_kernel, scale=scale, size=size, window=tuple(window),
         ),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, h, sp, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h, plan.s_pad, d), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
-    )(jnp.asarray(table_np), jnp.asarray(counts_np), qp, kp, vp)
-    return out[:, :, :s_len].transpose(0, 2, 1, 3)
+    )(
+        jnp.asarray(plan.table),
+        jnp.asarray(plan.counts),
+        jnp.asarray(plan.coords),
+        qt,
+        kt,
+        vt,
+    )
+    # back to (B, S, H, D) in original token order
+    return jnp.take(out.transpose(0, 2, 1, 3), jnp.asarray(plan.inv), axis=1)

@@ -62,3 +62,38 @@ def test_pallas_kernel_matches_reference_interpret():
         out = neighborhood_attention(q, k, v, size, (3, 5, 5), block_q=128, block_kv=128)
     ref = neighborhood_attention_reference(q, k, v, size, (3, 5, 5))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+@pytest.mark.level(1)
+@pytest.mark.parametrize(
+    "size,window",
+    [
+        (VideoSize(3, 6, 10), (-1, 4, 6)),  # H, W not tile multiples -> pad path
+        (VideoSize(5, 4, 16), (-1, 2, 8)),  # T=5 -> non-pow2 block (320)
+        (VideoSize(1, 7, 9), (-1, 3, 3)),  # single frame, both axes padded
+        (VideoSize(4, 4, 16), (2, -1, -1)),  # temporal-only window
+    ],
+)
+def test_pallas_kernel_edge_geometries_interpret(size, window):
+    """The tiled-layout kernel must be exact when (H, W) need spatial
+    padding, when the superblock forces a non-pow2 block size, and for
+    windows on any subset of axes."""
+    q, k, v = _inputs(size, heads=1, dim=128, seed=2)
+    with pltpu.force_tpu_interpret_mode():
+        out = neighborhood_attention(q, k, v, size, window)
+    ref = neighborhood_attention_reference(q, k, v, size, window)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+@pytest.mark.level(0)
+def test_plan_density_720p():
+    """At the production 720p geometry the tiled plan must (a) not pad the
+    sequence and (b) prune to well under half the dense kv blocks — the
+    property that makes NA profitable on TPU at all."""
+    from cosmos_predict2_tpu.ops.neighborhood_attention import _build_plan
+
+    plan = _build_plan(VideoSize(24, 44, 80), (-1, 12, 24), 512)
+    nblk = plan.table.shape[0]
+    assert plan.s_pad == 24 * 44 * 80  # 44 % 4 == 0 and 80 % 16 == 0: no pad
+    density = plan.counts.sum() / float(nblk * nblk)
+    assert density < 0.25, density
