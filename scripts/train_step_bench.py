@@ -1,0 +1,110 @@
+"""Training-path MFU on the real chip: 2B DiT fwd+bwd (the FLOP-dominant
+part of a training step) at the post-training geometry.
+
+The reference post-trains the 2B on multi-GPU FSDP (SURVEY §3.2); a single
+16 GB chip cannot hold params+grads+Adam moments at full scale, so — like
+the reference's per-GPU microbatch — we measure the per-chip fwd+bwd step
+(grads only; the AdamW/EMA update is bandwidth-trivial and is covered by
+the trainer tests) and report MFU with the standard 3x-forward FLOP model.
+
+Run: python scripts/train_step_bench.py [seq8320|seq21120]
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+)
+
+import jax.numpy as jnp
+import numpy as np
+
+from bench import dit_flops_per_forward
+from cosmos_predict2_tpu.networks.dit import DiTConfig, MiniTrainDIT
+
+GEOMS = {
+    # post-training local-data recipe geometry (SURVEY §2.5: 93f 704x1280 is
+    # the multi-chip config; per-chip microbatch uses the short clip)
+    "seq8320": (1, 16, 5, 64, 104),  # 17f 512x832
+    "seq21120": (1, 16, 12, 64, 104),  # 45f 512x832 (longer clip, more attn-bound)
+}
+
+
+def main() -> None:
+    geom = sys.argv[1] if len(sys.argv) > 1 else "seq8320"
+    LATENT = GEOMS[geom]
+    B, C, T, H, W = LATENT
+    seq = T * (H // 2) * (W // 2)
+
+    base = DiTConfig(
+        model_channels=2048,
+        num_heads=16,
+        num_blocks=28,
+        use_adaln_lora=True,
+        rope_h_extrapolation_ratio=3.0,
+        rope_w_extrapolation_ratio=3.0,
+        rope_enable_fps_modulation=False,
+        dtype=jnp.bfloat16,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(0), LATENT, dtype=jnp.bfloat16)
+    ts = jnp.full((B,), 500.0, dtype=jnp.float32)
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (B, 512, 1024), dtype=jnp.bfloat16) * 0.02
+    target = jax.random.normal(jax.random.PRNGKey(2), LATENT, dtype=jnp.bfloat16)
+
+    peaks = {"TPU v5 lite": 197e12, "TPU v5": 459e12, "TPU v4": 275e12, "TPU v6": 918e12}
+    kind = jax.devices()[0].device_kind
+    peak = next((v for k, v in peaks.items() if kind.startswith(k)), 197e12)
+    # fwd + bwd = 3x forward FLOPs (bwd does 2 matmuls per fwd matmul)
+    flops = 3 * dit_flops_per_forward(
+        seq, base.model_channels, base.num_blocks, int(base.model_channels * 4),
+        tokens_per_frame=(H // 2) * (W // 2),
+    )
+
+    for mode in ("selective", "block"):
+        net = MiniTrainDIT(dataclasses.replace(base, remat=mode))
+        shapes = jax.eval_shape(lambda: net.init(jax.random.PRNGKey(0), x, ts, ctx))
+        keys = iter(jax.random.split(jax.random.PRNGKey(42), len(jax.tree.leaves(shapes))))
+        params = jax.tree.map(
+            lambda s: (jax.random.normal(next(keys), s.shape, jnp.float32) * 0.02).astype(s.dtype),
+            shapes,
+        )
+        params = jax.tree.map(lambda p: p.astype(jnp.bfloat16) if p.ndim >= 2 else p, params)
+
+        def loss_fn(p):
+            v = net.apply(p, x, ts, ctx)
+            return jnp.mean(jnp.square((v - target).astype(jnp.float32)))
+
+        step = jax.jit(jax.value_and_grad(loss_fn))
+        print(f"[train] remat={mode} seq={seq} compiling ...", flush=True)
+        try:
+            l, g = step(params)
+            jax.block_until_ready(g)
+        except Exception as e:  # OOM at larger geometry: report and continue
+            print(f"[train] remat={mode}: FAILED ({type(e).__name__}: {str(e)[:120]})", flush=True)
+            continue
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            l, g = step(params)
+            jax.block_until_ready(g)
+            times.append(time.perf_counter() - t0)
+        t = float(np.median(times))
+        print(
+            f"[train] remat={mode} seq={seq}: t_fwd+bwd={t * 1e3:.0f} ms  "
+            f"MFU={flops / t / peak * 100:.1f}% ({flops / t / 1e12:.1f} TF/s on {kind})",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
