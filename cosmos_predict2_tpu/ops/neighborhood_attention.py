@@ -121,6 +121,8 @@ class _Plan(NamedTuple):
     coords: np.ndarray  # (n_blocks, 3) int32: (t0, h0, w0) base of each block
     table: np.ndarray  # (n_blocks, max_cnt) kv block ids per q block
     counts: np.ndarray  # (n_blocks,)
+    tableT: np.ndarray  # (n_blocks, max_cntT) q block ids per kv block (exact transpose)
+    countsT: np.ndarray  # (n_blocks,)
 
 
 def _axis_overlap(w: int, length: int, q_lo: int, q_hi: int, k_lo: int, k_hi: int) -> bool:
@@ -138,24 +140,31 @@ def _build_plan(size: VideoSize, window: tuple[int, int, int], block_cap: int) -
     T, H, W = size
     nth = -(-H // _TILE_H)
     ntw = -(-W // _TILE_W)
-    sb = _PER_T * T  # superblock = one spatial tile, all frames
 
-    # block size: multiple of _PER_T, divides the superblock, <= cap
-    bt = max(1, min(T, max(block_cap, _PER_T) // _PER_T))
-    while T % bt:
-        bt -= 1
+    # block size: EVEN number of t-slices so block % 128 == 0 (required by
+    # the (1,1,1,block) lse/delta layout of the backward pass, and keeps
+    # MXU-friendly shapes). T is padded up to a multiple of bt; pad frames
+    # are masked in-kernel and pruned from the table. Pick the candidate
+    # minimizing padding, preferring larger blocks on ties.
+    cap_bt = max(2, min(8, max(block_cap, _PER_T) // _PER_T))
+    bt = min(
+        (b_ for b_ in range(2, cap_bt + 1, 2)),
+        key=lambda b_: (-(-T // b_) * b_, -b_),
+    )
+    t_pad = -(-T // bt) * bt
     block = _PER_T * bt
+    sb = _PER_T * t_pad  # superblock = one spatial tile, all (padded) frames
 
     # permutation: new order enumerates (tile_h, tile_w, t, ih, iw)
     a = np.arange(nth)[:, None, None, None, None]
     b = np.arange(ntw)[None, :, None, None, None]
-    t = np.arange(T)[None, None, :, None, None]
+    t = np.arange(t_pad)[None, None, :, None, None]
     ih = np.arange(_TILE_H)[None, None, None, :, None]
     iw = np.arange(_TILE_W)[None, None, None, None, :]
     h = a * _TILE_H + ih
     w = b * _TILE_W + iw
-    valid = (h < H) & (w < W) & np.ones_like(t, bool)
-    orig = t * (H * W) + np.minimum(h, H - 1) * W + np.minimum(w, W - 1)
+    valid = (h < H) & (w < W) & (t < T)
+    orig = np.minimum(t, T - 1) * (H * W) + np.minimum(h, H - 1) * W + np.minimum(w, W - 1)
     perm = np.where(valid, orig, 0).reshape(-1).astype(np.int32)
     inv = np.zeros(T * H * W, dtype=np.int32)
     inv[perm.reshape(-1)[valid.reshape(-1)]] = np.nonzero(valid.reshape(-1))[0].astype(np.int32)
@@ -180,19 +189,20 @@ def _build_plan(size: VideoSize, window: tuple[int, int, int], block_cap: int) -
     rows: list[list[int]] = []
     for i in range(nblk):
         qt0, qh0, qw0 = (int(x) for x in coords[i])
-        if qh0 >= H or qw0 >= W:  # fully-pad query block: no work
+        if qt0 >= T or qh0 >= H or qw0 >= W:  # fully-pad query block: no work
             rows.append([])
             continue
+        qt1 = min(qt0 + bt, T) - 1
         qh1 = min(qh0 + _TILE_H, H) - 1
         qw1 = min(qw0 + _TILE_W, W) - 1
         keep: list[int] = []
         for j in range(nblk):
             kt0, kh0, kw0 = (int(x) for x in coords[j])
-            if kh0 >= H or kw0 >= W:  # fully-pad kv block: never attended
+            if kt0 >= T or kh0 >= H or kw0 >= W:  # fully-pad kv block: never attended
                 continue
             ok = True
             if 0 <= wt < T:
-                ok = _axis_overlap(wt, T, qt0, qt0 + bt - 1, kt0, kt0 + bt - 1)
+                ok = _axis_overlap(wt, T, qt0, qt1, kt0, min(kt0 + bt, T) - 1)
             if ok and 0 <= wh < H:
                 ok = _axis_overlap(wh, H, qh0, qh1, kh0, min(kh0 + _TILE_H, H) - 1)
             if ok and 0 <= ww < W:
@@ -200,32 +210,77 @@ def _build_plan(size: VideoSize, window: tuple[int, int, int], block_cap: int) -
             if ok:
                 keep.append(j)
         rows.append(keep)
-    counts = np.asarray([len(r) for r in rows], dtype=np.int32)
-    max_cnt = max(int(counts.max()), 1) if nblk else 1
-    table = np.zeros((nblk, max_cnt), dtype=np.int32)
+
+    def pack(row_lists: list[list[int]]) -> tuple[np.ndarray, np.ndarray]:
+        cnt = np.asarray([len(r) for r in row_lists], dtype=np.int32)
+        mx = max(int(cnt.max()), 1) if len(row_lists) else 1
+        tab = np.zeros((len(row_lists), mx), dtype=np.int32)
+        for i_, r in enumerate(row_lists):
+            tab[i_, : len(r)] = r
+            if len(r) < mx:  # pad with the last real id: same block index in
+                tab[i_, len(r):] = r[-1] if r else 0  # consecutive steps => no re-DMA
+        return tab, cnt
+
+    table, counts = pack(rows)
+    # exact transpose for the dK/dV pass: which q blocks attend kv block j.
+    # (clamped NA is not symmetric, so this must be the transpose of the
+    # forward table, not a window test from the kv side.)
+    rows_t: list[list[int]] = [[] for _ in range(nblk)]
     for i, r in enumerate(rows):
-        table[i, : len(r)] = r
-        if len(r) < max_cnt:  # pad with the last real id: same block index in
-            table[i, len(r):] = r[-1] if r else 0  # consecutive steps => no re-DMA
-    return _Plan(perm, inv, block, s_pad, coords, table, counts)
+        for j in r:
+            rows_t[j].append(i)
+    table_t, counts_t = pack(rows_t)
+    return _Plan(perm, inv, block, s_pad, coords, table, counts, table_t, counts_t)
 
 
 # ---------------------------------------------------------------------------
-# kernel
+# kernels
 # ---------------------------------------------------------------------------
 
 
-def _na_kernel(
-    tab_ref, cnt_ref, co_ref, q_ref, k_ref, v_ref, o_ref, acc, m_scr, l_scr,
-    *, scale, size: VideoSize, window,
+def _pair_mask(co_ref, qi, ki, shape, qdim: int, kdim: int, size: VideoSize, window):
+    """Window-membership mask for a (q block, kv block) pair on the permuted
+    layout. Intra-block coordinates are bit math (64 = 2^6 tokens per
+    t-slice of a 4x16 tile): t = t0 + (idx >> 6), h = h0 + ((idx & 63) >> 4),
+    w = w0 + (idx & 15). ``qdim``/``kdim`` say which iota axis runs over the
+    q/k tokens (the dK/dV kernel uses the transposed orientation)."""
+    qio = jax.lax.broadcasted_iota(jnp.int32, shape, qdim)
+    kio = jax.lax.broadcasted_iota(jnp.int32, shape, kdim)
+    t_q = co_ref[qi, 0] + (qio >> 6)
+    h_q = co_ref[qi, 1] + ((qio & 63) >> 4)
+    w_q = co_ref[qi, 2] + (qio & 15)
+    t_k = co_ref[ki, 0] + (kio >> 6)
+    h_k = co_ref[ki, 1] + ((kio & 63) >> 4)
+    w_k = co_ref[ki, 2] + (kio & 15)
+    # pad slots (t/h/w beyond the real video) are never keys — and never
+    # queries either: window clamping would otherwise map an out-of-bounds
+    # query center back onto real keys, which is harmless in the forward
+    # (pad outputs are dropped) but would let the duplicated pad-slot dO
+    # rows corrupt dK/dV in the backward pass.
+    mask = (t_k < size.T) & (h_k < size.H) & (w_k < size.W)
+    mask = mask & (t_q < size.T) & (h_q < size.H) & (w_q < size.W)
+    for (ci, cj, length, w_) in (
+        (t_q, t_k, size.T, window[0]),
+        (h_q, h_k, size.H, window[1]),
+        (w_q, w_k, size.W, window[2]),
+    ):
+        ok = _axis_window_ok(ci, cj, length, w_)
+        if ok is not None:
+            mask = mask & ok
+    return mask
+
+
+def _na_fwd_kernel(
+    tab_ref, cnt_ref, co_ref, q_ref, k_ref, v_ref, o_ref, *rest,
+    scale, size: VideoSize, window, with_lse: bool,
 ):
-    """Gathered block-sparse NA forward on the permuted layout.
-
-    grid (b, h, nq, max_cnt); the kv block loaded at (i, j) is tab[i, j]
-    (scalar-prefetched). Token coordinates inside a block are bit math:
-    64 tokens per t-slice (4x16 tile), so t = base_t + (idx >> 6),
-    h = base_h + ((idx & 63) >> 4), w = base_w + (idx & 15).
-    """
+    """Gathered block-sparse NA forward: grid (b, h, nq, max_cnt); the kv
+    block loaded at step (i, j) is tab[i, j] (scalar-prefetched, so the DMA
+    pipeline gathers only in-window blocks)."""
+    if with_lse:
+        lse_ref, acc, m_scr, l_scr = rest
+    else:
+        acc, m_scr, l_scr = rest
     iq = pl.program_id(2)
     j = pl.program_id(3)
 
@@ -242,25 +297,7 @@ def _na_kernel(
         k = k_ref[0, 0]
         v = v_ref[0, 0]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32) * scale
-
-        row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        t_q = co_ref[iq, 0] + (row >> 6)
-        h_q = co_ref[iq, 1] + ((row & 63) >> 4)
-        w_q = co_ref[iq, 2] + (row & 15)
-        t_k = co_ref[ik, 0] + (col >> 6)
-        h_k = co_ref[ik, 1] + ((col & 63) >> 4)
-        w_k = co_ref[ik, 2] + (col & 15)
-
-        mask = (h_k < size.H) & (w_k < size.W)  # spatial pad slots are not keys
-        for (ci, cj, length, w_) in (
-            (t_q, t_k, size.T, window[0]),
-            (h_q, h_k, size.H, window[1]),
-            (w_q, w_k, size.W, window[2]),
-        ):
-            ok = _axis_window_ok(ci, cj, length, w_)
-            if ok is not None:
-                mask = mask & ok
+        mask = _pair_mask(co_ref, iq, ik, s.shape, 0, 1, size, window)
         s = jnp.where(mask, s, _NEG_INF)
 
         m_prev = m_scr[:, :1]
@@ -277,6 +314,239 @@ def _na_kernel(
     def _finalize():
         l = jnp.maximum(l_scr[:, :1], 1e-20)
         o_ref[0, 0] = (acc[:] / l).astype(o_ref.dtype)
+        if with_lse:
+            lse_ref[0, 0] = (m_scr[:, 0] + jnp.log(l[:, 0]))[None, :]
+
+
+def _na_dq_kernel(
+    tab_ref, cnt_ref, co_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref, dq_ref, dq_acc,
+    *, scale, size: VideoSize, window,
+):
+    """dQ: same gathered iteration as the forward (grid (b, h, nq, max_cnt));
+    p is recomputed from the saved logsumexp (flash-attention style)."""
+    iq = pl.program_id(2)
+    j = pl.program_id(3)
+
+    @pl.when(j == 0)
+    def _init():
+        dq_acc[:] = jnp.zeros_like(dq_acc)
+
+    @pl.when(j < cnt_ref[iq])
+    def _compute():
+        ik = tab_ref[iq, j]
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32) * scale
+        mask = _pair_mask(co_ref, iq, ik, s.shape, 0, 1, size, window)
+        lse = lse_ref[0, 0][0][:, None]  # (bq, 1)
+        p = jnp.where(mask, jnp.exp(s - lse), 0.0)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        delta = dl_ref[0, 0][0][:, None]
+        ds = p * (dp - delta)
+        dq_acc[:] += jax.lax.dot_general(
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+
+    @pl.when(j == pl.num_programs(3) - 1)
+    def _finalize():
+        dq_ref[0, 0] = dq_acc[:].astype(dq_ref.dtype)
+
+
+def _na_dkv_kernel(
+    tab_ref, cnt_ref, co_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref,
+    dk_ref, dv_ref, dk_acc, dv_acc,
+    *, scale, size: VideoSize, window,
+):
+    """dK/dV: grid (b, h, nk, max_cntT) over the exact TRANSPOSE of the
+    forward table (clamped NA is not symmetric, so the q blocks attending a
+    kv block come from inverting the forward table, not a kv-side window
+    test)."""
+    ik = pl.program_id(2)
+    j = pl.program_id(3)
+
+    @pl.when(j == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    @pl.when(j < cnt_ref[ik])
+    def _compute():
+        iq = tab_ref[ik, j]
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
+        st = jax.lax.dot_general(k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32) * scale
+        mask = _pair_mask(co_ref, iq, ik, st.shape, 1, 0, size, window)  # (bk, bq)
+        lse = lse_ref[0, 0][0][None, :]  # (1, bq)
+        pt = jnp.where(mask, jnp.exp(st - lse), 0.0)
+        dv_acc[:] += jax.lax.dot_general(
+            pt.astype(do.dtype), do, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dpt = jax.lax.dot_general(v, do, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        delta = dl_ref[0, 0][0][None, :]
+        dst = pt * (dpt - delta)
+        dk_acc[:] += jax.lax.dot_general(
+            dst.astype(q.dtype), q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+
+    @pl.when(j == pl.num_programs(3) - 1)
+    def _finalize():
+        dk_ref[0, 0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _na_forward(qt, kt, vt, size: VideoSize, window, plan: _Plan, with_lse: bool):
+    """Run the forward kernel on permuted (B, H, S_pad, D) tensors."""
+    b, h, s_pad, d = qt.shape
+    blk = plan.block
+    nq = s_pad // blk
+    scale = 1.0 / np.sqrt(d)
+    grid = (b, h, nq, plan.table.shape[1])
+    idx_q = lambda b_, h_, i, j, tab, cnt, co: (b_, h_, i, 0)
+    idx_kv = lambda b_, h_, i, j, tab, cnt, co: (b_, h_, tab[i, j], 0)
+    out_specs = [pl.BlockSpec((1, 1, blk, d), idx_q)]
+    out_shape = [jax.ShapeDtypeStruct((b, h, s_pad, d), qt.dtype)]
+    if with_lse:
+        out_specs.append(pl.BlockSpec((1, 1, 1, blk), lambda b_, h_, i, j, tab, cnt, co: (b_, h_, 0, i)))
+        out_shape.append(jax.ShapeDtypeStruct((b, h, 1, s_pad), jnp.float32))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,  # (table, counts, block coords)
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, blk, d), idx_q),
+            pl.BlockSpec((1, 1, blk, d), idx_kv),
+            pl.BlockSpec((1, 1, blk, d), idx_kv),
+        ],
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((blk, d), jnp.float32),
+            pltpu.VMEM((blk, 128), jnp.float32),
+            pltpu.VMEM((blk, 128), jnp.float32),
+        ],
+    )
+    res = pl.pallas_call(
+        functools.partial(
+            _na_fwd_kernel, scale=scale, size=size, window=tuple(window), with_lse=with_lse,
+        ),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+    )(jnp.asarray(plan.table), jnp.asarray(plan.counts), jnp.asarray(plan.coords), qt, kt, vt)
+    return res if with_lse else (res[0], None)
+
+
+def _permute_in(x, perm):
+    return jnp.take(x, perm, axis=1).transpose(0, 2, 1, 3)
+
+
+def _permute_out(xt, inv):
+    return jnp.take(xt.transpose(0, 2, 1, 3), inv, axis=1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _na(q, k, v, size: VideoSize, window, block_cap: int):
+    plan = _build_plan(size, window, block_cap)
+    perm = jnp.asarray(plan.perm)
+    qt, kt, vt = (_permute_in(t, perm) for t in (q, k, v))
+    out, _ = _na_forward(qt, kt, vt, size, window, plan, with_lse=False)
+    return _permute_out(out, jnp.asarray(plan.inv))
+
+
+def _na_fwd_rule(q, k, v, size, window, block_cap):
+    plan = _build_plan(size, window, block_cap)
+    perm = jnp.asarray(plan.perm)
+    qt, kt, vt = (_permute_in(t, perm) for t in (q, k, v))
+    out_t, lse = _na_forward(qt, kt, vt, size, window, plan, with_lse=True)
+    return _permute_out(out_t, jnp.asarray(plan.inv)), (qt, kt, vt, out_t, lse)
+
+
+def _na_bwd_rule(size, window, block_cap, res, g):
+    qt, kt, vt, out_t, lse = res
+    plan = _build_plan(size, window, block_cap)
+    b, h, s_pad, d = qt.shape
+    blk = plan.block
+    nblk = s_pad // blk
+    scale = 1.0 / np.sqrt(d)
+
+    do_t = _permute_in(g, jnp.asarray(plan.perm))
+    # delta_i = sum_d dO_i * O_i (flash-attention bwd preprocessing)
+    delta = jnp.sum(do_t.astype(jnp.float32) * out_t.astype(jnp.float32), axis=-1)[:, :, None, :]
+
+    idx_q = lambda b_, h_, i, j, tab, cnt, co: (b_, h_, i, 0)
+    idx_kv = lambda b_, h_, i, j, tab, cnt, co: (b_, h_, tab[i, j], 0)
+    idx_row_q = lambda b_, h_, i, j, tab, cnt, co: (b_, h_, 0, i)
+
+    dq_t = pl.pallas_call(
+        functools.partial(_na_dq_kernel, scale=scale, size=size, window=tuple(window)),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(b, h, nblk, plan.table.shape[1]),
+            in_specs=[
+                pl.BlockSpec((1, 1, blk, d), idx_q),
+                pl.BlockSpec((1, 1, blk, d), idx_kv),
+                pl.BlockSpec((1, 1, blk, d), idx_kv),
+                pl.BlockSpec((1, 1, blk, d), idx_q),
+                pl.BlockSpec((1, 1, 1, blk), idx_row_q),
+                pl.BlockSpec((1, 1, 1, blk), idx_row_q),
+            ],
+            out_specs=pl.BlockSpec((1, 1, blk, d), idx_q),
+            scratch_shapes=[pltpu.VMEM((blk, d), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, s_pad, d), qt.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+    )(
+        jnp.asarray(plan.table), jnp.asarray(plan.counts), jnp.asarray(plan.coords),
+        qt, kt, vt, do_t, lse, delta,
+    )
+
+    idx_kv_direct = lambda b_, h_, i, j, tab, cnt, co: (b_, h_, i, 0)
+    idx_q_tab = lambda b_, h_, i, j, tab, cnt, co: (b_, h_, tab[i, j], 0)
+    idx_row_q_tab = lambda b_, h_, i, j, tab, cnt, co: (b_, h_, 0, tab[i, j])
+    dk_t, dv_t = pl.pallas_call(
+        functools.partial(_na_dkv_kernel, scale=scale, size=size, window=tuple(window)),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(b, h, nblk, plan.tableT.shape[1]),
+            in_specs=[
+                pl.BlockSpec((1, 1, blk, d), idx_q_tab),
+                pl.BlockSpec((1, 1, blk, d), idx_kv_direct),
+                pl.BlockSpec((1, 1, blk, d), idx_kv_direct),
+                pl.BlockSpec((1, 1, blk, d), idx_q_tab),
+                pl.BlockSpec((1, 1, 1, blk), idx_row_q_tab),
+                pl.BlockSpec((1, 1, 1, blk), idx_row_q_tab),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, blk, d), idx_kv_direct),
+                pl.BlockSpec((1, 1, blk, d), idx_kv_direct),
+            ],
+            scratch_shapes=[pltpu.VMEM((blk, d), jnp.float32), pltpu.VMEM((blk, d), jnp.float32)],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, s_pad, d), kt.dtype),
+            jax.ShapeDtypeStruct((b, h, s_pad, d), vt.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+    )(
+        jnp.asarray(plan.tableT), jnp.asarray(plan.countsT), jnp.asarray(plan.coords),
+        qt, kt, vt, do_t, lse, delta,
+    )
+
+    inv = jnp.asarray(plan.inv)
+    # pad slots carry no true gradient (their compute is fully masked), so
+    # the inverse gather over the real slots is the exact input gradient.
+    return _permute_out(dq_t, inv), _permute_out(dk_t, inv), _permute_out(dv_t, inv)
+
+
+_na.defvjp(_na_fwd_rule, _na_bwd_rule)
 
 
 def neighborhood_attention(
@@ -290,55 +560,13 @@ def neighborhood_attention(
 ) -> jax.Array:
     """Pallas 3D neighborhood attention. q,k,v: (B, S, H, D), S = T*H*W.
 
-    Inference-oriented (forward); training sparse-attention gradients can
-    use the reference path or a custom VJP later.
-    """
+    Differentiable: a custom VJP recomputes probabilities from the saved
+    logsumexp over the same gathered block-sparse structure (dK/dV iterate
+    the exact transpose of the forward table), so sparse attention works in
+    training like the reference's NATTEN path
+    (minimal_v4_dit.py:1743-1813)."""
     del block_kv
     b, s_len, h, d = q.shape
     size = VideoSize(*video_size)
     assert s_len == size.T * size.H * size.W, (s_len, size)
-    plan = _build_plan(size, tuple(window), int(block_q))
-    scale = 1.0 / np.sqrt(d)
-
-    perm = jnp.asarray(plan.perm)
-    # permute into tiled layout, (B, H, S_pad, D) for the kernel
-    qt, kt, vt = (jnp.take(t, perm, axis=1).transpose(0, 2, 1, 3) for t in (q, k, v))
-
-    blk = plan.block
-    nq = plan.s_pad // blk
-    max_cnt = plan.table.shape[1]
-    grid = (b, h, nq, max_cnt)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,  # (table, counts, block coords)
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, blk, d), lambda b_, h_, i, j, tab, cnt, co: (b_, h_, i, 0)),
-            pl.BlockSpec((1, 1, blk, d), lambda b_, h_, i, j, tab, cnt, co: (b_, h_, tab[i, j], 0)),
-            pl.BlockSpec((1, 1, blk, d), lambda b_, h_, i, j, tab, cnt, co: (b_, h_, tab[i, j], 0)),
-        ],
-        out_specs=pl.BlockSpec((1, 1, blk, d), lambda b_, h_, i, j, tab, cnt, co: (b_, h_, i, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((blk, d), jnp.float32),
-            pltpu.VMEM((blk, 128), jnp.float32),
-            pltpu.VMEM((blk, 128), jnp.float32),
-        ],
-    )
-    out = pl.pallas_call(
-        functools.partial(
-            _na_kernel, scale=scale, size=size, window=tuple(window),
-        ),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, h, plan.s_pad, d), q.dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
-        ),
-    )(
-        jnp.asarray(plan.table),
-        jnp.asarray(plan.counts),
-        jnp.asarray(plan.coords),
-        qt,
-        kt,
-        vt,
-    )
-    # back to (B, S, H, D) in original token order
-    return jnp.take(out.transpose(0, 2, 1, 3), jnp.asarray(plan.inv), axis=1)
+    return _na(q, k, v, size, tuple(window), int(block_q))

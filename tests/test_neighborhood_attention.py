@@ -85,6 +85,33 @@ def test_pallas_kernel_edge_geometries_interpret(size, window):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+@pytest.mark.level(1)
+@pytest.mark.parametrize(
+    "size,window",
+    [
+        (VideoSize(4, 8, 8), (3, 5, 5)),
+        (VideoSize(3, 6, 10), (-1, 4, 6)),  # padded geometry
+    ],
+)
+def test_pallas_kernel_gradients_match_reference(size, window):
+    """Custom VJP (dQ/dK/dV kernels over the gathered tables) must match
+    autodiff through the masked reference softmax."""
+    q, k, v = _inputs(size, heads=1, dim=128, seed=3)
+    tgt = jax.random.normal(jax.random.PRNGKey(9), q.shape)
+
+    def loss(fn):
+        def f(q_, k_, v_):
+            return jnp.sum((fn(q_, k_, v_) - tgt) ** 2)
+
+        return jax.grad(f, argnums=(0, 1, 2))
+
+    with pltpu.force_tpu_interpret_mode():
+        gq, gk, gv = loss(lambda a, b, c: neighborhood_attention(a, b, c, size, window))(q, k, v)
+    rq, rk, rv = loss(lambda a, b, c: neighborhood_attention_reference(a, b, c, size, window))(q, k, v)
+    for got, ref in ((gq, rq), (gk, rk), (gv, rv)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-4, rtol=1e-3)
+
+
 @pytest.mark.level(0)
 def test_plan_density_720p():
     """At the production 720p geometry the tiled plan must (a) not pad the
