@@ -246,17 +246,27 @@ class Attention(nn.Module):
             out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v_buf, preferred_element_type=jnp.float32)
             out = out.astype(q.dtype)
         elif self.na_video_size is not None and is_selfattn:
-            from cosmos_predict2_tpu.ops.neighborhood_attention import (
-                VideoSize,
-                neighborhood_attention,
-                neighborhood_attention_reference,
-            )
+            if self.cp_axis is not None:
+                # a2a + local neighborhood attention on the gathered full
+                # sequence — the reference's NattenA2AAttnOp (a2a_cp.py:222)
+                from cosmos_predict2_tpu.parallel.cp import ulysses_attention
 
-            size = VideoSize(*self.na_video_size)
-            if jax.default_backend() == "tpu":
-                out = neighborhood_attention(q, k, v, size, self.na_window)
+                out = ulysses_attention(
+                    q, k, v, axis_name=self.cp_axis,
+                    na_video_size=self.na_video_size, na_window=self.na_window,
+                )
             else:
-                out = neighborhood_attention_reference(q, k, v, size, self.na_window)
+                from cosmos_predict2_tpu.ops.neighborhood_attention import (
+                    VideoSize,
+                    neighborhood_attention,
+                    neighborhood_attention_reference,
+                )
+
+                size = VideoSize(*self.na_video_size)
+                if jax.default_backend() == "tpu":
+                    out = neighborhood_attention(q, k, v, size, self.na_window)
+                else:
+                    out = neighborhood_attention_reference(q, k, v, size, self.na_window)
         elif self.cp_axis is not None and is_selfattn:
             if self.cp_strategy == "ring":
                 from cosmos_predict2_tpu.parallel.ring_attention import ring_attention

@@ -31,10 +31,16 @@ def ulysses_attention(
     axis_name: str = "cp",
     backend: Optional[str] = None,
     frame_group: int = 0,
+    na_video_size: Optional[tuple[int, int, int]] = None,
+    na_window: tuple[int, int, int] = (-1, -1, -1),
 ) -> jax.Array:
     """Sequence-parallel self-attention. q,k,v: (B, S, H, D) global view,
     sharded over S on ``axis_name``. Must run inside jit with an ambient
     mesh (jax.set_mesh) that has ``axis_name``.
+
+    With ``na_video_size`` set, the local attention after the head-scatter
+    is the sparse neighborhood kernel on the full gathered sequence — the
+    reference's ``NattenA2AAttnOp`` composition (a2a_cp.py:222-226).
     """
 
     def inner(q, k, v):
@@ -47,7 +53,20 @@ def ulysses_attention(
             return jax.lax.all_to_all(t, axis_name, split_axis=1, concat_axis=2, tiled=True)
 
         ql, kl, vl = scatter_heads(q), scatter_heads(k), scatter_heads(v)
-        out = dot_product_attention(ql, kl, vl, backend=backend, frame_group=frame_group)
+        if na_video_size is not None:
+            from cosmos_predict2_tpu.ops.neighborhood_attention import (
+                VideoSize,
+                neighborhood_attention,
+                neighborhood_attention_reference,
+            )
+
+            size = VideoSize(*na_video_size)
+            if jax.default_backend() == "tpu":
+                out = neighborhood_attention(ql, kl, vl, size, na_window)
+            else:
+                out = neighborhood_attention_reference(ql, kl, vl, size, na_window)
+        else:
+            out = dot_product_attention(ql, kl, vl, backend=backend, frame_group=frame_group)
         return gather_heads(out)
 
     spec = P(None, axis_name, None, None)

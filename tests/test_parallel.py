@@ -30,6 +30,35 @@ def test_ulysses_matches_reference():
 
 @pytest.mark.chips(8)
 @pytest.mark.level(0)
+def test_ulysses_neighborhood_attention_matches_reference():
+    """NA under CP (reference NattenA2AAttnOp, a2a_cp.py:222): a2a then the
+    sparse window on the full gathered sequence == single-device NA."""
+    from cosmos_predict2_tpu.ops.neighborhood_attention import (
+        VideoSize,
+        neighborhood_attention_reference,
+    )
+
+    mesh = make_mesh(1, 1, 4, 1, devices=jax.devices()[:4])
+    size, window = VideoSize(4, 4, 4), (1, 3, 3)
+    B, S, H, D = 1, size.T * size.H * size.W, 8, 32
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, S, H, D))
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, S, H, D))
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, S, H, D))
+
+    with jax.set_mesh(mesh):
+        sharding = NamedSharding(mesh, P(None, "cp", None, None))
+        qs, ks, vs = (jax.device_put(t, sharding) for t in (q, k, v))
+        out = jax.jit(
+            lambda a, b, c: ulysses_attention(
+                a, b, c, axis_name="cp", na_video_size=tuple(size), na_window=window
+            )
+        )(qs, ks, vs)
+    expected = neighborhood_attention_reference(q, k, v, size, window)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected), atol=2e-5)
+
+
+@pytest.mark.chips(8)
+@pytest.mark.level(0)
 def test_ulysses_grads_match():
     mesh = make_mesh(1, 1, 4, 1, devices=jax.devices()[:4])
     B, S, H, D = 1, 32, 4, 16
