@@ -124,3 +124,38 @@ def test_plan_density_720p():
     assert plan.s_pad == 24 * 44 * 80  # 44 % 4 == 0 and 80 % 16 == 0: no pad
     density = plan.counts.sum() / float(nblk * nblk)
     assert density < 0.25, density
+
+
+@pytest.mark.level(1)
+def test_dit_sparse_interleave():
+    """DiT-level NA surgery (reference minimal_v4_dit.py:1743-1813):
+    n_dense_blocks interleave runs, trains (finite grads), and with a full
+    window the sparse path reproduces the dense DiT exactly."""
+    import dataclasses
+
+    from cosmos_predict2_tpu.networks.dit import PRESETS, MiniTrainDIT
+
+    base = dataclasses.replace(
+        PRESETS["test"], dtype=jnp.float32, rope_enable_fps_modulation=False, remat="none"
+    )
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 2, 8, 8))
+    ts = jnp.full((1,), 500.0)
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 1024)) * 0.1
+
+    dense = MiniTrainDIT(dataclasses.replace(base, n_dense_blocks=-1))
+    params = dense.init(jax.random.PRNGKey(2), x, ts, ctx)
+    out_dense = dense.apply(params, x, ts, ctx)
+
+    # full window == dense, through the whole network
+    full = MiniTrainDIT(dataclasses.replace(base, n_dense_blocks=0, natten_window=(-1, -1, -1)))
+    out_full = full.apply(params, x, ts, ctx)
+    np.testing.assert_allclose(np.asarray(out_full), np.asarray(out_dense), atol=1e-5)
+
+    # real window: interleave (1 dense of 2 blocks) runs and differs from dense
+    sparse = MiniTrainDIT(dataclasses.replace(base, n_dense_blocks=1, natten_window=(1, 3, 3)))
+    out_sparse = sparse.apply(params, x, ts, ctx)
+    assert np.isfinite(np.asarray(out_sparse)).all()
+    assert np.abs(np.asarray(out_sparse) - np.asarray(out_dense)).max() > 1e-4
+
+    g = jax.grad(lambda p: jnp.mean(sparse.apply(p, x, ts, ctx) ** 2))(params)
+    assert all(np.isfinite(np.asarray(leaf)).all() for leaf in jax.tree.leaves(g))
