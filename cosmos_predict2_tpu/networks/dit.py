@@ -67,6 +67,11 @@ class DiTConfig:
     # dense, evenly distributed; sparse blocks use the NA window below.
     n_dense_blocks: int = -1
     natten_window: tuple[int, int, int] = (-1, 12, 24)
+    # GNA stride + adaptive scaling base (reference production sparse
+    # configs: stride (1, 4, 8), base_size (-1, 44, 80) —
+    # configs/video2world/experiment/resume_text2world/sparse_2B.py:327)
+    natten_stride: tuple[int, int, int] = (1, 1, 1)
+    natten_base_size: Optional[tuple[int, int, int]] = None
     # --- camera conditioning (reference camera/networks/minimal_v4_dit_camera_conditioned.py) ---
     # per-block bias-free linear projecting a per-token camera embedding
     # (Plücker-ray style, dim camera_dim) added to the normalized hidden
@@ -199,6 +204,7 @@ class Attention(nn.Module):
     frame_group: int = 0  # >0: frame-block causal self-attention
     na_video_size: Optional[tuple[int, int, int]] = None  # sparse NA when set
     na_window: tuple[int, int, int] = (-1, -1, -1)
+    na_stride: tuple[int, int, int] = (1, 1, 1)
 
     @nn.compact
     def __call__(self, x, context=None, rope_angles=None, kv_cache=None):
@@ -254,6 +260,7 @@ class Attention(nn.Module):
                 out = ulysses_attention(
                     q, k, v, axis_name=self.cp_axis,
                     na_video_size=self.na_video_size, na_window=self.na_window,
+                    na_stride=self.na_stride,
                 )
             else:
                 from cosmos_predict2_tpu.ops.neighborhood_attention import (
@@ -264,9 +271,9 @@ class Attention(nn.Module):
 
                 size = VideoSize(*self.na_video_size)
                 if jax.default_backend() == "tpu":
-                    out = neighborhood_attention(q, k, v, size, self.na_window)
+                    out = neighborhood_attention(q, k, v, size, self.na_window, stride=self.na_stride)
                 else:
-                    out = neighborhood_attention_reference(q, k, v, size, self.na_window)
+                    out = neighborhood_attention_reference(q, k, v, size, self.na_window, self.na_stride)
         elif self.cp_axis is not None and is_selfattn:
             if self.cp_strategy == "ring":
                 from cosmos_predict2_tpu.parallel.ring_attention import ring_attention
@@ -433,12 +440,19 @@ class Block(nn.Module):
             normed = normed + cam_emb.astype(normed.dtype)
         attn_in = normed.reshape(B, T * H * W, D)
         frame_group = cfg.num_frame_per_block * H * W if cfg.temporal_causal else 0
+        na_window, na_stride = cfg.natten_window, cfg.natten_stride
+        if self.use_sparse_attn and cfg.natten_base_size is not None:
+            from cosmos_predict2_tpu.ops.neighborhood_attention import adaptive_na_parameters
+
+            na_window, na_stride = adaptive_na_parameters(
+                na_window, na_stride, (T, H, W), cfg.natten_base_size
+            )
         self_attn = Attention(
             d, None, cfg.num_heads, cfg.head_dim, dtype=compute_dtype,
             backend=cfg.atten_backend, cp_axis=cfg.cp_axis, cp_strategy=cfg.cp_strategy,
             frame_group=frame_group,
             na_video_size=(T, H, W) if self.use_sparse_attn else None,
-            na_window=cfg.natten_window, name="self_attn",
+            na_window=na_window, na_stride=na_stride, name="self_attn",
         )
         new_cache = None
         if kv_cache is not None:

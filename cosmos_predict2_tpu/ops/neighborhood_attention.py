@@ -62,13 +62,26 @@ class VideoSize(NamedTuple):
     W: int
 
 
-def _axis_window_ok(ci, cj, length: int, window: int):
+def _rep(ci, stride: int):
+    """GNA stride: all queries in a stride group share the window of the
+    group's representative (its center), so stride == window reduces to
+    non-overlapping blocked attention and stride == 1 is standard NA
+    (reference modules/neighborhood_attn.py:75, minimal_v4_dit.py:1298-1301)."""
+    if stride <= 1:
+        return ci
+    if stride & (stride - 1) == 0:  # pow2: shift/and lower cheaply on the VPU
+        sh = stride.bit_length() - 1
+        return ((ci >> sh) << sh) + (stride - 1) // 2
+    return (ci // stride) * stride + (stride - 1) // 2
+
+
+def _axis_window_ok(ci, cj, length: int, window: int, stride: int = 1):
     """NA membership along one axis with clamped window centers."""
     if window < 0 or window >= length:
         return None  # full attention on this axis
     r_lo = (window - 1) // 2
     r_hi = window - 1 - r_lo
-    center = jnp.clip(ci, r_lo, length - 1 - r_hi)
+    center = jnp.clip(_rep(ci, stride), r_lo, length - 1 - r_hi)
     return (cj >= center - r_lo) & (cj <= center + r_hi)
 
 
@@ -79,19 +92,28 @@ def _decompose(idx, size: VideoSize):
     return t, rem // size.W, rem % size.W
 
 
-def _na_mask(rows, cols, size: VideoSize, window: tuple[int, int, int]):
+def _na_mask(rows, cols, size: VideoSize, window: tuple[int, int, int], stride=(1, 1, 1)):
     rt, rh, rw = _decompose(rows, size)
     ct, ch, cw = _decompose(cols, size)
     mask = None
-    for (ci, cj, length, w) in ((rt, ct, size.T, window[0]), (rh, ch, size.H, window[1]), (rw, cw, size.W, window[2])):
-        ok = _axis_window_ok(ci, cj, length, w)
+    for (ci, cj, length, w, st) in (
+        (rt, ct, size.T, window[0], stride[0]),
+        (rh, ch, size.H, window[1], stride[1]),
+        (rw, cw, size.W, window[2], stride[2]),
+    ):
+        ok = _axis_window_ok(ci, cj, length, w, st)
         if ok is not None:
             mask = ok if mask is None else (mask & ok)
     return mask  # None => fully dense
 
 
 def neighborhood_attention_reference(
-    q: jax.Array, k: jax.Array, v: jax.Array, video_size: VideoSize, window: tuple[int, int, int]
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    video_size: VideoSize,
+    window: tuple[int, int, int],
+    stride: tuple[int, int, int] = (1, 1, 1),
 ) -> jax.Array:
     """q,k,v: (B, S, H, D) with S = T*H*W. fp32 softmax."""
     S = q.shape[1]
@@ -100,12 +122,34 @@ def neighborhood_attention_reference(
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
     rows = jnp.arange(S)[:, None]
     cols = jnp.arange(S)[None, :]
-    mask = _na_mask(rows, cols, video_size, window)
+    mask = _na_mask(rows, cols, video_size, window, stride)
     if mask is not None:
         logits = jnp.where(mask, logits, _NEG_INF)
     probs = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v, preferred_element_type=jnp.float32)
     return out.astype(q.dtype)
+
+
+def adaptive_na_parameters(
+    window: tuple[int, int, int],
+    stride: tuple[int, int, int],
+    input_shape: tuple[int, int, int],
+    base_size: tuple[int, int, int] | None,
+) -> tuple[tuple[int, int, int], tuple[int, int, int]]:
+    """Scale the NA window/stride from a tuning geometry to the actual
+    input geometry (reference modules/neighborhood_attn.py:140-168): a
+    window tuned as (-1, 12, 24) at base (T, 44, 80) becomes (-1, 6, 12)
+    at a 22x40 token grid. window <= 1 or base <= 0 entries mean "full
+    axis". Dilation is not supported (reference production configs use
+    dilation=1)."""
+    window = tuple(w if w > 1 else x for x, w in zip(input_shape, window))
+    if base_size is not None:
+        base = tuple(b if b > 0 else x for x, b in zip(input_shape, base_size))
+        scale = tuple(x / b for x, b in zip(input_shape, base))
+        window = tuple(min(max(2, round(w * s)), x) for w, s, x in zip(window, scale, input_shape))
+        stride = tuple(min(max(1, round(st * s)), w) for w, s, st in zip(window, scale, stride))
+    assert all(w >= st for w, st in zip(window, stride)), (window, stride)
+    return window, stride
 
 
 # ---------------------------------------------------------------------------
@@ -125,9 +169,16 @@ class _Plan(NamedTuple):
     countsT: np.ndarray  # (n_blocks,)
 
 
-def _axis_overlap(w: int, length: int, q_lo: int, q_hi: int, k_lo: int, k_hi: int) -> bool:
+def _axis_overlap(
+    w: int, length: int, q_lo: int, q_hi: int, k_lo: int, k_hi: int, stride: int = 1
+) -> bool:
     """Can any key row in [k_lo,k_hi] fall in the clamped window of any
-    query row in [q_lo,q_hi]?  (exact for interval inputs)"""
+    query row in [q_lo,q_hi]?  (exact for interval inputs; the stride
+    group-representative transform is monotonic, so interval ends map to
+    interval ends)"""
+    if stride > 1:
+        q_lo = (q_lo // stride) * stride + (stride - 1) // 2
+        q_hi = (q_hi // stride) * stride + (stride - 1) // 2
     r_lo = (w - 1) // 2
     r_hi = w - 1 - r_lo
     lo = max(min(q_lo, length - 1 - r_hi), r_lo) - r_lo
@@ -136,7 +187,7 @@ def _axis_overlap(w: int, length: int, q_lo: int, q_hi: int, k_lo: int, k_hi: in
 
 
 @functools.lru_cache(maxsize=32)
-def _build_plan(size: VideoSize, window: tuple[int, int, int], block_cap: int) -> _Plan:
+def _build_plan(size: VideoSize, window: tuple[int, int, int], stride: tuple[int, int, int], block_cap: int) -> _Plan:
     T, H, W = size
     nth = -(-H // _TILE_H)
     ntw = -(-W // _TILE_W)
@@ -186,6 +237,7 @@ def _build_plan(size: VideoSize, window: tuple[int, int, int], block_cap: int) -
     ).astype(np.int32)
 
     wt, wh, ww = window
+    st_t, st_h, st_w = stride
     rows: list[list[int]] = []
     for i in range(nblk):
         qt0, qh0, qw0 = (int(x) for x in coords[i])
@@ -202,11 +254,11 @@ def _build_plan(size: VideoSize, window: tuple[int, int, int], block_cap: int) -
                 continue
             ok = True
             if 0 <= wt < T:
-                ok = _axis_overlap(wt, T, qt0, qt1, kt0, min(kt0 + bt, T) - 1)
+                ok = _axis_overlap(wt, T, qt0, qt1, kt0, min(kt0 + bt, T) - 1, st_t)
             if ok and 0 <= wh < H:
-                ok = _axis_overlap(wh, H, qh0, qh1, kh0, min(kh0 + _TILE_H, H) - 1)
+                ok = _axis_overlap(wh, H, qh0, qh1, kh0, min(kh0 + _TILE_H, H) - 1, st_h)
             if ok and 0 <= ww < W:
-                ok = _axis_overlap(ww, W, qw0, qw1, kw0, min(kw0 + _TILE_W, W) - 1)
+                ok = _axis_overlap(ww, W, qw0, qw1, kw0, min(kw0 + _TILE_W, W) - 1, st_w)
             if ok:
                 keep.append(j)
         rows.append(keep)
@@ -238,7 +290,7 @@ def _build_plan(size: VideoSize, window: tuple[int, int, int], block_cap: int) -
 # ---------------------------------------------------------------------------
 
 
-def _pair_mask(co_ref, qi, ki, shape, qdim: int, kdim: int, size: VideoSize, window):
+def _pair_mask(co_ref, qi, ki, shape, qdim: int, kdim: int, size: VideoSize, window, stride):
     """Window-membership mask for a (q block, kv block) pair on the permuted
     layout. Intra-block coordinates are bit math (64 = 2^6 tokens per
     t-slice of a 4x16 tile): t = t0 + (idx >> 6), h = h0 + ((idx & 63) >> 4),
@@ -259,12 +311,12 @@ def _pair_mask(co_ref, qi, ki, shape, qdim: int, kdim: int, size: VideoSize, win
     # rows corrupt dK/dV in the backward pass.
     mask = (t_k < size.T) & (h_k < size.H) & (w_k < size.W)
     mask = mask & (t_q < size.T) & (h_q < size.H) & (w_q < size.W)
-    for (ci, cj, length, w_) in (
-        (t_q, t_k, size.T, window[0]),
-        (h_q, h_k, size.H, window[1]),
-        (w_q, w_k, size.W, window[2]),
+    for (ci, cj, length, w_, st_) in (
+        (t_q, t_k, size.T, window[0], stride[0]),
+        (h_q, h_k, size.H, window[1], stride[1]),
+        (w_q, w_k, size.W, window[2], stride[2]),
     ):
-        ok = _axis_window_ok(ci, cj, length, w_)
+        ok = _axis_window_ok(ci, cj, length, w_, st_)
         if ok is not None:
             mask = mask & ok
     return mask
@@ -272,7 +324,7 @@ def _pair_mask(co_ref, qi, ki, shape, qdim: int, kdim: int, size: VideoSize, win
 
 def _na_fwd_kernel(
     tab_ref, cnt_ref, co_ref, q_ref, k_ref, v_ref, o_ref, *rest,
-    scale, size: VideoSize, window, with_lse: bool,
+    scale, size: VideoSize, window, stride, with_lse: bool,
 ):
     """Gathered block-sparse NA forward: grid (b, h, nq, max_cnt); the kv
     block loaded at step (i, j) is tab[i, j] (scalar-prefetched, so the DMA
@@ -297,7 +349,7 @@ def _na_fwd_kernel(
         k = k_ref[0, 0]
         v = v_ref[0, 0]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32) * scale
-        mask = _pair_mask(co_ref, iq, ik, s.shape, 0, 1, size, window)
+        mask = _pair_mask(co_ref, iq, ik, s.shape, 0, 1, size, window, stride)
         s = jnp.where(mask, s, _NEG_INF)
 
         m_prev = m_scr[:, :1]
@@ -320,7 +372,7 @@ def _na_fwd_kernel(
 
 def _na_dq_kernel(
     tab_ref, cnt_ref, co_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref, dq_ref, dq_acc,
-    *, scale, size: VideoSize, window,
+    *, scale, size: VideoSize, window, stride,
 ):
     """dQ: same gathered iteration as the forward (grid (b, h, nq, max_cnt));
     p is recomputed from the saved logsumexp (flash-attention style)."""
@@ -339,7 +391,7 @@ def _na_dq_kernel(
         v = v_ref[0, 0]
         do = do_ref[0, 0]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32) * scale
-        mask = _pair_mask(co_ref, iq, ik, s.shape, 0, 1, size, window)
+        mask = _pair_mask(co_ref, iq, ik, s.shape, 0, 1, size, window, stride)
         lse = lse_ref[0, 0][0][:, None]  # (bq, 1)
         p = jnp.where(mask, jnp.exp(s - lse), 0.0)
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
@@ -357,7 +409,7 @@ def _na_dq_kernel(
 def _na_dkv_kernel(
     tab_ref, cnt_ref, co_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref,
     dk_ref, dv_ref, dk_acc, dv_acc,
-    *, scale, size: VideoSize, window,
+    *, scale, size: VideoSize, window, stride,
 ):
     """dK/dV: grid (b, h, nk, max_cntT) over the exact TRANSPOSE of the
     forward table (clamped NA is not symmetric, so the q blocks attending a
@@ -379,7 +431,7 @@ def _na_dkv_kernel(
         v = v_ref[0, 0]
         do = do_ref[0, 0]
         st = jax.lax.dot_general(k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32) * scale
-        mask = _pair_mask(co_ref, iq, ik, st.shape, 1, 0, size, window)  # (bk, bq)
+        mask = _pair_mask(co_ref, iq, ik, st.shape, 1, 0, size, window, stride)  # (bk, bq)
         lse = lse_ref[0, 0][0][None, :]  # (1, bq)
         pt = jnp.where(mask, jnp.exp(st - lse), 0.0)
         dv_acc[:] += jax.lax.dot_general(
@@ -398,7 +450,7 @@ def _na_dkv_kernel(
         dv_ref[0, 0] = dv_acc[:].astype(dv_ref.dtype)
 
 
-def _na_forward(qt, kt, vt, size: VideoSize, window, plan: _Plan, with_lse: bool):
+def _na_forward(qt, kt, vt, size: VideoSize, window, stride, plan: _Plan, with_lse: bool):
     """Run the forward kernel on permuted (B, H, S_pad, D) tensors."""
     b, h, s_pad, d = qt.shape
     blk = plan.block
@@ -429,7 +481,7 @@ def _na_forward(qt, kt, vt, size: VideoSize, window, plan: _Plan, with_lse: bool
     )
     res = pl.pallas_call(
         functools.partial(
-            _na_fwd_kernel, scale=scale, size=size, window=tuple(window), with_lse=with_lse,
+            _na_fwd_kernel, scale=scale, size=size, window=tuple(window), stride=tuple(stride), with_lse=with_lse,
         ),
         grid_spec=grid_spec,
         out_shape=out_shape,
@@ -448,26 +500,26 @@ def _permute_out(xt, inv):
     return jnp.take(xt.transpose(0, 2, 1, 3), inv, axis=1)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _na(q, k, v, size: VideoSize, window, block_cap: int):
-    plan = _build_plan(size, window, block_cap)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _na(q, k, v, size: VideoSize, window, stride, block_cap: int):
+    plan = _build_plan(size, window, stride, block_cap)
     perm = jnp.asarray(plan.perm)
     qt, kt, vt = (_permute_in(t, perm) for t in (q, k, v))
-    out, _ = _na_forward(qt, kt, vt, size, window, plan, with_lse=False)
+    out, _ = _na_forward(qt, kt, vt, size, window, stride, plan, with_lse=False)
     return _permute_out(out, jnp.asarray(plan.inv))
 
 
-def _na_fwd_rule(q, k, v, size, window, block_cap):
-    plan = _build_plan(size, window, block_cap)
+def _na_fwd_rule(q, k, v, size, window, stride, block_cap):
+    plan = _build_plan(size, window, stride, block_cap)
     perm = jnp.asarray(plan.perm)
     qt, kt, vt = (_permute_in(t, perm) for t in (q, k, v))
-    out_t, lse = _na_forward(qt, kt, vt, size, window, plan, with_lse=True)
+    out_t, lse = _na_forward(qt, kt, vt, size, window, stride, plan, with_lse=True)
     return _permute_out(out_t, jnp.asarray(plan.inv)), (qt, kt, vt, out_t, lse)
 
 
-def _na_bwd_rule(size, window, block_cap, res, g):
+def _na_bwd_rule(size, window, stride, block_cap, res, g):
     qt, kt, vt, out_t, lse = res
-    plan = _build_plan(size, window, block_cap)
+    plan = _build_plan(size, window, stride, block_cap)
     b, h, s_pad, d = qt.shape
     blk = plan.block
     nblk = s_pad // blk
@@ -482,7 +534,7 @@ def _na_bwd_rule(size, window, block_cap, res, g):
     idx_row_q = lambda b_, h_, i, j, tab, cnt, co: (b_, h_, 0, i)
 
     dq_t = pl.pallas_call(
-        functools.partial(_na_dq_kernel, scale=scale, size=size, window=tuple(window)),
+        functools.partial(_na_dq_kernel, scale=scale, size=size, window=tuple(window), stride=tuple(stride)),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(b, h, nblk, plan.table.shape[1]),
@@ -510,7 +562,7 @@ def _na_bwd_rule(size, window, block_cap, res, g):
     idx_q_tab = lambda b_, h_, i, j, tab, cnt, co: (b_, h_, tab[i, j], 0)
     idx_row_q_tab = lambda b_, h_, i, j, tab, cnt, co: (b_, h_, 0, tab[i, j])
     dk_t, dv_t = pl.pallas_call(
-        functools.partial(_na_dkv_kernel, scale=scale, size=size, window=tuple(window)),
+        functools.partial(_na_dkv_kernel, scale=scale, size=size, window=tuple(window), stride=tuple(stride)),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(b, h, nblk, plan.tableT.shape[1]),
@@ -557,6 +609,7 @@ def neighborhood_attention(
     window: tuple[int, int, int],
     block_q: int = 512,
     block_kv: int = 512,  # kept for API compat; blocks are symmetric
+    stride: tuple[int, int, int] = (1, 1, 1),
 ) -> jax.Array:
     """Pallas 3D neighborhood attention. q,k,v: (B, S, H, D), S = T*H*W.
 
@@ -569,4 +622,8 @@ def neighborhood_attention(
     b, s_len, h, d = q.shape
     size = VideoSize(*video_size)
     assert s_len == size.T * size.H * size.W, (s_len, size)
-    return _na(q, k, v, size, tuple(window), int(block_q))
+    for w_, st_, ln in zip(window, stride, size):
+        assert st_ >= 1 and (w_ < 0 or st_ <= w_ or st_ <= 1), (
+            f"stride {stride} must be <= window {window} (reference "
+            f"neighborhood_attn.py:168 asserts w >= s)")
+    return _na(q, k, v, size, tuple(window), tuple(stride), int(block_q))

@@ -119,7 +119,7 @@ def test_plan_density_720p():
     property that makes NA profitable on TPU at all."""
     from cosmos_predict2_tpu.ops.neighborhood_attention import _build_plan
 
-    plan = _build_plan(VideoSize(24, 44, 80), (-1, 12, 24), 512)
+    plan = _build_plan(VideoSize(24, 44, 80), (-1, 12, 24), (1, 1, 1), 512)
     nblk = plan.table.shape[0]
     assert plan.s_pad == 24 * 44 * 80  # 44 % 4 == 0 and 80 % 16 == 0: no pad
     density = plan.counts.sum() / float(nblk * nblk)
@@ -159,3 +159,71 @@ def test_dit_sparse_interleave():
 
     g = jax.grad(lambda p: jnp.mean(sparse.apply(p, x, ts, ctx) ** 2))(params)
     assert all(np.isfinite(np.asarray(leaf)).all() for leaf in jax.tree.leaves(g))
+
+
+@pytest.mark.level(0)
+def test_gna_stride_blocked_equivalence():
+    """GNA semantics anchor: stride == window reduces to non-overlapping
+    blocked attention (reference minimal_v4_dit.py:1298-1301)."""
+    size = VideoSize(1, 1, 12)
+    q, k, v = _inputs(size)
+    out = neighborhood_attention_reference(q, k, v, size, (-1, -1, 4), stride=(1, 1, 4))
+    for b0 in range(0, 12, 4):
+        blk = reference_attention(q[:, b0 : b0 + 4], k[:, b0 : b0 + 4], v[:, b0 : b0 + 4])
+        np.testing.assert_allclose(np.asarray(out[:, b0 : b0 + 4]), np.asarray(blk), atol=1e-5)
+    # stride=1 stays standard NA (bandwidth per query == window)
+    from cosmos_predict2_tpu.ops.neighborhood_attention import _na_mask
+
+    m = _na_mask(jnp.arange(12)[:, None], jnp.arange(12)[None, :], size, (-1, -1, 4), (1, 1, 1))
+    assert (np.asarray(m).sum(axis=1) == 4).all()
+
+
+@pytest.mark.level(1)
+def test_pallas_kernel_stride_matches_reference():
+    """The production sparse config's stride (reference sparse_2B.py:327)
+    through the tiled kernel, gradients included."""
+    size, window, stride = VideoSize(4, 8, 16), (-1, 4, 8), (1, 2, 4)
+    q, k, v = _inputs(size, heads=1, dim=128, seed=4)
+    tgt = jax.random.normal(jax.random.PRNGKey(9), q.shape)
+    with pltpu.force_tpu_interpret_mode():
+        out = neighborhood_attention(q, k, v, size, window, stride=stride)
+        gq, gk, gv = jax.grad(
+            lambda a, b, c: jnp.sum((neighborhood_attention(a, b, c, size, window, stride=stride) - tgt) ** 2),
+            argnums=(0, 1, 2),
+        )(q, k, v)
+    ref = neighborhood_attention_reference(q, k, v, size, window, stride)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+    rq, rk, rv = jax.grad(
+        lambda a, b, c: jnp.sum((neighborhood_attention_reference(a, b, c, size, window, stride) - tgt) ** 2),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for got, want in ((gq, rq), (gk, rk), (gv, rv)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-4, rtol=1e-3)
+
+
+@pytest.mark.level(0)
+def test_adaptive_na_parameters():
+    """Window/stride scaling from the tuning geometry to the live input
+    (reference modules/neighborhood_attn.py:140-168)."""
+    from cosmos_predict2_tpu.ops.neighborhood_attention import adaptive_na_parameters
+
+    # tuned at (any, 44, 80); at half spatial resolution both halve
+    w, s = adaptive_na_parameters((-1, 12, 24), (1, 4, 8), (24, 22, 40), (-1, 44, 80))
+    assert w == (24, 6, 12) and s == (1, 2, 4)
+    # at the tuning geometry: unchanged (window -1 maps to the full axis)
+    w, s = adaptive_na_parameters((-1, 12, 24), (1, 4, 8), (24, 44, 80), (-1, 44, 80))
+    assert w == (24, 12, 24) and s == (1, 4, 8)
+
+
+@pytest.mark.level(0)
+def test_plan_density_720p_with_stride():
+    """The production stride (1, 4, 8) sharpens the block table further
+    (stride groups share windows, so q tiles span fewer kv tiles)."""
+    from cosmos_predict2_tpu.ops.neighborhood_attention import _build_plan
+
+    base = _build_plan(VideoSize(24, 44, 80), (-1, 12, 24), (1, 1, 1), 512)
+    strided = _build_plan(VideoSize(24, 44, 80), (-1, 12, 24), (1, 4, 8), 512)
+    nblk = base.table.shape[0]
+    d0 = base.counts.sum() / float(nblk * nblk)
+    d1 = strided.counts.sum() / float(nblk * nblk)
+    assert d1 < d0 < 0.25, (d0, d1)
