@@ -127,6 +127,37 @@ register_experiment(
 
 register_experiment(
     Experiment(
+        name="predict2_video2world_2b_sparse",
+        base="predict2_video2world_2b_rectified_flow",
+        overrides={
+            # GNA sparse-attention interleave, production tuning
+            # (reference configs/.../resume_text2world/sparse_2B.py:326-327:
+            # n_dense_blocks=7, window (-1,12,24), stride (1,4,8),
+            # base_size (-1,44,80))
+            "model.net.n_dense_blocks": 7,
+            "model.net.natten_window": (-1, 12, 24),
+            "model.net.natten_stride": (1, 4, 8),
+            "model.net.natten_base_size": (-1, 44, 80),
+        },
+    )
+)
+
+register_experiment(
+    Experiment(
+        name="predict2_video2world_14b_sparse",
+        base="predict2_video2world_14b_rectified_flow",
+        overrides={
+            # reference sparse_14B.py:226-227 (n_dense_blocks=9)
+            "model.net.n_dense_blocks": 9,
+            "model.net.natten_window": (-1, 12, 24),
+            "model.net.natten_stride": (1, 4, 8),
+            "model.net.natten_base_size": (-1, 44, 80),
+        },
+    )
+)
+
+register_experiment(
+    Experiment(
         name="predict2_video2world_2b_action_conditioned",
         base="predict2_video2world_2b_rectified_flow",
         overrides={

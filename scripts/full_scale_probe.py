@@ -29,7 +29,7 @@ LATENT = (1, 16, 24, 88, 160)
 SEQ = 24 * 44 * 80
 
 
-def make_net(n_dense_blocks: int = -1, natten_window=(-1, 12, 24)):
+def make_net(n_dense_blocks: int = -1, natten_window=(-1, 12, 24), natten_stride=(1, 4, 8)):
     from cosmos_predict2_tpu.networks.dit import DiTConfig, MiniTrainDIT
 
     cfg = DiTConfig(
@@ -44,6 +44,8 @@ def make_net(n_dense_blocks: int = -1, natten_window=(-1, 12, 24)):
         remat="none",
         n_dense_blocks=n_dense_blocks,
         natten_window=natten_window,
+        natten_stride=natten_stride if n_dense_blocks >= 0 else (1, 1, 1),
+        natten_base_size=(-1, 44, 80) if n_dense_blocks >= 0 else None,
     )
     return MiniTrainDIT(cfg), cfg
 
