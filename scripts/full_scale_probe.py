@@ -71,7 +71,7 @@ def flops_forward(seq, d=2048, blocks=28, ff=8192, ctx_len=512, lora=256, patch_
     return blocks * per_block + embed + final
 
 
-def timed(fn, *args, iters=2):
+def timed(fn, *args, iters=3):
     out = fn(*args)
     _ = float(jnp.sum(out[0] if isinstance(out, tuple) else out))  # full consume
     times = []
@@ -80,7 +80,8 @@ def timed(fn, *args, iters=2):
         out = fn(*args)
         _ = float(jnp.sum(out[0] if isinstance(out, tuple) else out))
         times.append(time.perf_counter() - t0)
-    return float(np.median(times))
+    # min, not median: a single tunnel hiccup must not poison the sample
+    return float(np.min(times))
 
 
 def peak_flops():

