@@ -110,17 +110,20 @@ def main() -> None:
         cond_v, uncond_v = v[:1], v[1:]
         return cond_v + 7.0 * (cond_v - uncond_v)
 
-    # compile + warmup
-    out = cfg_denoise_step(params, x, ts, ctx)
-    out.block_until_ready()
+    # compile + warmup. NB: consume a scalar to force execution —
+    # block_until_ready does not reliably sync through the axon tunnel.
+    def sync(o):
+        return float(jnp.sum(o.astype(jnp.float32)))
+
+    sync(cfg_denoise_step(params, x, ts, ctx))
 
     times = []
     for _ in range(TIMING_ITERS):
         t0 = time.perf_counter()
-        out = cfg_denoise_step(params, x, ts, ctx)
-        out.block_until_ready()
+        sync(cfg_denoise_step(params, x, ts, ctx))
         times.append(time.perf_counter() - t0)
-    t_step = float(np.median(times))
+    # min: robust to tunnel hiccups inflating a single lap
+    t_step = float(np.min(times))
 
     frames_per_sec = FRAMES / (NUM_STEPS * t_step)
 

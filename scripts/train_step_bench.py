@@ -42,6 +42,7 @@ GEOMS = {
 
 def main() -> None:
     geom = sys.argv[1] if len(sys.argv) > 1 else "seq8320"
+    modes = (sys.argv[2],) if len(sys.argv) > 2 else ("selective", "block")
     LATENT = GEOMS[geom]
     B, C, T, H, W = LATENT
     seq = T * (H // 2) * (W // 2)
@@ -70,15 +71,17 @@ def main() -> None:
         tokens_per_frame=(H // 2) * (W // 2),
     )
 
-    for mode in ("selective", "block"):
+    for mode in modes:
         net = MiniTrainDIT(dataclasses.replace(base, remat=mode))
         shapes = jax.eval_shape(lambda: net.init(jax.random.PRNGKey(0), x, ts, ctx))
         keys = iter(jax.random.split(jax.random.PRNGKey(42), len(jax.tree.leaves(shapes))))
+        # bf16 directly: an f32 intermediate tree (7.3 GiB for the 2B) plus
+        # the 12.8 GiB step working set would overrun the 16 GB chip
         params = jax.tree.map(
-            lambda s: (jax.random.normal(next(keys), s.shape, jnp.float32) * 0.02).astype(s.dtype),
+            lambda s: jax.random.normal(next(keys), s.shape, jnp.bfloat16 if len(s.shape) >= 2 else s.dtype) * 0.02
+            if len(s.shape) >= 2 else jnp.zeros(s.shape, s.dtype),
             shapes,
         )
-        params = jax.tree.map(lambda p: p.astype(jnp.bfloat16) if p.ndim >= 2 else p, params)
 
         def loss_fn(p):
             v = net.apply(p, x, ts, ctx)

@@ -312,3 +312,67 @@ def test_edm_2ab_sampler_matches_reference():
         sample_clean=True,
     )
     np.testing.assert_allclose(np.asarray(mine, np.float64), ref, rtol=2e-4, atol=2e-4)
+
+
+# --------------------------------------------------------------------------
+# Wan2.2 VAE
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def wan22_pair():
+    from cosmos_predict2_tpu.tokenizers.wan22_vae import Wan22VAE, Wan22VAEConfig
+    from cosmos_predict2_tpu.utils.checkpoint_convert import convert_wan22_vae_state_dict
+
+    wan22 = import_reference("cosmos_predict2._src.predict2.tokenizers.wan2pt2")
+    torch.manual_seed(0)
+    ref = wan22.WanVAE_(
+        dim=8, dec_dim=8, z_dim=48, dim_mult=[1, 2, 4, 4], num_res_blocks=2,
+        attn_scales=[], temperal_downsample=[False, True, True],
+    ).eval()
+    params = convert_wan22_vae_state_dict({k: v.float() for k, v in ref.state_dict().items()})
+    params = jax.tree.map(lambda a: jnp.asarray(np.asarray(a), dtype=jnp.float32), params)
+    net = Wan22VAE(Wan22VAEConfig(dim=8, dec_dim=8, dtype=jnp.float32))
+    return ref, net, params
+
+
+def _wan22_scale():
+    from cosmos_predict2_tpu.tokenizers.wan22_vae import WAN22_LATENT_MEAN, WAN22_LATENT_STD
+
+    return [torch.from_numpy(np.asarray(WAN22_LATENT_MEAN).copy()),
+            torch.from_numpy((1.0 / np.asarray(WAN22_LATENT_STD)).copy())]
+
+
+@pytest.mark.level(1)
+def test_wan22_vae_encode_matches_reference(wan22_pair):
+    """Wan2.2 (4x16x16, 48ch) encode: our one-shot causally-padded conv
+    formulation vs the reference's feat-cache chunked loop
+    (wan2pt2.py:733-767)."""
+    ref, net, params = wan22_pair
+    rng = np.random.RandomState(3)
+    x = rng.uniform(-1, 1, size=(1, 3, 9, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        ref_mu = ref.encode(torch.from_numpy(x), _wan22_scale()).numpy()  # (B,48,t,h,w)
+    x_jax = jnp.asarray(np.transpose(x, (0, 2, 3, 4, 1)))
+    mine = net.apply(params, x_jax, method=net.encode)
+    mine = np.transpose(np.asarray(mine), (0, 4, 1, 2, 3))
+    assert mine.shape == ref_mu.shape
+    diff = np.max(np.abs(mine - ref_mu))
+    scale = np.max(np.abs(ref_mu))
+    assert diff < 2e-3 * max(scale, 1.0), f"wan2.2 encode max diff {diff}, ref scale {scale}"
+
+
+@pytest.mark.level(1)
+def test_wan22_vae_decode_matches_reference(wan22_pair):
+    ref, net, params = wan22_pair
+    rng = np.random.RandomState(4)
+    z = rng.randn(1, 48, 3, 2, 2).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref.decode(torch.from_numpy(z), _wan22_scale()).numpy()  # (B,3,T,H,W)
+    z_jax = jnp.asarray(np.transpose(z, (0, 2, 3, 4, 1)))
+    mine = net.apply(params, z_jax, method=net.decode)
+    mine = np.transpose(np.asarray(mine), (0, 4, 1, 2, 3))
+    assert mine.shape == ref_out.shape
+    diff = np.max(np.abs(mine - ref_out))
+    scale = np.max(np.abs(ref_out))
+    assert diff < 2e-3 * max(scale, 1.0), f"wan2.2 decode max diff {diff}, ref scale {scale}"
