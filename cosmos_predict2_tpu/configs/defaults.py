@@ -156,6 +156,40 @@ register_experiment(
     )
 )
 
+# per-layer GNA parameter list for the all-sparse 14B release
+# (reference sparse_14B.py:68-105, NATTEN_PARAMETERS_14B_COMB02): layers
+# 0-10 dilated full-sub-grid windows, 11-12 mixed stride/dilation, 13+
+# strided windows of growing size, layer 27 dense. Entries are
+# (window, stride, dilation, base_size) or None (dense).
+_B = (-1, 44, 80)
+
+
+def _comb02_layer(i: int):
+    if i <= 10:
+        return ((-1, 4, 16), (1, 1, 1), (1, 11, 5), _B)
+    if i <= 12:
+        return ((-1, 12, 16), (1, 4, 1), (1, 1, 5), _B)
+    if i == 27:
+        return None
+    big = {24, 26, 28, 31, 32, 34}  # window (-1, 28, 56) layers
+    mid = {23, 25, 29, 30, 33, 35}  # window (-1, 20, 40) layers
+    if i in big:
+        return ((-1, 28, 56), (1, 4, 8), (1, 1, 1), _B)
+    if i in mid:
+        return ((-1, 20, 40), (1, 4, 8), (1, 1, 1), _B)
+    return ((-1, 12, 24), (1, 4, 8), (1, 1, 1), _B)
+
+
+register_experiment(
+    Experiment(
+        name="predict2_video2world_14b_sparse_comb02",
+        base="predict2_video2world_14b_rectified_flow",
+        overrides={
+            "model.net.natten_parameters": tuple(_comb02_layer(i) for i in range(36)),
+        },
+    )
+)
+
 register_experiment(
     Experiment(
         name="predict2_video2world_2b_action_conditioned",

@@ -71,7 +71,13 @@ class DiTConfig:
     # configs: stride (1, 4, 8), base_size (-1, 44, 80) —
     # configs/video2world/experiment/resume_text2world/sparse_2B.py:327)
     natten_stride: tuple[int, int, int] = (1, 1, 1)
+    natten_dilation: tuple[int, int, int] = (1, 1, 1)
     natten_base_size: Optional[tuple[int, int, int]] = None
+    # per-layer GNA parameters (reference sparse_14B.py:29-105: a list with
+    # one entry per block, None = dense). Each entry is a 4-tuple
+    # (window, stride, dilation, base_size); when set this overrides
+    # n_dense_blocks and the global natten_* fields.
+    natten_parameters: Optional[tuple[Optional[tuple], ...]] = None
     # --- camera conditioning (reference camera/networks/minimal_v4_dit_camera_conditioned.py) ---
     # per-block bias-free linear projecting a per-token camera embedding
     # (Plücker-ray style, dim camera_dim) added to the normalized hidden
@@ -205,6 +211,7 @@ class Attention(nn.Module):
     na_video_size: Optional[tuple[int, int, int]] = None  # sparse NA when set
     na_window: tuple[int, int, int] = (-1, -1, -1)
     na_stride: tuple[int, int, int] = (1, 1, 1)
+    na_dilation: tuple[int, int, int] = (1, 1, 1)
 
     @nn.compact
     def __call__(self, x, context=None, rope_angles=None, kv_cache=None):
@@ -260,7 +267,7 @@ class Attention(nn.Module):
                 out = ulysses_attention(
                     q, k, v, axis_name=self.cp_axis,
                     na_video_size=self.na_video_size, na_window=self.na_window,
-                    na_stride=self.na_stride,
+                    na_stride=self.na_stride, na_dilation=self.na_dilation,
                 )
             else:
                 from cosmos_predict2_tpu.ops.neighborhood_attention import (
@@ -271,9 +278,13 @@ class Attention(nn.Module):
 
                 size = VideoSize(*self.na_video_size)
                 if jax.default_backend() == "tpu":
-                    out = neighborhood_attention(q, k, v, size, self.na_window, stride=self.na_stride)
+                    out = neighborhood_attention(
+                        q, k, v, size, self.na_window, stride=self.na_stride, dilation=self.na_dilation
+                    )
                 else:
-                    out = neighborhood_attention_reference(q, k, v, size, self.na_window, self.na_stride)
+                    out = neighborhood_attention_reference(
+                        q, k, v, size, self.na_window, self.na_stride, self.na_dilation
+                    )
         elif self.cp_axis is not None and is_selfattn:
             if self.cp_strategy == "ring":
                 from cosmos_predict2_tpu.parallel.ring_attention import ring_attention
@@ -407,6 +418,8 @@ class Block(nn.Module):
 
     config: DiTConfig
     use_sparse_attn: bool = False
+    # per-layer (window, stride, dilation, base_size) override
+    na_override: Optional[tuple] = None
 
     @nn.compact
     def __call__(
@@ -440,19 +453,25 @@ class Block(nn.Module):
             normed = normed + cam_emb.astype(normed.dtype)
         attn_in = normed.reshape(B, T * H * W, D)
         frame_group = cfg.num_frame_per_block * H * W if cfg.temporal_causal else 0
-        na_window, na_stride = cfg.natten_window, cfg.natten_stride
-        if self.use_sparse_attn and cfg.natten_base_size is not None:
+        if self.na_override is not None:
+            na_window, na_stride, na_dilation, na_base = self.na_override
+        else:
+            na_window, na_stride, na_dilation, na_base = (
+                cfg.natten_window, cfg.natten_stride, cfg.natten_dilation, cfg.natten_base_size
+            )
+        if self.use_sparse_attn and na_base is not None:
             from cosmos_predict2_tpu.ops.neighborhood_attention import adaptive_na_parameters
 
-            na_window, na_stride = adaptive_na_parameters(
-                na_window, na_stride, (T, H, W), cfg.natten_base_size
+            na_window, na_stride, na_dilation = adaptive_na_parameters(
+                na_window, na_stride, (T, H, W), na_base, na_dilation
             )
         self_attn = Attention(
             d, None, cfg.num_heads, cfg.head_dim, dtype=compute_dtype,
             backend=cfg.atten_backend, cp_axis=cfg.cp_axis, cp_strategy=cfg.cp_strategy,
             frame_group=frame_group,
             na_video_size=(T, H, W) if self.use_sparse_attn else None,
-            na_window=na_window, na_stride=na_stride, name="self_attn",
+            na_window=tuple(na_window), na_stride=tuple(na_stride),
+            na_dilation=tuple(na_dilation), name="self_attn",
         )
         new_cache = None
         if kv_cache is not None:
@@ -717,7 +736,14 @@ class MiniTrainDIT(nn.Module):
                 )
         # sparse/dense interleave (reference replace_selfattn_op_with_sparse
         # _attn_op, minimal_v4_dit.py:1785-1797): n_dense_blocks evenly spread
-        if cfg.n_dense_blocks == -1:
+        na_overrides: list = [None] * cfg.num_blocks
+        if cfg.natten_parameters is not None:
+            # per-layer parameter list (reference sparse_14B.py:29-105)
+            assert len(cfg.natten_parameters) == cfg.num_blocks, (
+                len(cfg.natten_parameters), cfg.num_blocks)
+            sparse = [p is not None for p in cfg.natten_parameters]
+            na_overrides = [tuple(p) if p is not None else None for p in cfg.natten_parameters]
+        elif cfg.n_dense_blocks == -1:
             sparse = [False] * cfg.num_blocks
         elif cfg.n_dense_blocks == 0:
             sparse = [True] * cfg.num_blocks
@@ -730,7 +756,7 @@ class MiniTrainDIT(nn.Module):
         new_caches = [] if kv_caches is not None else None
         intermediates = []
         for i in range(cfg.num_blocks):
-            block = block_cls(cfg, use_sparse_attn=sparse[i], name=f"blocks_{i}")
+            block = block_cls(cfg, use_sparse_attn=sparse[i], na_override=na_overrides[i], name=f"blocks_{i}")
             if kv_caches is not None:
                 x, cache_i = block(x, emb_B_T_D, crossattn_emb, rope_angles, adaln_lora_B_T_3D, kv_cache=kv_caches[i])
                 new_caches.append(cache_i)

@@ -75,8 +75,26 @@ def _rep(ci, stride: int):
     return (ci // stride) * stride + (stride - 1) // 2
 
 
-def _axis_window_ok(ci, cj, length: int, window: int, stride: int = 1):
-    """NA membership along one axis with clamped window centers."""
+def _axis_window_ok(ci, cj, length: int, window: int, stride: int = 1, dilation: int = 1):
+    """NA membership along one axis with clamped window centers.
+
+    dilation > 1 is NATTEN DiNA: attention runs within each of the
+    ``dilation`` interleaved sub-grids (positions with equal index mod
+    dilation), with the clamped window evaluated on sub-grid coordinates
+    (reference modules/neighborhood_attn.py:75-87; NATTEN asserts
+    length >= window * dilation, so every sub-grid holds >= window
+    positions)."""
+    if dilation > 1:
+        cls_i = ci % dilation
+        same = cls_i == (cj % dilation)
+        sub_len = (length - cls_i + dilation - 1) // dilation  # per-class length
+        if window < 0 or window >= (length + dilation - 1) // dilation:
+            return same  # full attention within the sub-grid
+        r_lo = (window - 1) // 2
+        r_hi = window - 1 - r_lo
+        center = jnp.clip(_rep(ci // dilation, stride), r_lo, sub_len - 1 - r_hi)
+        cj_sub = cj // dilation
+        return same & (cj_sub >= center - r_lo) & (cj_sub <= center + r_hi)
     if window < 0 or window >= length:
         return None  # full attention on this axis
     r_lo = (window - 1) // 2
@@ -92,16 +110,18 @@ def _decompose(idx, size: VideoSize):
     return t, rem // size.W, rem % size.W
 
 
-def _na_mask(rows, cols, size: VideoSize, window: tuple[int, int, int], stride=(1, 1, 1)):
+def _na_mask(
+    rows, cols, size: VideoSize, window: tuple[int, int, int], stride=(1, 1, 1), dilation=(1, 1, 1)
+):
     rt, rh, rw = _decompose(rows, size)
     ct, ch, cw = _decompose(cols, size)
     mask = None
-    for (ci, cj, length, w, st) in (
-        (rt, ct, size.T, window[0], stride[0]),
-        (rh, ch, size.H, window[1], stride[1]),
-        (rw, cw, size.W, window[2], stride[2]),
+    for (ci, cj, length, w, st, dl) in (
+        (rt, ct, size.T, window[0], stride[0], dilation[0]),
+        (rh, ch, size.H, window[1], stride[1], dilation[1]),
+        (rw, cw, size.W, window[2], stride[2], dilation[2]),
     ):
-        ok = _axis_window_ok(ci, cj, length, w, st)
+        ok = _axis_window_ok(ci, cj, length, w, st, dl)
         if ok is not None:
             mask = ok if mask is None else (mask & ok)
     return mask  # None => fully dense
@@ -114,6 +134,7 @@ def neighborhood_attention_reference(
     video_size: VideoSize,
     window: tuple[int, int, int],
     stride: tuple[int, int, int] = (1, 1, 1),
+    dilation: tuple[int, int, int] = (1, 1, 1),
 ) -> jax.Array:
     """q,k,v: (B, S, H, D) with S = T*H*W. fp32 softmax."""
     S = q.shape[1]
@@ -122,7 +143,7 @@ def neighborhood_attention_reference(
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
     rows = jnp.arange(S)[:, None]
     cols = jnp.arange(S)[None, :]
-    mask = _na_mask(rows, cols, video_size, window, stride)
+    mask = _na_mask(rows, cols, video_size, window, stride, dilation)
     if mask is not None:
         logits = jnp.where(mask, logits, _NEG_INF)
     probs = jax.nn.softmax(logits, axis=-1)
@@ -135,21 +156,24 @@ def adaptive_na_parameters(
     stride: tuple[int, int, int],
     input_shape: tuple[int, int, int],
     base_size: tuple[int, int, int] | None,
-) -> tuple[tuple[int, int, int], tuple[int, int, int]]:
-    """Scale the NA window/stride from a tuning geometry to the actual
-    input geometry (reference modules/neighborhood_attn.py:140-168): a
-    window tuned as (-1, 12, 24) at base (T, 44, 80) becomes (-1, 6, 12)
+    dilation: tuple[int, int, int] = (1, 1, 1),
+) -> tuple[tuple[int, int, int], tuple[int, int, int], tuple[int, int, int]]:
+    """Scale the NA window/stride/dilation from a tuning geometry to the
+    actual input geometry (reference modules/neighborhood_attn.py:140-168):
+    a window tuned as (-1, 12, 24) at base (T, 44, 80) becomes (-1, 6, 12)
     at a 22x40 token grid. window <= 1 or base <= 0 entries mean "full
-    axis". Dilation is not supported (reference production configs use
-    dilation=1)."""
+    axis"."""
     window = tuple(w if w > 1 else x for x, w in zip(input_shape, window))
     if base_size is not None:
         base = tuple(b if b > 0 else x for x, b in zip(input_shape, base_size))
         scale = tuple(x / b for x, b in zip(input_shape, base))
         window = tuple(min(max(2, round(w * s)), x) for w, s, x in zip(window, scale, input_shape))
         stride = tuple(min(max(1, round(st * s)), w) for w, s, st in zip(window, scale, stride))
+        max_dil = tuple(x // w for x, w in zip(input_shape, window))
+        dilation = tuple(min(max(1, round(d * s)), md) for d, s, md in zip(dilation, scale, max_dil))
     assert all(w >= st for w, st in zip(window, stride)), (window, stride)
-    return window, stride
+    assert all(x >= w * d for x, w, d in zip(input_shape, window, dilation)), (window, dilation)
+    return window, stride, dilation
 
 
 # ---------------------------------------------------------------------------
@@ -187,7 +211,13 @@ def _axis_overlap(
 
 
 @functools.lru_cache(maxsize=32)
-def _build_plan(size: VideoSize, window: tuple[int, int, int], stride: tuple[int, int, int], block_cap: int) -> _Plan:
+def _build_plan(
+    size: VideoSize,
+    window: tuple[int, int, int],
+    stride: tuple[int, int, int],
+    dilation: tuple[int, int, int],
+    block_cap: int,
+) -> _Plan:
     T, H, W = size
     nth = -(-H // _TILE_H)
     ntw = -(-W // _TILE_W)
@@ -215,7 +245,22 @@ def _build_plan(size: VideoSize, window: tuple[int, int, int], stride: tuple[int
     h = a * _TILE_H + ih
     w = b * _TILE_W + iw
     valid = (h < H) & (w < W) & (t < T)
-    orig = np.minimum(t, T - 1) * (H * W) + np.minimum(h, H - 1) * W + np.minimum(w, W - 1)
+
+    # dilation: the permuted layout orders each axis CLASS-MAJOR (all
+    # positions with equal index mod dilation form a contiguous run), so
+    # dilated attention becomes blocked attention on the reordered axis —
+    # window/stride passed to this plan are already the effective
+    # (sub_len, sub_len) blocked parameters (see _effective_params).
+    def true_coord(n, L, dl):
+        if dl <= 1:
+            return n
+        sub = L // dl
+        return (n % sub) * dl + (n // sub)
+
+    t_true = true_coord(np.minimum(t, T - 1), T, dilation[0])
+    h_true = true_coord(np.minimum(h, H - 1), H, dilation[1])
+    w_true = true_coord(np.minimum(w, W - 1), W, dilation[2])
+    orig = t_true * (H * W) + h_true * W + w_true
     perm = np.where(valid, orig, 0).reshape(-1).astype(np.int32)
     inv = np.zeros(T * H * W, dtype=np.int32)
     inv[perm.reshape(-1)[valid.reshape(-1)]] = np.nonzero(valid.reshape(-1))[0].astype(np.int32)
@@ -500,26 +545,26 @@ def _permute_out(xt, inv):
     return jnp.take(xt.transpose(0, 2, 1, 3), inv, axis=1)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def _na(q, k, v, size: VideoSize, window, stride, block_cap: int):
-    plan = _build_plan(size, window, stride, block_cap)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _na(q, k, v, size: VideoSize, window, stride, dilation, block_cap: int):
+    plan = _build_plan(size, window, stride, dilation, block_cap)
     perm = jnp.asarray(plan.perm)
     qt, kt, vt = (_permute_in(t, perm) for t in (q, k, v))
     out, _ = _na_forward(qt, kt, vt, size, window, stride, plan, with_lse=False)
     return _permute_out(out, jnp.asarray(plan.inv))
 
 
-def _na_fwd_rule(q, k, v, size, window, stride, block_cap):
-    plan = _build_plan(size, window, stride, block_cap)
+def _na_fwd_rule(q, k, v, size, window, stride, dilation, block_cap):
+    plan = _build_plan(size, window, stride, dilation, block_cap)
     perm = jnp.asarray(plan.perm)
     qt, kt, vt = (_permute_in(t, perm) for t in (q, k, v))
     out_t, lse = _na_forward(qt, kt, vt, size, window, stride, plan, with_lse=True)
     return _permute_out(out_t, jnp.asarray(plan.inv)), (qt, kt, vt, out_t, lse)
 
 
-def _na_bwd_rule(size, window, stride, block_cap, res, g):
+def _na_bwd_rule(size, window, stride, dilation, block_cap, res, g):
     qt, kt, vt, out_t, lse = res
-    plan = _build_plan(size, window, stride, block_cap)
+    plan = _build_plan(size, window, stride, dilation, block_cap)
     b, h, s_pad, d = qt.shape
     blk = plan.block
     nblk = s_pad // blk
@@ -601,6 +646,33 @@ def _na_bwd_rule(size, window, stride, block_cap, res, g):
 _na.defvjp(_na_fwd_rule, _na_bwd_rule)
 
 
+def _effective_params(size: VideoSize, window, stride, dilation):
+    """Map dilated parameters onto the class-major reordered axes.
+
+    The kernel supports the case every reference dilated config uses
+    (sparse_14B.py:30-41 after adaptive scaling): dilation divides the
+    axis and the window covers the whole sub-grid, which makes attention
+    block-diagonal over dilation classes — expressed as stride==window
+    blocked GNA on the reordered axis. General small-window dilation runs
+    through the reference path."""
+    ew, es = [], []
+    for L, w_, st_, dl in zip(size, window, stride, dilation):
+        if dl <= 1:
+            ew.append(w_)
+            es.append(st_)
+            continue
+        if L % dl != 0:
+            raise NotImplementedError(f"dilation {dl} must divide axis length {L}")
+        sub = L // dl
+        if 0 <= w_ < sub:
+            raise NotImplementedError(
+                f"dilated window {w_} < sub-grid {sub}: use neighborhood_attention_reference"
+            )
+        ew.append(sub)
+        es.append(sub)
+    return tuple(ew), tuple(es)
+
+
 def neighborhood_attention(
     q: jax.Array,
     k: jax.Array,
@@ -610,6 +682,7 @@ def neighborhood_attention(
     block_q: int = 512,
     block_kv: int = 512,  # kept for API compat; blocks are symmetric
     stride: tuple[int, int, int] = (1, 1, 1),
+    dilation: tuple[int, int, int] = (1, 1, 1),
 ) -> jax.Array:
     """Pallas 3D neighborhood attention. q,k,v: (B, S, H, D), S = T*H*W.
 
@@ -626,4 +699,5 @@ def neighborhood_attention(
         assert st_ >= 1 and (w_ < 0 or st_ <= w_ or st_ <= 1), (
             f"stride {stride} must be <= window {window} (reference "
             f"neighborhood_attn.py:168 asserts w >= s)")
-    return _na(q, k, v, size, tuple(window), tuple(stride), int(block_q))
+    eff_window, eff_stride = _effective_params(size, tuple(window), tuple(stride), tuple(dilation))
+    return _na(q, k, v, size, eff_window, eff_stride, tuple(dilation), int(block_q))

@@ -34,6 +34,7 @@ def ulysses_attention(
     na_video_size: Optional[tuple[int, int, int]] = None,
     na_window: tuple[int, int, int] = (-1, -1, -1),
     na_stride: tuple[int, int, int] = (1, 1, 1),
+    na_dilation: tuple[int, int, int] = (1, 1, 1),
 ) -> jax.Array:
     """Sequence-parallel self-attention. q,k,v: (B, S, H, D) global view,
     sharded over S on ``axis_name``. Must run inside jit with an ambient
@@ -63,9 +64,9 @@ def ulysses_attention(
 
             size = VideoSize(*na_video_size)
             if jax.default_backend() == "tpu":
-                out = neighborhood_attention(ql, kl, vl, size, na_window, stride=na_stride)
+                out = neighborhood_attention(ql, kl, vl, size, na_window, stride=na_stride, dilation=na_dilation)
             else:
-                out = neighborhood_attention_reference(ql, kl, vl, size, na_window, na_stride)
+                out = neighborhood_attention_reference(ql, kl, vl, size, na_window, na_stride, na_dilation)
         else:
             out = dot_product_attention(ql, kl, vl, backend=backend, frame_group=frame_group)
         return gather_heads(out)

@@ -119,7 +119,7 @@ def test_plan_density_720p():
     property that makes NA profitable on TPU at all."""
     from cosmos_predict2_tpu.ops.neighborhood_attention import _build_plan
 
-    plan = _build_plan(VideoSize(24, 44, 80), (-1, 12, 24), (1, 1, 1), 512)
+    plan = _build_plan(VideoSize(24, 44, 80), (-1, 12, 24), (1, 1, 1), (1, 1, 1), 512)
     nblk = plan.table.shape[0]
     assert plan.s_pad == 24 * 44 * 80  # 44 % 4 == 0 and 80 % 16 == 0: no pad
     density = plan.counts.sum() / float(nblk * nblk)
@@ -208,10 +208,10 @@ def test_adaptive_na_parameters():
     from cosmos_predict2_tpu.ops.neighborhood_attention import adaptive_na_parameters
 
     # tuned at (any, 44, 80); at half spatial resolution both halve
-    w, s = adaptive_na_parameters((-1, 12, 24), (1, 4, 8), (24, 22, 40), (-1, 44, 80))
+    w, s, _ = adaptive_na_parameters((-1, 12, 24), (1, 4, 8), (24, 22, 40), (-1, 44, 80))
     assert w == (24, 6, 12) and s == (1, 2, 4)
     # at the tuning geometry: unchanged (window -1 maps to the full axis)
-    w, s = adaptive_na_parameters((-1, 12, 24), (1, 4, 8), (24, 44, 80), (-1, 44, 80))
+    w, s, _ = adaptive_na_parameters((-1, 12, 24), (1, 4, 8), (24, 44, 80), (-1, 44, 80))
     assert w == (24, 12, 24) and s == (1, 4, 8)
 
 
@@ -221,9 +221,100 @@ def test_plan_density_720p_with_stride():
     (stride groups share windows, so q tiles span fewer kv tiles)."""
     from cosmos_predict2_tpu.ops.neighborhood_attention import _build_plan
 
-    base = _build_plan(VideoSize(24, 44, 80), (-1, 12, 24), (1, 1, 1), 512)
-    strided = _build_plan(VideoSize(24, 44, 80), (-1, 12, 24), (1, 4, 8), 512)
+    base = _build_plan(VideoSize(24, 44, 80), (-1, 12, 24), (1, 1, 1), (1, 1, 1), 512)
+    strided = _build_plan(VideoSize(24, 44, 80), (-1, 12, 24), (1, 4, 8), (1, 1, 1), 512)
     nblk = base.table.shape[0]
     d0 = base.counts.sum() / float(nblk * nblk)
     d1 = strided.counts.sum() / float(nblk * nblk)
     assert d1 < d0 < 0.25, (d0, d1)
+
+
+@pytest.mark.level(0)
+def test_dilated_reference_block_diagonal():
+    """DiNA semantics (reference sparse_14B.py:30: window (-1,4,16),
+    dilation (1,11,5) == full sub-grid windows): attention is exactly
+    block-diagonal over dilation classes."""
+    from cosmos_predict2_tpu.ops.neighborhood_attention import _na_mask
+
+    size = VideoSize(2, 4, 6)
+    S = size.T * size.H * size.W
+    dilation = (1, 2, 3)
+    window = (-1, 2, 2)  # == sub-grid lengths (4/2, 6/3)
+    m = np.asarray(_na_mask(jnp.arange(S)[:, None], jnp.arange(S)[None, :], size, window, (1, 1, 1), dilation))
+    # expected: same (h % 2, w % 3) class, all t
+    t, rem = np.divmod(np.arange(S), size.H * size.W)
+    h, w = np.divmod(rem, size.W)
+    expect = (h[:, None] % 2 == h[None, :] % 2) & (w[:, None] % 3 == w[None, :] % 3)
+    np.testing.assert_array_equal(m, expect)
+
+
+@pytest.mark.level(1)
+def test_pallas_kernel_dilation_matches_reference():
+    """Dilated NA through the tiled kernel (class-major reorder ->
+    blocked attention), fwd + grads, at an exactly-divisible geometry."""
+    size = VideoSize(2, 8, 16)
+    window, stride, dilation = (-1, 2, 4), (1, 1, 1), (1, 4, 4)  # sub-grids 2, 4
+    q, k, v = _inputs(size, heads=1, dim=128, seed=5)
+    tgt = jax.random.normal(jax.random.PRNGKey(9), q.shape)
+    with pltpu.force_tpu_interpret_mode():
+        out = neighborhood_attention(q, k, v, size, window, stride=stride, dilation=dilation)
+        gq, gk, gv = jax.grad(
+            lambda a, b, c: jnp.sum(
+                (neighborhood_attention(a, b, c, size, window, stride=stride, dilation=dilation) - tgt) ** 2
+            ),
+            argnums=(0, 1, 2),
+        )(q, k, v)
+    ref = neighborhood_attention_reference(q, k, v, size, window, stride, dilation)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+    rq, rk, rv = jax.grad(
+        lambda a, b, c: jnp.sum(
+            (neighborhood_attention_reference(a, b, c, size, window, stride, dilation) - tgt) ** 2
+        ),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for got, want in ((gq, rq), (gk, rk), (gv, rv)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-4, rtol=1e-3)
+
+
+@pytest.mark.level(0)
+def test_adaptive_na_parameters_dilation():
+    from cosmos_predict2_tpu.ops.neighborhood_attention import adaptive_na_parameters
+
+    # the 14B comb tuning at its own base: dilation preserved
+    w, s, d = adaptive_na_parameters(
+        (-1, 4, 16), (1, 1, 1), (24, 44, 80), (-1, 44, 80), (1, 11, 5)
+    )
+    assert w == (24, 4, 16) and s == (1, 1, 1) and d == (1, 11, 5)
+
+
+@pytest.mark.level(1)
+def test_dit_per_layer_natten_parameters():
+    """natten_parameters per-layer list (reference sparse_14B.py:29-105):
+    entry None = dense, others carry (window, stride, dilation, base) —
+    including a dilated layer — through a 3-block DiT."""
+    import dataclasses
+
+    from cosmos_predict2_tpu.networks.dit import PRESETS, MiniTrainDIT
+
+    base = dataclasses.replace(
+        PRESETS["test"], num_blocks=3, dtype=jnp.float32,
+        rope_enable_fps_modulation=False, remat="none",
+    )
+    per_layer = (
+        ((-1, 2, 2), (1, 1, 1), (1, 2, 2), (-1, 4, 4)),  # dilated full-sub-grid
+        None,  # dense
+        ((-1, 3, 3), (1, 1, 1), (1, 1, 1), (-1, 4, 4)),  # plain window
+    )
+    cfg = dataclasses.replace(base, natten_parameters=per_layer)
+    net = MiniTrainDIT(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 2, 8, 8))
+    ts = jnp.full((1,), 500.0)
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 1024)) * 0.1
+    params = net.init(jax.random.PRNGKey(2), x, ts, ctx)
+    out = net.apply(params, x, ts, ctx)
+    assert np.isfinite(np.asarray(out)).all()
+
+    # differs from the all-dense net with identical weights
+    dense = MiniTrainDIT(base)
+    out_dense = dense.apply(params, x, ts, ctx)
+    assert np.abs(np.asarray(out) - np.asarray(out_dense)).max() > 1e-4
