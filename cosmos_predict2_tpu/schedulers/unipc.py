@@ -324,8 +324,14 @@ def sample_host_loop(
     """
     n = coeffs.num_steps
     order_hist = max(coeffs.c_hist.shape[1], 1)
-    vfn = jax.jit(velocity_fn) if jit_velocity else velocity_fn
-    step = functools.partial(_unipc_step, vfn, order_hist)
+    # jit the WHOLE step (velocity forward + UniPC update) as one program:
+    # per-step shapes are identical, so a single compiled executable serves
+    # all n steps, and each step is ONE device dispatch instead of dozens
+    # of eager elementwise calls — which matters over a flaky remote-device
+    # tunnel. The carry is donated so the history buffers update in place.
+    step = functools.partial(_unipc_step, velocity_fn, order_hist)
+    if jit_velocity:
+        step = jax.jit(step, donate_argnums=0)
 
     hist0 = jnp.zeros((order_hist + 1,) + x_init.shape, dtype=x_init.dtype)
     carry = (x_init, jnp.zeros_like(x_init), hist0)

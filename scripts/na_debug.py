@@ -62,6 +62,25 @@ if __name__ == "__main__":
     elif mode == "full":
         run(VideoSize(24, 44, 80), check=False)
         run(VideoSize(24, 44, 80), check=False, stride=(1, 4, 8))
+    elif mode == "dil":
+        # dilated layer from the 14B comb configs (window == sub-grid):
+        # class-major reorder -> blocked attention, 1.8% block density
+        size = VideoSize(24, 44, 80)
+        S = size.T * size.H * size.W
+        B, H, D = 1, 16, 128
+        q = jax.random.normal(jax.random.PRNGKey(0), (B, S, H, D), dtype=jnp.bfloat16)
+        fn = jax.jit(lambda q: neighborhood_attention(
+            q, q, q, size, (-1, 4, 16), stride=(1, 1, 1), dilation=(1, 11, 5)))
+        print("[na] dilated (-1,4,16) d(1,11,5) compiling ...", flush=True)
+        out = fn(q); _ = float(jnp.sum(out.astype(jnp.float32)))
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _ = float(jnp.sum(fn(q).astype(jnp.float32)))
+            ts.append(time.perf_counter() - t0)
+        t = min(ts)
+        fl = 4 * S * S * H * D * B
+        print(f"[na] dilated t={t * 1e3:.1f} ms  dense-equiv {fl / t / 1e12:.1f} TF/s", flush=True)
     elif mode == "grad":
         # fwd+bwd of the kernel at full scale (training path)
         size = VideoSize(24, 44, 80)
