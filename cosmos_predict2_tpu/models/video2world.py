@@ -242,17 +242,28 @@ class Video2WorldModel:
             camera=_stack(condition.camera, uncondition.camera),
         )
 
-        def velocity_fn(x: jax.Array, t: jax.Array) -> jax.Array:
+        def velocity_pure(captures, x: jax.Array, t: jax.Array) -> jax.Array:
+            # params/condition/noise enter as explicit arguments so a jit of
+            # this function does NOT bake the 2B params into the lowered
+            # program as ~4 GB of constants (unipc.sample_host_loop captures)
+            params_, batched_, noise_ = captures
             B = x.shape[0]
             ts = jnp.broadcast_to(t, (2 * B,)).astype(jnp.float32)
             x2 = jnp.concatenate([x, x], axis=0)
-            noise2 = jnp.concatenate([noise, noise], axis=0)
-            v = self.denoise(params, noise2, x2, ts[:, None], batched)
+            noise2 = jnp.concatenate([noise_, noise_], axis=0)
+            v = self.denoise(params_, noise2, x2, ts[:, None], batched_)
             cond_v, uncond_v = v[:B], v[B:]
             if cfg.cfg_mode == "v2w":
                 return cond_v + guidance * (cond_v - uncond_v)
             return uncond_v + guidance * (cond_v - uncond_v)
 
+        captures = (params, batched, noise)
+
+        def velocity_fn(x: jax.Array, t: jax.Array) -> jax.Array:
+            return velocity_pure(captures, x, t)
+
+        velocity_fn.pure = velocity_pure
+        velocity_fn.captures = captures
         return velocity_fn
 
     def generate(
@@ -289,7 +300,9 @@ class Video2WorldModel:
 
         velocity_fn = self.velocity_fn_from_condition(params, condition, uncondition, guidance, noise)
         if host_loop:
-            return unipc.sample_host_loop(velocity_fn, noise.astype(jnp.float32), coeffs)
+            return unipc.sample_host_loop(
+                velocity_fn.pure, noise.astype(jnp.float32), coeffs, captures=velocity_fn.captures
+            )
         return unipc.sample(velocity_fn, noise.astype(jnp.float32), coeffs)
 
     def state_shape(self, n_sample: int, height: int, width: int, spatial_compression: int = 8) -> tuple:

@@ -308,10 +308,11 @@ def _per_step_arrays(coeffs: UniPCCoeffs):
 
 
 def sample_host_loop(
-    velocity_fn: Callable[[jax.Array, jax.Array], jax.Array],
+    velocity_fn: Callable[..., jax.Array],
     x_init: jax.Array,
     coeffs: UniPCCoeffs,
     jit_velocity: bool = True,
+    captures=None,
 ) -> jax.Array:
     """Same math as :func:`sample`, stepped from the host.
 
@@ -321,22 +322,43 @@ def sample_host_loop(
     connection/watchdog limits, and host stepping also streams progress.
     The UniPC update math between forwards is a handful of elementwise ops,
     negligible eagerly.
+
+    ``captures``: pytree of arrays ``velocity_fn`` needs (params, batched
+    condition, ...), with ``velocity_fn(captures, x, t)``. They are passed
+    as real jit ARGUMENTS — a velocity closure over the 2B params would
+    otherwise be baked into the lowered program as ~4 GB of constants,
+    which multiplies compile time (and payload over a remote-device link).
+    When ``captures`` is None, ``velocity_fn(x, t)`` closes over its state
+    (fine under an outer jit or for small models).
+
+    The whole step (velocity forward + UniPC update) is one jitted
+    program: per-step shapes are identical, so a single executable serves
+    all n steps, and each step is ONE device dispatch instead of dozens of
+    eager elementwise calls. The carry is donated so the history buffers
+    update in place.
     """
     n = coeffs.num_steps
     order_hist = max(coeffs.c_hist.shape[1], 1)
-    # jit the WHOLE step (velocity forward + UniPC update) as one program:
-    # per-step shapes are identical, so a single compiled executable serves
-    # all n steps, and each step is ONE device dispatch instead of dozens
-    # of eager elementwise calls — which matters over a flaky remote-device
-    # tunnel. The carry is donated so the history buffers update in place.
-    step = functools.partial(_unipc_step, velocity_fn, order_hist)
-    if jit_velocity:
-        step = jax.jit(step, donate_argnums=0)
+    if captures is None:
+        step = functools.partial(_unipc_step, velocity_fn, order_hist)
+        if jit_velocity:
+            step = jax.jit(step, donate_argnums=0)
+        run = step
+    else:
+        def step_with(caps, carry, per_step):
+            return _unipc_step(lambda x, t: velocity_fn(caps, x, t), order_hist, carry, per_step)
+
+        if jit_velocity:
+            step_with = jax.jit(step_with, donate_argnums=1)
+        run = functools.partial(step_with, captures)
+        # the donated carry must not alias any captured buffer (x_init is
+        # often the same noise array the velocity function re-reads)
+        x_init = jnp.array(x_init, copy=True)
 
     hist0 = jnp.zeros((order_hist + 1,) + x_init.shape, dtype=x_init.dtype)
     carry = (x_init, jnp.zeros_like(x_init), hist0)
     arrays = _per_step_arrays(coeffs)
     for i in range(n):
         per_step = tuple(a[i] for a in arrays)
-        carry, _ = step(carry, per_step)
+        carry, _ = run(carry, per_step)
     return carry[0]

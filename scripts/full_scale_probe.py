@@ -174,6 +174,30 @@ def run_vae():
     print(f"[vae] decode shape={out.shape}  first(incl compile)={t_first:.1f}s  steady={t:.1f}s", flush=True)
 
 
+def run_vae_encode():
+    from cosmos_predict2_tpu.tokenizers.wan_vae import WanVAE, WanVAEConfig
+    from cosmos_predict2_tpu.tokenizers import wan_vae_streaming as wvs
+
+    cfg = WanVAEConfig(dtype=jnp.bfloat16)
+    net = WanVAE(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 93, 704, 1280, 3), dtype=jnp.bfloat16) * 0.5
+    shapes = jax.eval_shape(lambda: net.init(jax.random.PRNGKey(0), jnp.zeros((1, 5, 64, 64, 3), jnp.bfloat16)))
+    keys = iter(jax.random.split(jax.random.PRNGKey(7), len(jax.tree.leaves(shapes))))
+    params = jax.tree.map(
+        lambda s: (jax.random.normal(next(keys), s.shape, jnp.float32) * 0.05).astype(s.dtype), shapes
+    )
+    print("[vae] streaming encode 93 frames 704x1280 -> 24 latent ...", flush=True)
+    t0 = time.perf_counter()
+    z = wvs.encode_streaming(cfg, params, x)
+    _ = float(np.sum(np.asarray(z, np.float32)))
+    t_first = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    z = wvs.encode_streaming(cfg, params, x)
+    _ = float(np.sum(np.asarray(z, np.float32)))
+    t = time.perf_counter() - t0
+    print(f"[vae] encode shape={z.shape}  first(incl compile)={t_first:.1f}s  steady={t:.1f}s", flush=True)
+
+
 if __name__ == "__main__":
     cmd = sys.argv[1] if len(sys.argv) > 1 else "cfg"
     if cmd == "cfg":
@@ -186,5 +210,7 @@ if __name__ == "__main__":
         run_blocks()
     elif cmd == "vae":
         run_vae()
+    elif cmd == "vae_encode":
+        run_vae_encode()
     else:
         raise SystemExit(f"unknown subcommand {cmd}")
