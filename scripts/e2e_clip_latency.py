@@ -33,7 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def build_pipe(geom: str, num_steps: int):
+def build_pipe(geom: str, num_steps: int, sparse: bool = False):
     from cosmos_predict2_tpu.inference.pipeline import InferenceSetup, Video2WorldInference
     from cosmos_predict2_tpu.models.video2world import RFModelConfig, Video2WorldModel
     from cosmos_predict2_tpu.networks.dit import DiTConfig
@@ -58,6 +58,11 @@ def build_pipe(geom: str, num_steps: int):
         rope_enable_fps_modulation=False,
         dtype=jnp.bfloat16,
         remat="none",
+        # production sparse interleave (reference sparse_2B.py:326-327)
+        n_dense_blocks=7 if sparse else -1,
+        natten_window=(-1, 12, 24),
+        natten_stride=(1, 4, 8) if sparse else (1, 1, 1),
+        natten_base_size=(-1, 44, 80) if sparse else None,
     )
     setup = InferenceSetup(
         model_config=RFModelConfig(net=net, state_t=state_t, sampling_num_steps=num_steps),
@@ -83,9 +88,10 @@ def main() -> None:
     ap.add_argument("geom", nargs="?", default="small", choices=["small", "full"])
     ap.add_argument("--steps", type=int, default=35)
     ap.add_argument("--repeat", type=int, default=2)
+    ap.add_argument("--sparse", action="store_true", help="GNA sparse interleave (sparse_2B recipe)")
     args = ap.parse_args()
 
-    pipe, (H, W, state_t) = build_pipe(args.geom, args.steps)
+    pipe, (H, W, state_t) = build_pipe(args.geom, args.steps, sparse=args.sparse)
     T = (state_t - 1) * 4 + 1
     video = np.random.RandomState(0).randint(0, 255, (1, 3, T, H, W), dtype=np.uint8)
     video[:, :, 1:] = 0  # image2world: frame 0 conditions
@@ -105,8 +111,9 @@ def main() -> None:
         laps.append(time.perf_counter() - t0)
         print(f"[e2e] steady run {i}: {laps[-1]:.1f}s", flush=True)
     p50 = float(np.median(laps))
+    tag = "-sparse" if args.sparse else ""
     print(
-        f"[e2e] RESULT geom={args.geom} frames={T} size={H}x{W} steps={args.steps} "
+        f"[e2e] RESULT geom={args.geom}{tag} frames={T} size={H}x{W} steps={args.steps} "
         f"p50_clip_latency={p50:.1f}s  frames_per_sec_e2e={T / p50:.4f}",
         flush=True,
     )
