@@ -258,7 +258,10 @@ class Attention(nn.Module):
             probs = jax.nn.softmax(logits, axis=-1)
             out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v_buf, preferred_element_type=jnp.float32)
             out = out.astype(q.dtype)
-        elif self.na_video_size is not None and is_selfattn:
+        elif self.na_video_size is not None and is_selfattn and self.na_video_size[0] != 1:
+            # T==1 (image batches) falls through to dense attention below,
+            # mirroring the reference's explicit NATTEN bypass for images
+            # (neighborhood_attn.py:226-228).
             if self.cp_axis is not None:
                 # a2a + local neighborhood attention on the gathered full
                 # sequence — the reference's NattenA2AAttnOp (a2a_cp.py:222)

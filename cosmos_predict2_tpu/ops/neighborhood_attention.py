@@ -151,6 +151,14 @@ def neighborhood_attention_reference(
     return out.astype(q.dtype)
 
 
+def _nearest_divisor(length: int, d: int) -> int:
+    """Largest divisor of `length` that is <= d (d >= 1)."""
+    d = max(1, min(d, length))
+    while length % d:
+        d -= 1
+    return d
+
+
 def adaptive_na_parameters(
     window: tuple[int, int, int],
     stride: tuple[int, int, int],
@@ -171,6 +179,10 @@ def adaptive_na_parameters(
         stride = tuple(min(max(1, round(st * s)), w) for w, s, st in zip(window, scale, stride))
         max_dil = tuple(x // w for x, w in zip(input_shape, window))
         dilation = tuple(min(max(1, round(d * s)), md) for d, s, md in zip(dilation, scale, max_dil))
+        # Clamp each dilation down to the nearest divisor of the axis
+        # length so the class-major reorder stays well-formed at any
+        # geometry (e.g. 480p scaling gives dilation 6 on H=22 -> 2).
+        dilation = tuple(_nearest_divisor(x, dl) for x, dl in zip(input_shape, dilation))
     assert all(w >= st for w, st in zip(window, stride)), (window, stride)
     assert all(x >= w * d for x, w, d in zip(input_shape, window, dilation)), (window, dilation)
     return window, stride, dilation
@@ -699,5 +711,12 @@ def neighborhood_attention(
         assert st_ >= 1 and (w_ < 0 or st_ <= w_ or st_ <= 1), (
             f"stride {stride} must be <= window {window} (reference "
             f"neighborhood_attn.py:168 asserts w >= s)")
-    eff_window, eff_stride = _effective_params(size, tuple(window), tuple(stride), tuple(dilation))
+    try:
+        eff_window, eff_stride = _effective_params(size, tuple(window), tuple(stride), tuple(dilation))
+    except NotImplementedError:
+        # Unsupported dilation geometry (non-divisor dilation or a dilated
+        # window smaller than the sub-grid): degrade gracefully to the
+        # dense masked reference implementation instead of crashing —
+        # correct at any geometry, just slower (O(S^2) logits).
+        return neighborhood_attention_reference(q, k, v, size, window, stride, dilation)
     return _na(q, k, v, size, eff_window, eff_stride, tuple(dilation), int(block_q))

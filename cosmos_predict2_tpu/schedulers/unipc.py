@@ -343,6 +343,9 @@ def sample_host_loop(
         step = functools.partial(_unipc_step, velocity_fn, order_hist)
         if jit_velocity:
             step = jax.jit(step, donate_argnums=0)
+            # the donated carry invalidates the caller's x_init buffer
+            # after step 0 — copy defensively, same as the captures branch
+            x_init = jnp.array(x_init, copy=True)
         run = step
     else:
         def step_with(caps, carry, per_step):

@@ -124,6 +124,15 @@ def load(path: str, **kwargs) -> Any:
     if ext == "jsonl":
         return [json.loads(line) for line in _read_bytes(path).decode("utf-8").splitlines() if line.strip()]
     if ext in ("pkl", "pickle"):
+        # Unpickling executes arbitrary code; remote (s3/gs/http) paths are
+        # attacker-influenceable, so require an explicit opt-in there.
+        # Prefer msgpack/npz for remote artifacts.
+        if _scheme(path) and not kwargs.get("allow_pickle", False):
+            raise ValueError(
+                f"refusing to unpickle remote path {path!r}: pickle can execute "
+                "arbitrary code. Pass allow_pickle=True if the source is trusted, "
+                "or use .msgpack/.npz instead."
+            )
         import pickle
 
         return pickle.loads(_read_bytes(path))

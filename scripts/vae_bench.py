@@ -1,0 +1,155 @@
+"""VAE decode/encode roofline analysis on the real chip (VERDICT r2 #1).
+
+The distilled (DMD2 4-step) clip spends ~40% of its wall-clock in the
+streaming VAE decode (PERF.md), which had no perf analysis. This script
+measures, per streaming chunk and end-to-end:
+
+  * FLOPs + HBM bytes from XLA's own cost model (compiled.cost_analysis())
+  * achieved TF/s vs the chip's bf16 peak, and achieved GB/s vs HBM peak
+    -> which roofline regime each chunk is in
+  * chunk-size sweep (1/2/4 latent frames per dispatch)
+  * host-spool overlap: async dispatch of chunk i+1 before the D2H of
+    chunk i (decode_streaming out="host_async")
+
+Matches the reference's treatment of tokenizer perf as first-class
+(predict2/utils/tokenizer_benchmarking.py, BenchmarkTimes in
+wan2pt1.py:817-880).
+
+Run: python scripts/vae_bench.py [chunks|e2e|attn]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# full-scale 720p geometry: 93 frames @ 704x1280 <-> latent (24, 88, 160)
+LAT_T, LAT_H, LAT_W = 24, 88, 160
+PIX_H, PIX_W = 704, 1280
+N_FRAMES = 93
+
+HBM_GBPS = {"TPU v5 lite": 819e9, "TPU v5": 2765e9, "TPU v4": 1228e9, "TPU v6": 1640e9}
+PEAKS = {"TPU v5 lite": 197e12, "TPU v5": 459e12, "TPU v4": 275e12, "TPU v6": 918e12}
+
+
+def chip():
+    kind = jax.devices()[0].device_kind
+    peak = next((v for k, v in PEAKS.items() if kind.startswith(k)), 197e12)
+    bw = next((v for k, v in HBM_GBPS.items() if kind.startswith(k)), 819e9)
+    return kind, peak, bw
+
+
+def make_vae():
+    from cosmos_predict2_tpu.tokenizers.wan_vae import WanVAE, WanVAEConfig
+
+    cfg = WanVAEConfig(dtype=jnp.bfloat16)
+    net = WanVAE(cfg)
+    shapes = jax.eval_shape(lambda: net.init(jax.random.PRNGKey(0), jnp.zeros((1, 5, 64, 64, 3), jnp.bfloat16)))
+    keys = iter(jax.random.split(jax.random.PRNGKey(7), len(jax.tree.leaves(shapes))))
+    params = jax.tree.map(
+        lambda s: (jax.random.normal(next(keys), s.shape, jnp.float32) * 0.05).astype(s.dtype), shapes
+    )
+    return cfg, params
+
+
+def sync(x):
+    return float(np.sum(np.asarray(jax.tree.leaves(x)[0][..., :1].astype(jnp.float32))))
+
+
+def run_chunks():
+    """Per-chunk cost model + timing at chunk sizes 1/2/4."""
+    from cosmos_predict2_tpu.tokenizers import wan_vae_streaming as wvs
+
+    cfg, params = make_vae()
+    kind, peak, bw = chip()
+    print(f"[chip] {kind}: bf16 peak {peak/1e12:.0f} TF/s, HBM {bw/1e9:.0f} GB/s", flush=True)
+
+    for nlat in (1, 2, 4):
+        z = jax.random.normal(jax.random.PRNGKey(0), (1, nlat, LAT_H, LAT_W, 16), dtype=jnp.bfloat16)
+        state = wvs.init_decoder_state(cfg, 1, LAT_H, LAT_W, dtype=cfg.dtype)
+        fn = wvs._jitted_chunk("dec", cfg, first=False)
+        lowered = fn.lower(params, z, state.caches)
+        compiled = lowered.compile()
+        ca = compiled.cost_analysis()
+        flops = ca.get("flops", 0.0)
+        bytes_ = ca.get("bytes accessed", 0.0)
+        # warm + timed laps (donated caches: re-init state each lap)
+        caches = wvs.init_decoder_state(cfg, 1, LAT_H, LAT_W, dtype=cfg.dtype).caches
+        px, caches = fn(params, z, caches)
+        sync(px)
+        times = []
+        for _ in range(4):
+            t0 = time.perf_counter()
+            px, caches = fn(params, z, caches)
+            sync(px)
+            times.append(time.perf_counter() - t0)
+        t = float(np.min(times))
+        n_chunks = (LAT_T - 1 + nlat - 1) // nlat
+        print(
+            f"[dec chunk={nlat}] t={t*1e3:.0f} ms  flops={flops/1e12:.2f} TF "
+            f"({flops/t/1e12:.1f} TF/s, {flops/t/peak*100:.1f}% peak)  "
+            f"bytes={bytes_/1e9:.2f} GB ({bytes_/t/1e9:.0f} GB/s, {bytes_/t/bw*100:.1f}% HBM)  "
+            f"ai={flops/max(bytes_,1):.0f} flop/B  est_total={t*n_chunks:.1f}s",
+            flush=True,
+        )
+
+
+def run_attn():
+    """Cost of the mid attention block alone at 88x160 (dense S^2 logits)."""
+    cfg, params = make_vae()
+    kind, peak, bw = chip()
+    from cosmos_predict2_tpu.tokenizers import wan_vae_streaming as wvs
+
+    p = jax.tree.map(lambda a: a, params)["params"]["decoder"]["mid_attn"]
+
+    for T in (1, 2, 4):
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, T, LAT_H, LAT_W, 384), dtype=jnp.bfloat16)
+        fn = jax.jit(lambda p, x: wvs._attn_block(p, x, jnp.bfloat16))
+        compiled = fn.lower(p, x).compile()
+        ca = compiled.cost_analysis()
+        out = fn(p, x); sync(out)
+        times = []
+        for _ in range(4):
+            t0 = time.perf_counter(); sync(fn(p, x)); times.append(time.perf_counter() - t0)
+        t = float(np.min(times))
+        print(
+            f"[attn T={T}] t={t*1e3:.1f} ms  flops={ca.get('flops',0)/1e9:.1f} GF "
+            f"({ca.get('flops',0)/t/1e12:.1f} TF/s)  bytes={ca.get('bytes accessed',0)/1e9:.2f} GB "
+            f"({ca.get('bytes accessed',0)/t/1e9:.0f} GB/s, {ca.get('bytes accessed',0)/t/bw*100:.0f}% HBM)",
+            flush=True,
+        )
+
+
+def run_e2e():
+    """Whole-clip streaming decode: sync host spool vs overlapped, chunk sweep."""
+    from cosmos_predict2_tpu.tokenizers import wan_vae_streaming as wvs
+
+    cfg, params = make_vae()
+    z = jax.random.normal(jax.random.PRNGKey(0), (1, LAT_T, LAT_H, LAT_W, 16), dtype=jnp.bfloat16)
+
+    for mode in ("host", "host_async"):
+        for nlat in (1, 2, 4):
+            try:
+                out = wvs.decode_streaming(cfg, params, z, chunk_latent_frames=nlat, out=mode)
+                _ = float(np.sum(np.asarray(out[:, :1], np.float32)))
+                times = []
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    out = wvs.decode_streaming(cfg, params, z, chunk_latent_frames=nlat, out=mode)
+                    _ = float(np.sum(np.asarray(out[:, :1], np.float32)))
+                    times.append(time.perf_counter() - t0)
+                print(f"[e2e {mode} chunk={nlat}] decode {N_FRAMES}f {PIX_H}x{PIX_W}: {min(times):.1f} s", flush=True)
+            except Exception as e:
+                print(f"[e2e {mode} chunk={nlat}] FAILED {type(e).__name__}: {str(e)[:150]}", flush=True)
+
+
+if __name__ == "__main__":
+    cmd = sys.argv[1] if len(sys.argv) > 1 else "chunks"
+    {"chunks": run_chunks, "e2e": run_e2e, "attn": run_attn}[cmd]()
