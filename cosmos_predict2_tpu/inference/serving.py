@@ -8,9 +8,14 @@ so serving is a single worker thread consuming a job queue behind a small
 stdlib HTTP server — no process orchestration or file IPC needed.
 
 Endpoints:
+  GET  /           browser UI (prompt box, image upload, job polling,
+                   inline playback) — the reference Gradio app's surface
+                   (cosmos-gradio/gradio_app/gradio_app.py:26)
   POST /generate   {"prompt": ..., "input_path": ..., ...InferenceArguments}
-                   -> {"job_id": ...}
+                   -> {"job_id": ...}; accepts "input_image_b64" (data URL
+                   or raw base64) as an inline alternative to input_path
   GET  /status/<job_id>  -> {"status": queued|running|done|error, "output": path}
+  GET  /output/<job_id>  -> the generated video/gif/image bytes
   GET  /health     -> {"status": "ok", "devices": N}
   GET  /schema     -> validated parameter schema (types/ranges/defaults)
 
@@ -20,9 +25,13 @@ grouping can be added by draining the queue.
 
 from __future__ import annotations
 
+import base64
+import binascii
 import dataclasses
 import json
+import os
 import queue
+import tempfile
 import threading
 import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -58,6 +67,26 @@ class GenerateRequest(V.ValidatedParams):
 
     def to_args(self) -> InferenceArguments:
         return InferenceArguments(**self.to_dict())
+
+
+_IMAGE_MAGIC = {b"\x89PNG": "png", b"\xff\xd8\xff": "jpg", b"GIF8": "gif", b"RIFF": "webp"}
+
+
+def save_inline_image(b64: str) -> str:
+    """Decode an uploaded base64/data-URL image to a temp file, return its path."""
+    if "," in b64 and b64.lstrip().startswith("data:"):
+        b64 = b64.split(",", 1)[1]
+    try:
+        data = base64.b64decode(b64, validate=True)
+    except (binascii.Error, ValueError) as e:
+        raise ValueError(f"invalid base64 image: {e}") from e
+    ext = next((x for magic, x in _IMAGE_MAGIC.items() if data[:4].startswith(magic[:4])), None)
+    if ext is None:
+        raise ValueError("unrecognized image format (need png/jpg/gif/webp)")
+    fd, path = tempfile.mkstemp(suffix=f".{ext}", prefix="cosmos_upload_")
+    with os.fdopen(fd, "wb") as f:
+        f.write(data)
+    return path
 
 
 @dataclasses.dataclass
@@ -144,8 +173,57 @@ def make_handler(worker: ModelWorker):
             self.end_headers()
             self.wfile.write(body)
 
+        def _send_file(self, path: str, head_only: bool = False):
+            types = {".mp4": "video/mp4", ".gif": "image/gif", ".png": "image/png", ".jpg": "image/jpeg"}
+            ctype = types.get(os.path.splitext(path)[1].lower(), "application/octet-stream")
+            try:
+                with open(path, "rb") as f:
+                    data = f.read()
+            except OSError:
+                self._send(404, {"error": "output file missing"})
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            if not head_only:
+                self.wfile.write(data)
+
+        def _output_path(self):
+            job = worker.jobs.get(self.path.rsplit("/", 1)[-1])
+            if job is None or job.status != "done" or not job.output:
+                return None
+            return job.output
+
+        def do_HEAD(self):
+            if self.path.startswith("/output/"):
+                path = self._output_path()
+                if path is None:
+                    self.send_response(404)
+                    self.end_headers()
+                else:
+                    self._send_file(path, head_only=True)
+            else:
+                self.send_response(404)
+                self.end_headers()
+
         def do_GET(self):
-            if self.path == "/health":
+            if self.path == "/" or self.path == "/index.html":
+                from cosmos_predict2_tpu.inference.web_ui import INDEX_HTML
+
+                body = INDEX_HTML.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif self.path.startswith("/output/"):
+                path = self._output_path()
+                if path is None:
+                    self._send(404, {"error": "no finished output for that job"})
+                else:
+                    self._send_file(path)
+            elif self.path == "/health":
                 self._send(200, {"status": "ok", "devices": len(jax.devices())})
             elif self.path == "/queue":
                 self._send(200, {"depth": worker.queue_depth(), "max_batch": worker.max_batch})
@@ -167,6 +245,9 @@ def make_handler(worker: ModelWorker):
             length = int(self.headers.get("Content-Length", 0))
             try:
                 payload = json.loads(self.rfile.read(length) or b"{}")
+                b64 = payload.pop("input_image_b64", None)
+                if b64:
+                    payload["input_path"] = save_inline_image(b64)
                 args = GenerateRequest.from_dict(payload).to_args()
             except (json.JSONDecodeError, TypeError, ValueError) as e:
                 self._send(400, {"error": f"bad request: {e}"})

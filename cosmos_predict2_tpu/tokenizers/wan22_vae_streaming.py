@@ -34,7 +34,7 @@ from cosmos_predict2_tpu.tokenizers.wan22_vae import (
     patchify,
     unpatchify,
 )
-from cosmos_predict2_tpu.tokenizers.wan_vae import _nearest_upsample2x
+from cosmos_predict2_tpu.tokenizers.wan_vae import _upsample2x_conv3x3
 from cosmos_predict2_tpu.tokenizers.wan_vae_streaming import (
     CACHE_T,
     StreamState,
@@ -218,8 +218,7 @@ def decoder_chunk(cfg: Wan22VAEConfig, params, z_chunk, state: StreamState):
                     zt = _conv3d(rp["time_conv"], hin, (0, 0), spatial_pad=0, dtype=dt)
                     zt = zt.reshape(B, T, Hh, Ww, 2, C)
                     h = jnp.stack([zt[..., 0, :], zt[..., 1, :]], axis=2).reshape(B, 2 * T, Hh, Ww, C)
-            h = _nearest_upsample2x(h)
-            h = _conv2d(rp["conv"], h, dtype=dt)
+            h = _upsample2x_conv3x3(rp["conv"]["weight"], rp["conv"]["bias"], h, dt)
             # DupUp drops its factor_t-1 leading frames only on the stream's
             # first chunk (wan2pt2.py:381-383), matching the conv path's
             # frame-0 bypass.

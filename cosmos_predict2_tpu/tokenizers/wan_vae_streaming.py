@@ -27,7 +27,7 @@ from cosmos_predict2_tpu.tokenizers.wan_vae import (
     WAN_LATENT_MEAN,
     WAN_LATENT_STD,
     WanVAEConfig,
-    _nearest_upsample2x,
+    _upsample2x_conv3x3,
 )
 
 CACHE_T = 2
@@ -275,8 +275,7 @@ def decoder_chunk(cfg: WanVAEConfig, params, z_chunk, state: StreamState):
                     zt = zt.reshape(B, T, Hh, Ww, 2, C)
                     inter = jnp.stack([zt[..., 0, :], zt[..., 1, :]], axis=2).reshape(B, 2 * T, Hh, Ww, C)
                     x = inter
-            x = _nearest_upsample2x(x)
-            x = _conv2d(rp["conv"], x, dtype=dt)
+            x = _upsample2x_conv3x3(rp["conv"]["weight"], rp["conv"]["bias"], x, dt)
             li += 1
 
     y = jax.nn.silu(_norm(dec["head_norm"], x))
@@ -285,7 +284,8 @@ def decoder_chunk(cfg: WanVAEConfig, params, z_chunk, state: StreamState):
 
 
 def decode_streaming(
-    vae_cfg: WanVAEConfig, params, z, chunk_latent_frames: int = 1, out: str = "device"
+    vae_cfg: WanVAEConfig, params, z, chunk_latent_frames: int = 1, out: str = "device",
+    pixel_format: str = "float",
 ):
     """Full streaming decode of (B, t, h, w, 16); O(chunk) memory.
 
@@ -295,24 +295,48 @@ def decode_streaming(
     ``out="host"`` spools each decoded pixel chunk to host memory and
     returns a numpy array — required at full scale (93f x 704x1280
     accumulates ~0.5 GB of pixels; keeping every chunk resident on device
-    next to the decoder working set exhausts a 16 GB chip).
+    next to the decoder working set exhausts a 16 GB chip). The spool is
+    OVERLAPPED: chunk i+1 is dispatched (JAX async dispatch) before chunk
+    i's device->host transfer is forced, so the copy rides under the next
+    chunk's compute instead of serializing with it. ``out="host_sync"``
+    keeps the old serialized behavior (for measurement).
+
+    ``pixel_format="uint8"`` fuses the [-1,1] -> uint8 conversion into the
+    compiled chunk program: the transfer shrinks 2x and the caller gets
+    frames ready for video encoding (the save path quantizes anyway).
     """
     import numpy as np
 
+    assert pixel_format in ("float", "uint8"), pixel_format
     B, t, h, w, _ = z.shape
     state = init_decoder_state(vae_cfg, B, h, w, dtype=vae_cfg.dtype)
-    to_out = (lambda a: np.asarray(a)) if out == "host" else (lambda a: a)
+    to_host = out in ("host", "host_sync")
+    to_out = (lambda a: np.asarray(a)) if to_host else (lambda a: a)
+    u8 = pixel_format == "uint8"
+    first_fn = _jitted_chunk("dec", vae_cfg, first=True, to_u8=u8)
+    steady = _jitted_chunk("dec", vae_cfg, first=False, to_u8=u8)
     outs = []
-    px, caches = _jitted_chunk("dec", vae_cfg, first=True)(params, z[:, :1], state.caches)
+    px, caches = first_fn(params, z[:, :1], state.caches)
+    if out == "host":
+        # overlapped spool: keep one chunk in flight, pull the previous
+        # while the device runs the next
+        pos, pending = 1, px
+        while pos < t:
+            end = min(pos + chunk_latent_frames, t)
+            px, caches = steady(params, z[:, pos:end], caches)  # async dispatch
+            outs.append(to_out(pending))
+            pending = px
+            pos = end
+        outs.append(to_out(pending))
+        return np.concatenate(outs, axis=1)
     outs.append(to_out(px))
     pos = 1
-    steady = _jitted_chunk("dec", vae_cfg, first=False)
     while pos < t:
         end = min(pos + chunk_latent_frames, t)
         px, caches = steady(params, z[:, pos:end], caches)
         outs.append(to_out(px))
         pos = end
-    if out == "host":
+    if to_host:
         return np.concatenate(outs, axis=1)
     return jnp.concatenate(outs, axis=1)
 
@@ -334,17 +358,20 @@ def _cfg_key(cfg: WanVAEConfig) -> tuple:
     )
 
 
-def _jitted_chunk(kind: str, cfg: WanVAEConfig, *, first: bool):
+def _jitted_chunk(kind: str, cfg: WanVAEConfig, *, first: bool, to_u8: bool = False):
     """Compiled (params, chunk, caches) -> (out, caches) for one stream
     chunk. ``first`` is a trace-time constant (the frame-0 "Rep" bypass is
-    Python control flow), so first/steady chunks get separate programs."""
-    key = (kind, _cfg_key(cfg), first)
+    Python control flow), so first/steady chunks get separate programs.
+    ``to_u8`` fuses [-1,1] -> uint8 quantization into the program (decode)."""
+    key = (kind, _cfg_key(cfg), first, to_u8)
     fn = _JIT_CACHE.get(key)
     if fn is None:
         base = encoder_chunk if kind == "enc" else decoder_chunk
 
         def flat(params, chunk, caches, _base=base, _cfg=cfg, _first=first):
             out, st = _base(_cfg, params, chunk, StreamState(caches=caches, first=_first))
+            if to_u8:
+                out = jnp.round((jnp.clip(out.astype(jnp.float32), -1.0, 1.0) + 1.0) * 127.5).astype(jnp.uint8)
             return out, st.caches
 
         # donate the cache pytree: in/out cache shapes match, so XLA

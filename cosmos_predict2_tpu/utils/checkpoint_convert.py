@@ -62,6 +62,12 @@ def convert_dit_state_dict(sd: Mapping[str, Array], num_blocks: int, use_adaln_l
     p["t_embedding_norm"] = {"weight": np.asarray(sd["t_embedding_norm.weight"])}
     if "crossattn_proj.0.weight" in sd:
         _dit_linear(p, sd, "crossattn_proj.0", ["crossattn_proj"], bias=True)
+    # action-conditioned variant: two Mlp embedders into t-emb / AdaLN-LoRA
+    # (action_conditioned_minimal_v1_lvg_dit.py:68-81)
+    for name in ("action_embedder_B_D", "action_embedder_B_3D"):
+        if f"{name}.fc1.weight" in sd:
+            _dit_linear(p, sd, f"{name}.fc1", [name, "fc1"], bias=True)
+            _dit_linear(p, sd, f"{name}.fc2", [name, "fc2"], bias=True)
     if "extra_pos_embedder.pos_emb_h" in sd:
         p["extra_pos_embedder"] = {
             "pos_emb_h": np.asarray(sd["extra_pos_embedder.pos_emb_h"]),

@@ -115,9 +115,13 @@ def install_shims() -> None:
         def __getattr__(self, name):
             raise RuntimeError("boto3 shim: no network in parity tests")
 
+    class _FakeConfig:
+        def __init__(self, *a, **k):
+            pass
+
     _mod("boto3", client=lambda *a, **k: _FakeClient(), Session=_FakeClient)
     _mod("botocore")
-    _mod("botocore.config", Config=_FakeClient)
+    _mod("botocore.config", Config=_FakeConfig)
     _mod("botocore.exceptions", ClientError=RuntimeError, NoCredentialsError=RuntimeError)
     _mod(
         "multistorageclient",
@@ -378,6 +382,101 @@ def install_shims() -> None:
     # try/except and the SDPA path is pure torch — no stub needed.)
 
     _installed = True
+
+
+_reason1_installed = False
+
+
+def install_reason1_shims() -> None:
+    """Extra fakes for importing the reference text-encoder / reason1 stack
+    (text_encoders/text_encoder.py pulls vlm_qwen -> qwen2_5_vl, which
+    asserts flash-attn at import, plus apex FusedAdam and omegaconf
+    submodules). Parity tests only exercise the pure pooling math, never
+    the faked kernels."""
+    global _reason1_installed
+    install_shims()
+    if _reason1_installed:
+        return
+    import sys as _sys
+
+    om = _sys.modules["omegaconf"]
+    _mod("omegaconf.dictconfig", DictConfig=om.DictConfig)
+    _mod("omegaconf.listconfig", ListConfig=om.ListConfig)
+    mta = _mod("apex.multi_tensor_apply", multi_tensor_applier=_noop)
+    _mod("apex", multi_tensor_apply=mta)
+    _mod("amp_C", multi_tensor_adam=_noop, multi_tensor_l2norm=_noop, multi_tensor_scale=_noop)
+    fa_rotary = _mod("flash_attn.layers.rotary", apply_rotary_emb=_noop)
+    fa_layers = _mod("flash_attn.layers", rotary=fa_rotary)
+    _mod(
+        "flash_attn",
+        flash_attn_varlen_func=_noop,
+        flash_attn_func=_noop,
+        layers=fa_layers,
+        __version__="2.8.1",
+    )
+    import transformers.utils as tu
+
+    tu.is_flash_attn_2_available = lambda: True
+    _reason1_installed = True
+
+
+_model_installed = False
+
+
+def install_model_shims() -> None:
+    """Fakes for importing the reference MODEL layer (video2world RF model
+    with its real conditioner): hydra ConfigStore, wandb, and removal of the
+    minimal conditioner stand-in so the genuine predict2 conditioner module
+    loads. Parity tests drive the real denoise()/conditioner math on CPU."""
+    global _model_installed
+    install_reason1_shims()
+    if _model_installed:
+        return
+    import sys as _sys
+
+    class _ConfigStore:
+        _inst = None
+
+        @classmethod
+        def instance(cls):
+            if cls._inst is None:
+                cls._inst = cls()
+            return cls._inst
+
+        def store(self, *a, **k):
+            return None
+
+    cs = _mod("hydra.core.config_store", ConfigStore=_ConfigStore)
+    core = _mod("hydra.core", config_store=cs)
+    _mod("hydra", core=core)
+
+    wr = _mod("wandb.sdk.wandb_run", Run=object)
+    sdk = _mod("wandb.sdk", wandb_run=wr)
+    util = _mod("wandb.util", generate_id=lambda *a, **k: "x")
+    _mod(
+        "wandb",
+        sdk=sdk,
+        util=util,
+        init=_noop,
+        log=_noop,
+        run=None,
+        Settings=object,
+        Artifact=object,
+    )
+
+    # rectified_flow.py imports (but does not need at import time) the
+    # diffusers euler scheduler
+    class _FlowMatchEulerDiscreteScheduler:
+        def __init__(self, *a, **k):
+            raise RuntimeError("diffusers shim: not constructible in parity tests")
+
+    _sys.modules["diffusers"].FlowMatchEulerDiscreteScheduler = _FlowMatchEulerDiscreteScheduler
+
+    # replace the minimal conditioner stand-in with the real module
+    # (modules that already did `from ...conditioner import X` keep their
+    # references; new imports get the genuine classes)
+    _sys.modules.pop("cosmos_predict2._src.predict2.conditioner", None)
+    _model_installed = True
 
 
 def import_reference(dotted: str):

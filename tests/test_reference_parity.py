@@ -376,3 +376,326 @@ def test_wan22_vae_decode_matches_reference(wan22_pair):
     diff = np.max(np.abs(mine - ref_out))
     scale = np.max(np.abs(ref_out))
     assert diff < 2e-3 * max(scale, 1.0), f"wan2.2 decode max diff {diff}, ref scale {scale}"
+
+
+# --------------------------------------------------------------------------
+# Text-encoder pooling (VERDICT r2 weak #5a)
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.level(1)
+def test_text_pooling_matches_reference():
+    """The reference's compute_text_embeddings_online normalize+pool math
+    (text_encoders/text_encoder.py:196-220: per-layer mean-normalize of
+    hidden_states[1:], then FULL_CONCAT / MEAN_POOLING /
+    POOL_EVERY_N_LAYERS_AND_CONCAT) vs pool_hidden_states, on identical
+    seeded hidden states driven through the REAL reference method with a
+    faked tokenizer/model."""
+    from types import SimpleNamespace
+
+    from reference_shims import install_reason1_shims
+
+    install_reason1_shims()
+    import importlib
+
+    te_mod = importlib.import_module("cosmos_predict2._src.predict2.text_encoders.text_encoder")
+    Strategy = te_mod.EmbeddingConcatStrategy
+
+    B, S, D, n_layers = 2, te_mod.NUM_EMBEDDING_PADDING_TOKENS, 64, 5
+    rng = np.random.RandomState(11)
+    # hidden_states[0] is the token embedding the reference SKIPS — make it
+    # wild so any off-by-one in the layer slice fails loudly
+    hs = [torch.from_numpy((rng.randn(B, S, D) * (100.0 if i == 0 else 1.0)).astype(np.float32))
+          for i in range(n_layers + 1)]
+
+    class _FakeTok:
+        pad_id = 0
+
+        def apply_chat_template(self, conversations, **kw):
+            return {"input_ids": np.arange(7, dtype=np.int64)}
+
+    class _FakeModel:
+        tokenizer = _FakeTok()
+
+        def to(self, *a, **k):
+            return self
+
+        def __call__(self, input_ids, _):
+            return None, {"hidden_states": hs}
+
+    # the reference moves input ids to cuda; run the literal code on CPU
+    orig_to = torch.Tensor.to
+
+    def cpu_to(self, *args, **kwargs):
+        if kwargs.get("device") == "cuda":
+            kwargs["device"] = "cpu"
+        args = tuple("cpu" if a == "cuda" else a for a in args)
+        return orig_to(self, *args, **kwargs)
+
+    from cosmos_predict2_tpu.text_encoders.qwen import pool_hidden_states
+
+    torch.Tensor.to = cpu_to
+    try:
+        for strategy, n_group in ((Strategy.FULL_CONCAT, 5), (Strategy.MEAN_POOLING, 5),
+                                  (Strategy.POOL_EVERY_N_LAYERS_AND_CONCAT, 2)):
+            te = object.__new__(te_mod.TextEncoder)
+            te.config = SimpleNamespace(embedding_concat_strategy=str(strategy), n_layers_per_group=n_group)
+            te.model = _FakeModel()
+            te.device = "cpu"
+            ref = te.compute_text_embeddings_online({"caption": ["a", "b"]}, "caption").numpy()
+
+            mine = np.asarray(
+                pool_hidden_states([jnp.asarray(h.numpy()) for h in hs], str(strategy), n_layers_per_group=n_group)
+            )
+            assert mine.shape == ref.shape, (str(strategy), mine.shape, ref.shape)
+            np.testing.assert_allclose(mine, ref, rtol=2e-5, atol=2e-5, err_msg=str(strategy))
+    finally:
+        torch.Tensor.to = orig_to
+
+
+# --------------------------------------------------------------------------
+# Video2World denoise semantics (VERDICT r2 weak #5b)
+# --------------------------------------------------------------------------
+
+
+def _fake_net_torch(x, timesteps, emb):
+    """Deterministic stand-in net, same math as _fake_net_jax."""
+    B, C, T, H, W = x.shape
+    t = timesteps.reshape(B, -1)
+    if t.shape[1] == 1:
+        t = t.expand(B, T)
+    t_term = t.reshape(B, 1, T, 1, 1) / 1000.0
+    return torch.sin(x) * 0.7 + x * t_term + emb.mean() * 0.01
+
+
+class _FakeNetJax:
+    """Duck-typed .apply matching MiniTrainDIT's call signature."""
+
+    def apply(self, params, x, timesteps, emb, fps=None, padding_mask=None, **kw):
+        B, C, T, H, W = x.shape
+        t = jnp.reshape(timesteps, (B, -1))
+        if t.shape[1] == 1:
+            t = jnp.broadcast_to(t, (B, T))
+        t_term = t.reshape(B, 1, T, 1, 1) / 1000.0
+        return jnp.sin(x) * 0.7 + x * t_term + jnp.mean(emb) * 0.01
+
+
+@pytest.mark.level(1)
+@pytest.mark.parametrize(
+    "cond_timestep,use_vc,num_cond_frames",
+    [(-1.0, True, 2), (125.0, True, 2), (125.0, False, 1), (-1.0, True, 0)],
+)
+def test_v2w_denoise_semantics_match_reference(cond_timestep, use_vc, num_cond_frames):
+    """FRAME_REPLACE input masking, conditional-frame timestep pinning,
+    gt-velocity output replacement, and the CFG velocity combine vs the
+    REAL reference Video2WorldModelRectifiedFlow.denoise
+    (video2world_model_rectified_flow.py:77-212) driven with the real
+    Video2WorldCondition mask construction (configs/video2world/defaults/
+    conditioner.py:45-131), identical seeded tensors, and the same
+    deterministic stand-in network on both sides."""
+    from types import SimpleNamespace
+
+    from reference_shims import install_model_shims
+
+    install_model_shims()
+    import importlib
+
+    m = importlib.import_module("cosmos_predict2._src.predict2.models.video2world_model_rectified_flow")
+    cond_mod = importlib.import_module(
+        "cosmos_predict2._src.predict2.configs.video2world.defaults.conditioner"
+    )
+
+    B, C, T, H, W = 2, 4, 6, 8, 8
+    rng = np.random.RandomState(5)
+    xt = rng.randn(B, C, T, H, W).astype(np.float32)
+    noise = rng.randn(B, C, T, H, W).astype(np.float32)
+    gt = rng.randn(B, C, T, H, W).astype(np.float32)
+    emb = (rng.randn(B, 8, 16) * 0.3).astype(np.float32)
+    ts = np.full((B,), 700.0, dtype=np.float32)
+
+    # ---- reference side: real condition class + real denoise method ----
+    ref_model = object.__new__(m.Video2WorldModelRectifiedFlow)
+    ref_model.config = SimpleNamespace(
+        conditional_frame_timestep=cond_timestep, denoise_replace_gt_frames=True
+    )
+    ref_model.tensor_kwargs = {"dtype": torch.float32}
+    ref_model.net = lambda x_B_C_T_H_W, timesteps_B_T, crossattn_emb=None, **kw: _fake_net_torch(
+        x_B_C_T_H_W, timesteps_B_T, crossattn_emb
+    )
+
+    ref_cond = cond_mod.Video2WorldCondition(
+        crossattn_emb=torch.from_numpy(emb), use_video_condition=torch.tensor(use_vc)
+    ).set_video_condition(
+        gt_frames=torch.from_numpy(gt),
+        random_min_num_conditional_frames=0,
+        random_max_num_conditional_frames=0,
+        num_conditional_frames=num_cond_frames,
+    )
+    ts_ref = torch.from_numpy(ts).reshape(B, 1, 1, 1, 1)
+    with torch.no_grad():
+        ref_out = ref_model.denoise(
+            torch.from_numpy(noise), torch.from_numpy(xt), ts_ref, ref_cond
+        ).numpy()
+
+    # ---- JAX side ----
+    import dataclasses as dc
+
+    from cosmos_predict2_tpu.conditioning.conditioner import DataType, make_condition
+    from cosmos_predict2_tpu.models.video2world import RFModelConfig, Video2WorldModel
+    from cosmos_predict2_tpu.networks.dit import PRESETS
+
+    cfg = RFModelConfig(
+        net=dc.replace(PRESETS["test"], dtype=jnp.float32, remat="none"),
+        conditional_frame_timestep=cond_timestep,
+        denoise_replace_gt_frames=True,
+    )
+    model = Video2WorldModel(cfg)
+    model.net = _FakeNetJax()
+
+    my_cond = make_condition(jnp.asarray(emb), data_type=DataType.VIDEO).set_video_condition(
+        jnp.asarray(gt), num_cond_frames
+    )
+    my_cond = my_cond.replace(use_video_condition=jnp.asarray(use_vc))
+    mine = np.asarray(
+        model.denoise(None, jnp.asarray(noise), jnp.asarray(xt), jnp.asarray(ts), my_cond)
+    )
+
+    # mask construction parity: reference (B,1,T,H,W) == mine (B,1,T,1,1) broadcast
+    ref_mask = ref_cond.condition_video_input_mask_B_C_T_H_W.numpy()
+    my_mask = np.broadcast_to(np.asarray(my_cond.condition_video_mask), ref_mask.shape)
+    np.testing.assert_array_equal(ref_mask, my_mask)
+
+    np.testing.assert_allclose(mine, ref_out, rtol=1e-5, atol=1e-5)
+
+    # CFG velocity combine (reference get_velocity_fn_from_batch:206-212:
+    # cond + g * (cond - uncond)) on a second "uncond" denoise
+    ref_uncond = cond_mod.Video2WorldCondition(
+        crossattn_emb=torch.zeros_like(torch.from_numpy(emb)),
+        use_video_condition=torch.tensor(use_vc),
+    ).set_video_condition(
+        gt_frames=torch.from_numpy(gt),
+        random_min_num_conditional_frames=0,
+        random_max_num_conditional_frames=0,
+        num_conditional_frames=num_cond_frames,
+    )
+    with torch.no_grad():
+        ref_uv = ref_model.denoise(
+            torch.from_numpy(noise), torch.from_numpy(xt), ts_ref, ref_uncond
+        ).numpy()
+    guidance = 7.0
+    ref_velocity = ref_out + guidance * (ref_out - ref_uv)
+
+    my_uncond = make_condition(jnp.zeros_like(jnp.asarray(emb)), data_type=DataType.VIDEO).set_video_condition(
+        jnp.asarray(gt), num_cond_frames
+    ).replace(use_video_condition=jnp.asarray(use_vc))
+    my_uv = np.asarray(
+        model.denoise(None, jnp.asarray(noise), jnp.asarray(xt), jnp.asarray(ts), my_uncond)
+    )
+    my_velocity = mine + guidance * (mine - my_uv)
+    np.testing.assert_allclose(my_velocity, ref_velocity, rtol=1e-4, atol=1e-4)
+
+
+# --------------------------------------------------------------------------
+# Action-conditioned DiT forward (VERDICT r2 weak #5c, part 1)
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.level(1)
+def test_action_dit_forward_matches_reference():
+    """Full reference ActionConditionedMinimalV1LVGDiT on CPU
+    (action/networks/action_conditioned_minimal_v1_lvg_dit.py:47-184:
+    +1 condition-mask input channel, timestep_scale, two GELU-tanh action
+    MLPs added to t-embedding and AdaLN-LoRA) vs the JAX DiT with
+    action_dim/concat_condition_mask through convert_dit_state_dict."""
+    from reference_shims import install_model_shims
+
+    install_model_shims()
+    import importlib
+
+    mod = importlib.import_module(
+        "cosmos_predict2._src.predict2.action.networks.action_conditioned_minimal_v1_lvg_dit"
+    )
+    cond_mod = importlib.import_module("cosmos_predict2._src.predict2.conditioner")
+
+    action_dim, n_act = 6, 4
+    torch.manual_seed(0)
+    ref = mod.ActionConditionedMinimalV1LVGDiT(
+        max_img_h=64,
+        max_img_w=64,
+        max_frames=8,
+        in_channels=16,
+        out_channels=16,
+        patch_spatial=2,
+        patch_temporal=1,
+        concat_padding_mask=True,
+        model_channels=64,
+        num_blocks=2,
+        num_heads=2,
+        atten_backend="torch",
+        crossattn_emb_channels=1024,
+        pos_emb_cls="rope3d",
+        use_adaln_lora=True,
+        adaln_lora_dim=16,
+        rope_enable_fps_modulation=False,
+        timestep_scale=0.25,
+        action_dim=action_dim,
+        num_action_per_chunk=n_act,
+    ).eval()
+
+    rng = np.random.RandomState(7)
+    x = rng.randn(1, 16, 2, 8, 8).astype(np.float32)
+    ts = np.array([700.0], dtype=np.float32)
+    ctx = (rng.randn(1, 8, 1024) * 0.05).astype(np.float32)
+    pad = np.zeros((1, 8, 8), dtype=np.float32)
+    action = (rng.randn(1, n_act, action_dim) * 0.5).astype(np.float32)
+    cond_mask = np.zeros((1, 1, 2, 8, 8), dtype=np.float32)
+    cond_mask[:, :, 0] = 1.0
+
+    with torch.no_grad():
+        ref_out = ref(
+            torch.from_numpy(x),
+            torch.from_numpy(ts),
+            torch.from_numpy(ctx),
+            condition_video_input_mask_B_C_T_H_W=torch.from_numpy(cond_mask),
+            padding_mask=torch.from_numpy(pad),
+            data_type=cond_mod.DataType.VIDEO,
+            action=torch.from_numpy(action),
+        ).numpy()
+
+    import dataclasses
+
+    from cosmos_predict2_tpu.networks.dit import DiTConfig, MiniTrainDIT
+    from cosmos_predict2_tpu.utils.checkpoint_convert import convert_dit_state_dict
+
+    cfg = DiTConfig(
+        model_channels=64,
+        num_heads=2,
+        num_blocks=2,
+        use_adaln_lora=True,
+        adaln_lora_dim=16,
+        rope_enable_fps_modulation=False,
+        dtype=jnp.float32,
+        remat="none",
+        timestep_scale=0.25,
+        action_dim=action_dim,
+        num_action_per_chunk=n_act,
+        concat_condition_mask=True,
+    )
+    params = convert_dit_state_dict({k: v.numpy() for k, v in ref.state_dict().items()}, 2)
+    params = jax.tree.map(lambda a: jnp.asarray(a, dtype=jnp.float32), params)
+    mine = np.asarray(
+        MiniTrainDIT(cfg).apply(
+            params,
+            jnp.asarray(x),
+            jnp.asarray(ts),
+            jnp.asarray(ctx),
+            padding_mask=jnp.asarray(pad[:, None]),
+            condition_mask=jnp.asarray(cond_mask[:, 0][:, None]),
+            action=jnp.asarray(action),
+        )
+    )
+
+    assert mine.shape == ref_out.shape
+    scale = np.abs(ref_out).max()
+    diff = np.abs(mine - ref_out).max()
+    assert diff < 2e-4 * max(scale, 1.0), f"action DiT max diff {diff}, ref scale {scale}"

@@ -176,3 +176,72 @@ def test_schema_and_param_validation(server):
         with pytest.raises(urllib.error.HTTPError) as exc:
             _post(server.port, "/generate", {"prompt": "x", **bad})
         assert exc.value.code == 400
+
+
+@pytest.mark.level(1)
+def test_web_ui_index(server):
+    """GET / serves the browser UI page (reference gradio_app.py:26 surface)."""
+    with urllib.request.urlopen(f"http://127.0.0.1:{server.port}/") as r:
+        assert r.headers.get("Content-Type", "").startswith("text/html")
+        body = r.read().decode()
+    # the page drives the real endpoints
+    for needle in ("/generate", "/status/", "/output/", "<video", "prompt"):
+        assert needle in body, needle
+
+
+@pytest.mark.level(1)
+def test_output_endpoint_serves_video(server):
+    import urllib.error
+
+    out = _post(server.port, "/generate", {"name": "ui_job", "prompt": "hi", "num_steps": 2, "guidance": 2.0})
+    job_id = out["job_id"]
+    for _ in range(600):
+        status = _get(server.port, f"/status/{job_id}")
+        if status["status"] in ("done", "error"):
+            break
+        time.sleep(0.5)
+    assert status["status"] == "done", status
+    with urllib.request.urlopen(f"http://127.0.0.1:{server.port}/output/{job_id}") as r:
+        ctype = r.headers["Content-Type"]
+        data = r.read()
+    assert ctype in ("video/mp4", "image/gif") and len(data) > 100
+    # HEAD gives the type without the body (the UI uses it to pick a tag)
+    req = urllib.request.Request(f"http://127.0.0.1:{server.port}/output/{job_id}", method="HEAD")
+    with urllib.request.urlopen(req) as r:
+        assert r.headers["Content-Type"] == ctype
+    # unknown/unfinished job -> 404
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _get(server.port, "/output/nonexistent")
+    assert exc.value.code == 404
+
+
+@pytest.mark.level(1)
+def test_inline_image_upload(server):
+    """input_image_b64 (data URL) feeds Image2World like an input_path."""
+    import base64
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (32, 32), (200, 30, 30)).save(buf, format="PNG")
+    b64 = "data:image/png;base64," + base64.b64encode(buf.getvalue()).decode()
+
+    out = _post(server.port, "/generate", {
+        "name": "upload_job", "prompt": "x", "num_steps": 2, "guidance": 2.0,
+        "num_conditional_frames": 1, "input_image_b64": b64,
+    })
+    job_id = out["job_id"]
+    for _ in range(600):
+        status = _get(server.port, f"/status/{job_id}")
+        if status["status"] in ("done", "error"):
+            break
+        time.sleep(0.5)
+    assert status["status"] == "done", status
+
+    # invalid base64 is a 400, not a queued job
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _post(server.port, "/generate", {"prompt": "x", "input_image_b64": "!!!notbase64"})
+    assert exc.value.code == 400
