@@ -630,27 +630,6 @@ class MiniTrainDIT(nn.Module):
         B, C, T, H, W = x_B_C_T_H_W.shape
         ps, pt = cfg.patch_spatial, cfg.patch_temporal
 
-        if cfg.concat_view_embedding and cfg.n_views > 1:
-            # per-view learned channels (multiview_dit.py:463-490)
-            table = self.param(
-                "view_embeddings",
-                nn.initializers.normal(1.0),
-                (cfg.n_cameras_emb, cfg.view_condition_dim),
-            )
-            V = cfg.n_views
-            if view_indices_B_T is None:
-                idx = jnp.clip(jnp.arange(V), 0, cfg.n_cameras_emb - 1)
-                ve = table[idx]  # (V, Dv)
-                ve = jnp.broadcast_to(ve[None, :, None, :, None, None], (B, V, T // V, cfg.view_condition_dim, H, W))
-            else:
-                idx = jnp.clip(view_indices_B_T.astype(jnp.int32), 0, cfg.n_cameras_emb - 1)
-                ve = table[idx]  # (B, V*Tv, Dv)
-                ve = ve.reshape(B, V, T // V, cfg.view_condition_dim)[..., None, None]
-                ve = jnp.broadcast_to(ve, (B, V, T // V, cfg.view_condition_dim, H, W))
-            ve = ve.reshape(B, T, cfg.view_condition_dim, H, W).transpose(0, 2, 1, 3, 4)
-            x_B_C_T_H_W = jnp.concatenate([x_B_C_T_H_W, ve.astype(x_B_C_T_H_W.dtype)], axis=1)
-            C = C + cfg.view_condition_dim
-
         if cfg.concat_condition_mask:
             if condition_mask is None:
                 condition_mask = jnp.zeros((B, 1, T, H, W), dtype=x_B_C_T_H_W.dtype)
@@ -669,6 +648,32 @@ class MiniTrainDIT(nn.Module):
             mask = jnp.broadcast_to(padding_mask[:, :1, None, :, :], (B, 1, T, H, W)).astype(x_B_C_T_H_W.dtype)
             x_B_C_T_H_W = jnp.concatenate([x_B_C_T_H_W, mask], axis=1)
             C = C + 1
+
+        if cfg.concat_view_embedding and cfg.n_views > 1:
+            # per-view learned channels, concatenated LAST to match the
+            # reference's channel order [x | cond | pad | view]
+            # (multiview_dit.py:455-490: view concat happens inside
+            # prepare_embedded_sequence, after the forward's cond-mask
+            # concat and the padding-mask concat) — weight import of
+            # x_embedder depends on this ordering.
+            table = self.param(
+                "view_embeddings",
+                nn.initializers.normal(1.0),
+                (cfg.n_cameras_emb, cfg.view_condition_dim),
+            )
+            V = cfg.n_views
+            if view_indices_B_T is None:
+                idx = jnp.clip(jnp.arange(V), 0, cfg.n_cameras_emb - 1)
+                ve = table[idx]  # (V, Dv)
+                ve = jnp.broadcast_to(ve[None, :, None, :, None, None], (B, V, T // V, cfg.view_condition_dim, H, W))
+            else:
+                idx = jnp.clip(view_indices_B_T.astype(jnp.int32), 0, cfg.n_cameras_emb - 1)
+                ve = table[idx]  # (B, V*Tv, Dv)
+                ve = ve.reshape(B, V, T // V, cfg.view_condition_dim)[..., None, None]
+                ve = jnp.broadcast_to(ve, (B, V, T // V, cfg.view_condition_dim, H, W))
+            ve = ve.reshape(B, T, cfg.view_condition_dim, H, W).transpose(0, 2, 1, 3, 4)
+            x_B_C_T_H_W = jnp.concatenate([x_B_C_T_H_W, ve.astype(x_B_C_T_H_W.dtype)], axis=1)
+            C = C + cfg.view_condition_dim
 
         # b c (t r) (h m) (w n) -> b t h w (c r m n)
         x = x_B_C_T_H_W.reshape(B, C, T // pt, pt, H // ps, ps, W // ps, ps)

@@ -68,6 +68,9 @@ def convert_dit_state_dict(sd: Mapping[str, Array], num_blocks: int, use_adaln_l
         if f"{name}.fc1.weight" in sd:
             _dit_linear(p, sd, f"{name}.fc1", [name, "fc1"], bias=True)
             _dit_linear(p, sd, f"{name}.fc2", [name, "fc2"], bias=True)
+    # multiview variant: per-view embedding table (multiview_dit.py:321-322)
+    if "view_embeddings.weight" in sd:
+        p["view_embeddings"] = np.asarray(sd["view_embeddings.weight"])
     if "extra_pos_embedder.pos_emb_h" in sd:
         p["extra_pos_embedder"] = {
             "pos_emb_h": np.asarray(sd["extra_pos_embedder.pos_emb_h"]),

@@ -63,15 +63,15 @@ def sync(x):
     return float(np.sum(np.asarray(jax.tree.leaves(x)[0][..., :1].astype(jnp.float32))))
 
 
-def run_chunks():
-    """Per-chunk cost model + timing at chunk sizes 1/2/4."""
+def run_chunks(sizes=(1, 2, 4)):
+    """Per-chunk cost model + timing at the given chunk sizes."""
     from cosmos_predict2_tpu.tokenizers import wan_vae_streaming as wvs
 
     cfg, params = make_vae()
     kind, peak, bw = chip()
     print(f"[chip] {kind}: bf16 peak {peak/1e12:.0f} TF/s, HBM {bw/1e9:.0f} GB/s", flush=True)
 
-    for nlat in (1, 2, 4):
+    for nlat in sizes:
         z = jax.random.normal(jax.random.PRNGKey(0), (1, nlat, LAT_H, LAT_W, 16), dtype=jnp.bfloat16)
         state = wvs.init_decoder_state(cfg, 1, LAT_H, LAT_W, dtype=cfg.dtype)
         fn = wvs._jitted_chunk("dec", cfg, first=False)
@@ -127,29 +127,37 @@ def run_attn():
         )
 
 
-def run_e2e():
-    """Whole-clip streaming decode: sync host spool vs overlapped, chunk sweep."""
+def run_e2e(cases=(("host_sync", 1, "float"), ("host", 1, "float"), ("host", 1, "uint8"))):
+    """Whole-clip streaming decode: sync vs overlapped spool, float vs u8."""
     from cosmos_predict2_tpu.tokenizers import wan_vae_streaming as wvs
 
     cfg, params = make_vae()
     z = jax.random.normal(jax.random.PRNGKey(0), (1, LAT_T, LAT_H, LAT_W, 16), dtype=jnp.bfloat16)
 
-    for mode in ("host", "host_async"):
-        for nlat in (1, 2, 4):
-            try:
-                out = wvs.decode_streaming(cfg, params, z, chunk_latent_frames=nlat, out=mode)
+    for mode, nlat, fmt in cases:
+        try:
+            kw = dict(chunk_latent_frames=nlat, out=mode, pixel_format=fmt)
+            out = wvs.decode_streaming(cfg, params, z, **kw)
+            _ = float(np.sum(np.asarray(out[:, :1], np.float32)))
+            times = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                out = wvs.decode_streaming(cfg, params, z, **kw)
                 _ = float(np.sum(np.asarray(out[:, :1], np.float32)))
-                times = []
-                for _ in range(2):
-                    t0 = time.perf_counter()
-                    out = wvs.decode_streaming(cfg, params, z, chunk_latent_frames=nlat, out=mode)
-                    _ = float(np.sum(np.asarray(out[:, :1], np.float32)))
-                    times.append(time.perf_counter() - t0)
-                print(f"[e2e {mode} chunk={nlat}] decode {N_FRAMES}f {PIX_H}x{PIX_W}: {min(times):.1f} s", flush=True)
-            except Exception as e:
-                print(f"[e2e {mode} chunk={nlat}] FAILED {type(e).__name__}: {str(e)[:150]}", flush=True)
+                times.append(time.perf_counter() - t0)
+            print(f"[e2e {mode} chunk={nlat} {fmt}] decode {N_FRAMES}f {PIX_H}x{PIX_W}: {min(times):.1f} s", flush=True)
+        except Exception as e:
+            print(f"[e2e {mode} chunk={nlat} {fmt}] FAILED {type(e).__name__}: {str(e)[:150]}", flush=True)
 
 
 if __name__ == "__main__":
     cmd = sys.argv[1] if len(sys.argv) > 1 else "chunks"
-    {"chunks": run_chunks, "e2e": run_e2e, "attn": run_attn}[cmd]()
+    if cmd == "chunks":
+        sizes = tuple(int(a) for a in sys.argv[2:]) or (1,)
+        run_chunks(sizes)
+    elif cmd == "e2e":
+        run_e2e()
+    elif cmd == "attn":
+        run_attn()
+    else:
+        raise SystemExit(f"unknown subcommand {cmd}")

@@ -101,9 +101,30 @@ def install_shims() -> None:
         out = torch.cat([out, t_pass], dim=-1)
         return out.transpose(0, 1) if tensor_format == "bshd" else out
 
+    class _TEDotProductAttention(torch.nn.Module):
+        """bshd dot-product attention to TE semantics (fp32 softmax,
+        output flattened to (B, S, H*D)). The multiview cross-attention
+        constructs its Attention without a backend override, so the TE op
+        is exercised on CPU through this faithful stand-in."""
+
+        def __init__(self, num_heads, head_dim, num_gqa_groups=None, attention_dropout=0,
+                     qkv_format="bshd", attn_mask_type="no_mask", **kw):
+            super().__init__()
+            assert qkv_format == "bshd", qkv_format
+
+        def forward(self, q, k, v, **kw):
+            qt, kt, vt = (t.transpose(1, 2).float() for t in (q, k, v))
+            out = torch.nn.functional.scaled_dot_product_attention(qt, kt, vt)
+            out = out.transpose(1, 2).to(q.dtype)
+            return out.reshape(out.shape[0], out.shape[1], -1)
+
+        def set_context_parallel_group(self, *a, **k):
+            return None
+
     te_attention = _mod(
         "transformer_engine.pytorch.attention",
         apply_rotary_pos_emb=_te_apply_rotary_pos_emb,
+        DotProductAttention=_TEDotProductAttention,
     )
     te_pytorch = _mod(
         "transformer_engine.pytorch", RMSNorm=_TERMSNorm, attention=te_attention

@@ -699,3 +699,107 @@ def test_action_dit_forward_matches_reference():
     scale = np.abs(ref_out).max()
     diff = np.abs(mine - ref_out).max()
     assert diff < 2e-4 * max(scale, 1.0), f"action DiT max diff {diff}, ref scale {scale}"
+
+
+# --------------------------------------------------------------------------
+# Multiview DiT forward (VERDICT r2 weak #5c, part 2)
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.level(1)
+def test_multiview_dit_forward_matches_reference():
+    """Full reference MultiViewDiT on CPU (predict2_multiview/networks/
+    multiview_dit.py:268-540: per-view tiled RoPE, learned view-embedding
+    channels concatenated after cond/padding masks, per-view cross-attention
+    reshape B (V L) D -> (V B) L D) vs the JAX DiT with
+    n_views/concat_view_embedding through convert_dit_state_dict."""
+    from reference_shims import install_model_shims
+
+    install_model_shims()
+    import importlib
+
+    mv_mod = importlib.import_module("cosmos_predict2._src.predict2_multiview.networks.multiview_dit")
+    cond_mod = importlib.import_module("cosmos_predict2._src.predict2.conditioner")
+
+    V, Tv = 3, 2
+    torch.manual_seed(0)
+    ref = mv_mod.MultiViewDiT(
+        max_img_h=64,
+        max_img_w=64,
+        max_frames=8,
+        in_channels=16,
+        out_channels=16,
+        patch_spatial=2,
+        patch_temporal=1,
+        concat_padding_mask=True,
+        model_channels=64,
+        num_blocks=2,
+        num_heads=2,
+        atten_backend="torch",
+        crossattn_emb_channels=1024,
+        pos_emb_cls="rope3d",
+        use_adaln_lora=True,
+        adaln_lora_dim=16,
+        rope_enable_fps_modulation=False,
+        state_t=Tv,
+        n_cameras_emb=4,
+        view_condition_dim=2,
+        concat_view_embedding=True,
+    ).eval()
+
+    rng = np.random.RandomState(9)
+    x = rng.randn(1, 16, V * Tv, 8, 8).astype(np.float32)
+    ts = np.array([700.0], dtype=np.float32)
+    # per-view captions: (B, V*512, D) in the reference cross-attn layout —
+    # shrink the per-view length via the n_cameras = context//512 trick is
+    # hardcoded; use 512 per view as the reference expects
+    ctx = (rng.randn(1, V * 512, 1024) * 0.05).astype(np.float32)
+    pad = np.zeros((1, 8, 8), dtype=np.float32)
+    cond_mask = np.zeros((1, 1, V * Tv, 8, 8), dtype=np.float32)
+    cond_mask[:, :, 0] = 1.0  # first frame of view 0
+
+    with torch.no_grad():
+        ref_out = ref(
+            torch.from_numpy(x),
+            torch.from_numpy(ts),
+            torch.from_numpy(ctx),
+            condition_video_input_mask_B_C_T_H_W=torch.from_numpy(cond_mask),
+            padding_mask=torch.from_numpy(pad),
+            data_type=cond_mod.DataType.VIDEO,
+        ).numpy()
+
+    from cosmos_predict2_tpu.networks.dit import DiTConfig, MiniTrainDIT
+    from cosmos_predict2_tpu.utils.checkpoint_convert import convert_dit_state_dict
+
+    cfg = DiTConfig(
+        model_channels=64,
+        num_heads=2,
+        num_blocks=2,
+        use_adaln_lora=True,
+        adaln_lora_dim=16,
+        rope_enable_fps_modulation=False,
+        dtype=jnp.float32,
+        remat="none",
+        n_views=V,
+        n_cameras_emb=4,
+        view_condition_dim=2,
+        concat_view_embedding=True,
+        concat_condition_mask=True,
+    )
+    params = convert_dit_state_dict({k: v.numpy() for k, v in ref.state_dict().items()}, 2)
+    params = jax.tree.map(lambda a: jnp.asarray(a, dtype=jnp.float32), params)
+    mine = np.asarray(
+        MiniTrainDIT(cfg).apply(
+            params,
+            jnp.asarray(x),
+            jnp.asarray(ts),
+            jnp.asarray(ctx),
+            padding_mask=jnp.asarray(pad[:, None]),
+            condition_mask=jnp.asarray(cond_mask[:, 0][:, None]),
+        )
+    )
+
+    assert mine.shape == ref_out.shape
+    scale = np.abs(ref_out).max()
+    diff = np.abs(mine - ref_out).max()
+    assert diff < 2e-4 * max(scale, 1.0), f"multiview DiT max diff {diff}, ref scale {scale}"
