@@ -733,15 +733,26 @@ class MiniTrainDIT(nn.Module):
 
         # ---- blocks ----
         block_cls = Block
+        per_block_cls = None
         if kv_caches is None:
+            full_cls = nn.remat(Block, static_argnums=())
+            sel_cls = nn.remat(
+                Block,
+                static_argnums=(),
+                policy=jax.checkpoint_policies.save_only_these_names("attn_out"),
+            )
             if cfg.remat == "block":
-                block_cls = nn.remat(Block, static_argnums=())
+                block_cls = full_cls
             elif cfg.remat == "selective":
-                block_cls = nn.remat(
-                    Block,
-                    static_argnums=(),
-                    policy=jax.checkpoint_policies.save_only_these_names("attn_out"),
-                )
+                block_cls = sel_cls
+            elif cfg.remat.startswith("mixed"):
+                # "mixed:K" — save attention outputs (no attention recompute
+                # in bwd) on the first K blocks, full block remat on the
+                # rest: trades the HBM that fits for less recompute, between
+                # the all-or-nothing policies (reference SAC policies are
+                # similarly size-keyed, minimal_v4_dit.py:58-203)
+                k = int(cfg.remat.split(":", 1)[1]) if ":" in cfg.remat else cfg.num_blocks // 2
+                per_block_cls = [sel_cls if i < k else full_cls for i in range(cfg.num_blocks)]
         # sparse/dense interleave (reference replace_selfattn_op_with_sparse
         # _attn_op, minimal_v4_dit.py:1785-1797): n_dense_blocks evenly spread
         na_overrides: list = [None] * cfg.num_blocks
@@ -764,7 +775,8 @@ class MiniTrainDIT(nn.Module):
         new_caches = [] if kv_caches is not None else None
         intermediates = []
         for i in range(cfg.num_blocks):
-            block = block_cls(cfg, use_sparse_attn=sparse[i], na_override=na_overrides[i], name=f"blocks_{i}")
+            cls_i = per_block_cls[i] if per_block_cls is not None else block_cls
+            block = cls_i(cfg, use_sparse_attn=sparse[i], na_override=na_overrides[i], name=f"blocks_{i}")
             if kv_caches is not None:
                 x, cache_i = block(x, emb_B_T_D, crossattn_emb, rope_angles, adaln_lora_B_T_3D, kv_cache=kv_caches[i])
                 new_caches.append(cache_i)

@@ -208,22 +208,28 @@ def _upsample2x_conv3x3(w, b, x, dtype):
     xf = x.reshape(B * T, H, W_, C).astype(dtype)
     # row phase di: output row 2i+di reads source rows {i-1+di, i+di}
     rows = {0: jnp.stack([wf[0], wf[1] + wf[2]]), 1: jnp.stack([wf[0] + wf[1], wf[2]])}
-    outs = []
+    Co = w.shape[-1]
+    interleaved_rows = []
     for di in (0, 1):
         wr = rows[di]  # (2, 3, Cin, Cout)
+        cols = []
         for dj in (0, 1):
             if dj == 0:
                 k = jnp.stack([wr[:, 0], wr[:, 1] + wr[:, 2]], axis=1)
             else:
                 k = jnp.stack([wr[:, 0] + wr[:, 1], wr[:, 2]], axis=1)
-            y = jax.lax.conv_general_dilated(
-                xf, k.astype(dtype), (1, 1), ((1 - di, di), (1 - dj, dj)),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"), preferred_element_type=dtype,
+            cols.append(
+                jax.lax.conv_general_dilated(
+                    xf, k.astype(dtype), (1, 1), ((1 - di, di), (1 - dj, dj)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"), preferred_element_type=dtype,
+                )
             )
-            outs.append(y)
-    Co = outs[0].shape[-1]
-    y = jnp.stack(outs).reshape(2, 2, B * T, H, W_, Co)
-    y = y.transpose(2, 3, 0, 4, 1, 5).reshape(B, T, 2 * H, 2 * W_, Co)
+        # column interleave is a pure concat + reshape (dj lands next to
+        # channels in memory — no transpose, cheap for XLA to fuse)
+        z = jnp.concatenate(cols, axis=-1).reshape(B * T, H, 2 * W_, Co)
+        interleaved_rows.append(z)
+    # row interleave likewise: stack on a new axis right after H + reshape
+    y = jnp.stack(interleaved_rows, axis=2).reshape(B, T, 2 * H, 2 * W_, Co)
     return y + b.astype(dtype)
 
 

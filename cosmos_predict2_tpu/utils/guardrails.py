@@ -301,6 +301,32 @@ def _connected_components(mask: np.ndarray) -> np.ndarray:
     return labels
 
 
+def create_face_detector(checkpoint_path: Optional[str] = None):
+    """Face detector for the blur guardrail, model-backed when possible.
+
+    With a checkpoint (the public RetinaFace ``Resnet50_Final.pth``, the
+    same model the reference runs — face_blur_filter.py:53-80), returns a
+    :class:`~cosmos_predict2_tpu.utils.retinaface.RetinaFaceDetector`
+    through ``convert_retinaface_state_dict``. Without one, falls back to
+    the dependency-free skin-tone heuristic below.
+    """
+    if checkpoint_path:
+        import jax
+        import jax.numpy as jnp
+        import torch
+
+        from cosmos_predict2_tpu.utils.retinaface import (
+            RetinaFaceDetector,
+            convert_retinaface_state_dict,
+        )
+
+        sd = torch.load(checkpoint_path, map_location="cpu", weights_only=True)
+        sd = {k.removeprefix("module."): v.numpy() for k, v in sd.items()}
+        params = convert_retinaface_state_dict(sd)
+        return RetinaFaceDetector(jax.tree.map(jnp.asarray, params))
+    return heuristic_face_detector
+
+
 def heuristic_face_detector(frame_u8: np.ndarray, downsample: int = 8,
                             min_area_frac: float = 0.002) -> list:
     """(H, W, 3) uint8 -> [(x0, y0, x1, y1)] candidate face boxes."""

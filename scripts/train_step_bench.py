@@ -37,12 +37,16 @@ GEOMS = {
     # the multi-chip config; per-chip microbatch uses the short clip)
     "seq8320": (1, 16, 5, 64, 104),  # 17f 512x832
     "seq21120": (1, 16, 12, 64, 104),  # 45f 512x832 (longer clip, more attn-bound)
+    "seq84480": (1, 16, 24, 88, 160),  # 93f 704x1280 — the full-scale clip
+    "seq42240": (1, 16, 12, 88, 160),  # 45f 704x1280 (half-T full-res)
 }
 
 
 def main() -> None:
-    geom = sys.argv[1] if len(sys.argv) > 1 else "seq8320"
-    modes = (sys.argv[2],) if len(sys.argv) > 2 else ("selective", "block")
+    args = [a for a in sys.argv[1:] if a != "--sparse"]
+    sparse = "--sparse" in sys.argv[1:]
+    geom = args[0] if args else "seq8320"
+    modes = tuple(args[1:]) or ("selective", "block")
     LATENT = GEOMS[geom]
     B, C, T, H, W = LATENT
     seq = T * (H // 2) * (W // 2)
@@ -56,7 +60,15 @@ def main() -> None:
         rope_w_extrapolation_ratio=3.0,
         rope_enable_fps_modulation=False,
         dtype=jnp.bfloat16,
+        # --sparse: the reference production sparse recipe (sparse_2B.py:
+        # 326-327) — 1.55-1.94x cheaper activations may fit where dense OOMs
+        n_dense_blocks=7 if sparse else -1,
+        natten_window=(-1, 12, 24),
+        natten_stride=(1, 4, 8) if sparse else (1, 1, 1),
+        natten_base_size=(-1, 44, 80) if sparse else None,
     )
+    if sparse:
+        print(f"[train] SPARSE recipe (n_dense_blocks=7, window (-1,12,24), stride (1,4,8))", flush=True)
     x = jax.random.normal(jax.random.PRNGKey(0), LATENT, dtype=jnp.bfloat16)
     ts = jnp.full((B,), 500.0, dtype=jnp.float32)
     ctx = jax.random.normal(jax.random.PRNGKey(1), (B, 512, 1024), dtype=jnp.bfloat16) * 0.02

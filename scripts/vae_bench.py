@@ -27,6 +27,12 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+)
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -73,14 +79,22 @@ def run_chunks(sizes=(1, 2, 4)):
 
     for nlat in sizes:
         z = jax.random.normal(jax.random.PRNGKey(0), (1, nlat, LAT_H, LAT_W, 16), dtype=jnp.bfloat16)
-        state = wvs.init_decoder_state(cfg, 1, LAT_H, LAT_W, dtype=cfg.dtype)
         fn = wvs._jitted_chunk("dec", cfg, first=False)
-        lowered = fn.lower(params, z, state.caches)
-        compiled = lowered.compile()
+        # cost model from ABSTRACT shapes: a concrete cache pytree held
+        # alive next to the running one would double ~4.3 GiB of HBM
+        abstract = jax.tree.map(lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), (params, z))
+        caches_abs = jax.eval_shape(lambda: wvs.init_decoder_state(cfg, 1, LAT_H, LAT_W, dtype=cfg.dtype).caches)
+        compiled = fn.lower(abstract[0], abstract[1], caches_abs).compile()
         ca = compiled.cost_analysis()
+        ma = compiled.memory_analysis()
         flops = ca.get("flops", 0.0)
         bytes_ = ca.get("bytes accessed", 0.0)
-        # warm + timed laps (donated caches: re-init state each lap)
+        print(
+            f"[dec chunk={nlat}] temp={ma.temp_size_in_bytes/2**30:.2f} GiB "
+            f"args={ma.argument_size_in_bytes/2**30:.2f} GiB out={ma.output_size_in_bytes/2**30:.2f} GiB",
+            flush=True,
+        )
+        # warm + timed laps (donated caches update in place)
         caches = wvs.init_decoder_state(cfg, 1, LAT_H, LAT_W, dtype=cfg.dtype).caches
         px, caches = fn(params, z, caches)
         sync(px)
