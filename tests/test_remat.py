@@ -22,7 +22,7 @@ def test_remat_policies_same_gradients():
     ctx = jax.random.normal(jax.random.PRNGKey(1), (B, 8, 1024)) * 0.05
 
     grads = {}
-    for mode in ("none", "block", "selective"):
+    for mode in ("none", "block", "selective", "mixed:1"):
         net = MiniTrainDIT(dataclasses.replace(base, remat=mode))
         params = net.init(jax.random.PRNGKey(2), x, ts, ctx)
 
@@ -32,6 +32,6 @@ def test_remat_policies_same_gradients():
         grads[mode] = jax.jit(jax.grad(loss))(params)
 
     flat_none = jax.tree.leaves(grads["none"])
-    for mode in ("block", "selective"):
+    for mode in ("block", "selective", "mixed:1"):
         for a, b in zip(flat_none, jax.tree.leaves(grads[mode])):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5)
