@@ -1,0 +1,177 @@
+"""Pallas implicit-GEMM conv for the video VAE's causal 3x3x3 / 3x3 convs.
+
+XLA's TPU conv emitter reaches only ~26 TF/s / 269 GB/s on the Wan
+decoder's NHWC shapes (Cin/Cout in {96,192,384}, H*W up to 704x1280 —
+measured in scripts/vae_conv_micro*.py and vae_bench.py; none of the
+standard lowering variants beat it, and neither roofline is close). This
+kernel expresses the conv as what the MXU actually wants: per (t, row
+band) tile, kt*9 accumulated matmuls of a (th*W, Cin) activation slab
+against a (Cin, Cout) tap matrix, f32 accumulator, one HBM read of x and
+one write of out.
+
+TPU layout rules shape the design (Mosaic requires 8-aligned slices on
+the sublane dim):
+  * tiles span the FULL width W (sublane dim W is a multiple of 8 for
+    every Wan resolution; rows H and frames T are untiled dims where
+    arbitrary slicing is legal),
+  * the W-halo is handled by padding W to W+8 and doing the dw shift
+    with ``pltpu.roll`` (lane-preserving circular shift) followed by an
+    offset-0 aligned slice — never an odd-offset slice,
+  * the H-halo rides inside the DMA'd band (th+2 rows, H untiled),
+  * x stays in HBM (memory_space=ANY) and row bands are fetched with
+    explicitly double-buffered async copies so the next band's DMA
+    overlaps this band's 27 matmuls.
+
+Contract matches the streaming VAE's `_stream_conv`/`_conv3d` (temporal
+taps already concatenated by the cache: T_in = T_out + kt - 1, "valid" in
+time, SAME (pad 1) spatially). Reference semantics:
+cosmos_predict2/_src/predict2/tokenizers/wan2pt1.py (CausalConv3d).
+
+Measured on the v5e chip at the streaming-decode chunk shapes (bf16):
+1.53x XLA at T2 176x320 384ch, 1.47x at 192->384, 1.12x at T4 352x640
+192ch, 1.24x at T4 704x1280 96ch. The remaining ceiling is accumulator /
+patch-relayout VMEM traffic: with K = Cin per tap matmul the arithmetic
+intensity against VMEM is ~K/6 flop/byte, which caps the kernel near
+40 TF/s at Cin<=128 regardless of tiling (see docs/PERF.md VAE section).
+
+System-level caveat (scripts/vae_bench.py convcmp, docs/PERF.md): the
+per-dispatch win (1197 vs 1400 ms/steady chunk) survives a serialized
+whole-clip decode (30.2 vs 30.5 s) but programs containing this kernel do
+not overlap with the host spool's async D2H pulls (31.4 vs 20.6 s
+overlapped) — so the overlapped `out="host"` streaming route pins the XLA
+conv, and this kernel serves serialized / device-resident decodes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _conv_kernel(x_hbm, w_ref, b_ref, out_ref, xbuf, sems, *, kt: int, th: int, W: int, n_i: int):
+    t = pl.program_id(0)
+    i = pl.program_id(1)
+    g = t * n_i + i
+
+    def start_fetch(t_, i_, slot):
+        pltpu.make_async_copy(
+            x_hbm.at[pl.ds(t_, kt), pl.ds(i_ * th, th + 2)],
+            xbuf.at[slot],
+            sems.at[slot],
+        ).start()
+
+    @pl.when(g == 0)
+    def _():
+        start_fetch(t, i, 0)
+
+    # prefetch the next band into the other slot while we compute
+    nxt = g + 1
+    @pl.when(nxt < pl.num_programs(0) * n_i)
+    def _():
+        start_fetch(nxt // n_i, nxt % n_i, nxt % 2)
+
+    pltpu.make_async_copy(
+        x_hbm.at[pl.ds(t, kt), pl.ds(i * th, th + 2)], xbuf.at[g % 2], sems.at[g % 2]
+    ).wait()
+
+    x = xbuf[g % 2]  # (kt, th+2, W+8, Cin)
+    cin = x.shape[-1]
+    cout = out_ref.shape[-1]
+    acc = jnp.zeros((th * W, cout), dtype=jnp.float32)
+    for dw in range(3):
+        for dt in range(kt):
+            for dh in range(3):
+                # static slice: aligned shape (W % 8 == 0), small constant
+                # offset — Mosaic lowers the sublane offset via vreg shifts
+                patch = x[dt, dh : dh + th, dw : dw + W, :].reshape(th * W, cin)
+                acc += jnp.dot(patch, w_ref[dt, dh, dw], preferred_element_type=jnp.float32)
+    out = acc + b_ref[0].astype(jnp.float32)
+    out_ref[...] = out.reshape(1, th, W, cout).astype(out_ref.dtype)
+
+
+def _pick_th(H: int, W: int, cin: int, cout: int) -> int:
+    """Row-band height: divide H, keep VMEM (2 x-slots + acc + out) bounded."""
+    best = 1
+    for th in (16, 8, 4, 2, 1):
+        if H % th:
+            continue
+        vmem = (
+            2 * 3 * (th + 2) * (W + 8) * max(cin, 128) * 2  # double-buffered x
+            + th * W * max(cout, 128) * (4 + 2 * 2)  # f32 acc + 2 out slots
+            + 27 * max(cin, 128) * max(cout, 128) * 2  # resident taps
+        )
+        if vmem <= 96 * 2**20:
+            best = th
+            break
+    return best
+
+
+@functools.partial(jax.jit, static_argnames=("kt", "out_dtype", "interpret"))
+def conv3d_causal_taps(x, w, b, *, kt: int = 3, out_dtype=jnp.bfloat16, interpret: bool = False):
+    """x: (B, T_in, H, W, Cin) with T_in = T_out + kt - 1 (taps pre-stacked,
+    e.g. the streaming cache concat); w: (kt, 3, 3, Cin, Cout); b: (Cout,).
+
+    Equals lax.conv_general_dilated(x, w, valid-in-time, SAME-1 spatially).
+    Requires W % 8 == 0 (true for all Wan latent/pixel widths).
+    """
+    B, T_in, H, W, Cin = x.shape
+    assert B == 1, "VAE decode runs B=1; fold batch into T upstream"
+    assert W % 8 == 0, W
+    T_out = T_in - kt + 1
+    Cout = w.shape[-1]
+
+    # Mosaic requires the lane dim of sliced VMEM refs to be 128-aligned;
+    # zero-pad channels (zero taps contribute nothing to the accumulator).
+    cin_p = -(-Cin // 128) * 128
+    cout_p = -(-Cout // 128) * 128
+    if cin_p != Cin or cout_p != Cout:
+        x = jnp.pad(x, ((0, 0),) * 4 + ((0, cin_p - Cin),))
+        w = jnp.pad(w, ((0, 0),) * 3 + ((0, cin_p - Cin), (0, cout_p - Cout)))
+        b = jnp.pad(b, (0, cout_p - Cout))
+        out = conv3d_causal_taps(x, w, b, kt=kt, out_dtype=out_dtype, interpret=interpret)
+        return out[..., :Cout]
+    th = _pick_th(H, W, Cin, Cout)
+
+    # H: SAME halo pad; W: 1 left + 7 right so every roll-slice is aligned
+    xp = jnp.pad(x[0], ((0, 0), (1, 1), (1, 7), (0, 0)))
+
+    n_i = H // th
+    grid = (T_out, n_i)
+    out = pl.pallas_call(
+        functools.partial(_conv_kernel, kt=kt, th=th, W=W, n_i=n_i),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM, manual DMA
+            pl.BlockSpec((kt, 3, 3, Cin, Cout), lambda t, i: (0, 0, 0, 0, 0)),
+            pl.BlockSpec((1, Cout), lambda t, i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, th, W, Cout), lambda t, i: (t, i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((T_out, H, W, Cout), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, kt, th + 2, W + 8, Cin), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 2**20,
+        ),
+        interpret=interpret,
+    )(xp, w, b.reshape(1, Cout))
+    return out[None]
+
+
+def conv3d_causal_taps_reference(x, w, b, *, kt: int = 3, out_dtype=jnp.bfloat16):
+    """XLA conv with the same contract (for parity tests / fallback)."""
+    out = jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(1, 1, 1),
+        padding=((0, 0), (1, 1), (1, 1)),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    return (out + b.astype(jnp.float32)).astype(out_dtype)

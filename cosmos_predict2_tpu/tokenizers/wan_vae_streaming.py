@@ -22,6 +22,7 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
+from cosmos_predict2_tpu.ops import conv3d as pallas_conv3d
 from cosmos_predict2_tpu.ops.normalization import channel_l2_norm
 from cosmos_predict2_tpu.tokenizers.wan_vae import (
     WAN_LATENT_MEAN,
@@ -31,6 +32,40 @@ from cosmos_predict2_tpu.tokenizers.wan_vae import (
 )
 
 CACHE_T = 2
+
+# Backend for the hot 3x3x3 causal convs (the bulk of decode FLOPs):
+#   "auto"      — Pallas implicit-GEMM kernel (ops/conv3d.py) on TPU when the
+#                 shape qualifies, XLA conv otherwise,
+#   "xla"       — always the XLA conv,
+#   "interpret" — Pallas kernel in interpreter mode (CPU parity tests).
+#
+# Measured on chip (docs/PERF.md "VAE" section): the Pallas kernel wins
+# per-dispatch (1197 vs 1400 ms/steady chunk sync) and ties a serialized
+# whole-clip decode (30.2 vs 30.5 s), but programs containing the custom
+# kernel do NOT overlap with the host spool's async D2H pulls (31.4 vs
+# 20.6 s overlapped) — so the overlapped `out="host"` route pins the XLA
+# conv and "auto" applies to serialized / device-resident decodes.
+_CONV_BACKEND = "auto"
+# Below this channel count the kernel's pad-to-128 lanes waste more MACs
+# than its layout win recovers (e.g. encoder conv1 Cin=3, decoder head
+# Cout=3); those convs stay on XLA. Tests lower this to cover the Pallas
+# path at toy widths.
+_PALLAS_MIN_CH = 64
+
+
+def set_conv_backend(mode: str) -> None:
+    assert mode in ("auto", "xla", "interpret"), mode
+    global _CONV_BACKEND
+    _CONV_BACKEND = mode
+
+
+def _use_pallas_conv(xin, w) -> bool:
+    if _CONV_BACKEND == "xla" or w.shape[:3] != (3, 3, 3):
+        return False
+    B, _, _, W, cin = xin.shape
+    if B != 1 or W % 8 or min(cin, w.shape[-1]) < _PALLAS_MIN_CH:
+        return False
+    return _CONV_BACKEND == "interpret" or jax.default_backend() == "tpu"
 
 
 # ----------------------------- primitive ops -----------------------------
@@ -69,7 +104,17 @@ def _norm(p, x):
 def _stream_conv(p, x, cache, dtype):
     """Causal k_t=3 conv with a 2-frame input cache (zeros at stream start)."""
     xin = jnp.concatenate([cache.astype(x.dtype), x], axis=1)
-    out = _conv3d(p, xin, (0, 0), dtype=dtype)
+    if _use_pallas_conv(xin, p["weight"]):
+        out = pallas_conv3d.conv3d_causal_taps(
+            xin.astype(dtype),
+            p["weight"].astype(dtype),
+            p["bias"],
+            kt=3,
+            out_dtype=dtype,
+            interpret=_CONV_BACKEND == "interpret",
+        )
+    else:
+        out = _conv3d(p, xin, (0, 0), dtype=dtype)
     return out, xin[:, -CACHE_T:]
 
 
@@ -313,32 +358,44 @@ def decode_streaming(
     to_host = out in ("host", "host_sync")
     to_out = (lambda a: np.asarray(a)) if to_host else (lambda a: a)
     u8 = pixel_format == "uint8"
-    first_fn = _jitted_chunk("dec", vae_cfg, first=True, to_u8=u8)
-    steady = _jitted_chunk("dec", vae_cfg, first=False, to_u8=u8)
-    outs = []
-    px, caches = first_fn(params, z[:, :1], state.caches)
-    if out == "host":
-        # overlapped spool: keep one chunk in flight, pull the previous
-        # while the device runs the next
-        pos, pending = 1, px
+    # Overlapped host spool + Pallas conv don't compose (module docstring /
+    # PERF.md): the custom-kernel program serializes against the async D2H
+    # pulls, costing more than the kernel saves. Pin XLA for this route.
+    # The pin must cover execution, not just _jitted_chunk(): the backend
+    # global is consulted when jit TRACES on first call.
+    global _CONV_BACKEND
+    saved_backend = _CONV_BACKEND
+    if out == "host" and _CONV_BACKEND == "auto":
+        _CONV_BACKEND = "xla"
+    try:
+        first_fn = _jitted_chunk("dec", vae_cfg, first=True, to_u8=u8)
+        steady = _jitted_chunk("dec", vae_cfg, first=False, to_u8=u8)
+        outs = []
+        px, caches = first_fn(params, z[:, :1], state.caches)
+        if out == "host":
+            # overlapped spool: keep one chunk in flight, pull the previous
+            # while the device runs the next
+            pos, pending = 1, px
+            while pos < t:
+                end = min(pos + chunk_latent_frames, t)
+                px, caches = steady(params, z[:, pos:end], caches)  # async dispatch
+                outs.append(to_out(pending))
+                pending = px
+                pos = end
+            outs.append(to_out(pending))
+            return np.concatenate(outs, axis=1)
+        outs.append(to_out(px))
+        pos = 1
         while pos < t:
             end = min(pos + chunk_latent_frames, t)
-            px, caches = steady(params, z[:, pos:end], caches)  # async dispatch
-            outs.append(to_out(pending))
-            pending = px
+            px, caches = steady(params, z[:, pos:end], caches)
+            outs.append(to_out(px))
             pos = end
-        outs.append(to_out(pending))
-        return np.concatenate(outs, axis=1)
-    outs.append(to_out(px))
-    pos = 1
-    while pos < t:
-        end = min(pos + chunk_latent_frames, t)
-        px, caches = steady(params, z[:, pos:end], caches)
-        outs.append(to_out(px))
-        pos = end
-    if to_host:
-        return np.concatenate(outs, axis=1)
-    return jnp.concatenate(outs, axis=1)
+        if to_host:
+            return np.concatenate(outs, axis=1)
+        return jnp.concatenate(outs, axis=1)
+    finally:
+        _CONV_BACKEND = saved_backend
 
 
 # ---------------------- jit plumbing for the host loops ----------------------
@@ -363,7 +420,7 @@ def _jitted_chunk(kind: str, cfg: WanVAEConfig, *, first: bool, to_u8: bool = Fa
     chunk. ``first`` is a trace-time constant (the frame-0 "Rep" bypass is
     Python control flow), so first/steady chunks get separate programs.
     ``to_u8`` fuses [-1,1] -> uint8 quantization into the program (decode)."""
-    key = (kind, _cfg_key(cfg), first, to_u8)
+    key = (kind, _cfg_key(cfg), first, to_u8, _CONV_BACKEND)
     fn = _JIT_CACHE.get(key)
     if fn is None:
         base = encoder_chunk if kind == "enc" else decoder_chunk

@@ -43,6 +43,13 @@ def get_backend(scheme: str):
             from cosmos_predict2_tpu.utils.remote_io import GCSBackend
 
             _BACKENDS[scheme] = GCSBackend()
+        elif scheme == "msc":
+            from cosmos_predict2_tpu.utils.remote_io import MSCBackend
+
+            _BACKENDS[scheme] = MSCBackend(
+                config_path=os.environ.get("MSC_CONFIG"),
+                profile=os.environ.get("MSC_PROFILE", "default"),
+            )
         else:
             raise NotImplementedError(f"no backend registered for scheme '{scheme}://'")
     return _BACKENDS[scheme]

@@ -291,3 +291,75 @@ class GCSBackend:
             page = data.get("nextPageToken")
             if not page:
                 return
+
+
+class MSCBackend:
+    """Multi-Storage Client backend (``msc://`` paths).
+
+    Mirrors the reference's MSC easy_io backend
+    (imaginaire/utils/easy_io/backends/msc_backend.py): a thin adapter over
+    the ``multistorageclient`` package's ``StorageClient``, with the same
+    URL-path translation semantics — URL file paths (``s3://bucket/key``)
+    are rewritten through ``path_mapping`` (longest-prefix-first replace)
+    into profile-relative paths, in which case the provider's base path
+    must be empty.
+
+    ``multistorageclient`` is not bundled; construction raises a clear
+    RemoteIOError when it is missing (tests inject a fake client).
+    """
+
+    def __init__(
+        self,
+        config_path: Optional[str] = None,
+        profile: str = "default",
+        path_mapping: Optional[dict] = None,
+        client=None,
+    ):
+        if client is None:
+            try:
+                from multistorageclient import StorageClient, StorageClientConfig
+            except ImportError as e:  # pragma: no cover - env without MSC
+                raise RemoteIOError(
+                    "msc:// paths need the 'multistorageclient' package "
+                    "(pip install multi-storage-client), or pass an explicit "
+                    "client"
+                ) from e
+            client = StorageClient(
+                config=StorageClientConfig.from_file(config_path=config_path, profile=profile)
+                if config_path
+                else StorageClientConfig.from_json(profile=profile)
+            )
+        self._client = client
+        # longest prefix first so the most specific mapping wins
+        self._path_mapping = dict(
+            sorted((path_mapping or {}).items(), key=lambda kv: -len(kv[0]))
+        )
+
+    def _translate(self, path: str) -> str:
+        if path.startswith("msc://"):
+            path = path[len("msc://"):]
+        for src, dst in self._path_mapping.items():
+            if path.startswith(src):
+                return dst + path[len(src):]
+        return path
+
+    def get(self, path: str) -> bytes:
+        return self._client.read(path=self._translate(path))
+
+    def put(self, data: bytes, path: str) -> None:
+        self._client.write(path=self._translate(path), body=data)
+
+    def exists(self, path: str) -> bool:
+        p = self._translate(path)
+        if self._client.is_file(path=p):
+            return True
+        return not self._client.is_empty(path=p)
+
+    def remove(self, path: str) -> None:
+        self._client.delete(path=self._translate(path), recursive=False)
+
+    def list(self, prefix_path: str) -> Iterator[str]:
+        for meta in self._client.list(
+            path=self._translate(prefix_path), include_directories=False, include_url_prefix=False
+        ):
+            yield getattr(meta, "key", str(meta))

@@ -87,7 +87,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("geom", nargs="?", default="small", choices=["small", "full"])
     ap.add_argument("--steps", type=int, default=35)
-    ap.add_argument("--repeat", type=int, default=2)
+    # >=4 steady laps for a robust p50 (VERDICT r2 #9); per-lap times printed
+    ap.add_argument("--repeat", type=int, default=4)
     ap.add_argument("--sparse", action="store_true", help="GNA sparse interleave (sparse_2B recipe)")
     args = ap.parse_args()
 

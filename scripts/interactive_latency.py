@@ -79,17 +79,22 @@ def main() -> None:
         )
     )
 
+    # block_until_ready does not sync through the axon tunnel; force a
+    # scalar fetch instead (same convention as bench.py / fa_bwd_bench.py)
+    def sync(a):
+        return float(jnp.sum(a[..., :1].astype(jnp.float32)))
+
     print("[stream] compiling block step ...", flush=True)
     t0 = time.perf_counter()
     x, caches = step_fn(params, jax.random.PRNGKey(1), caches, 0)
-    x.block_until_ready()
+    sync(x)
     print(f"[stream] first block (incl compile): {time.perf_counter() - t0:.1f}s", flush=True)
 
     laps = []
     for i in range(args.blocks):
         t0 = time.perf_counter()
         x, caches = step_fn(params, jax.random.PRNGKey(2 + i), caches, i + 1)
-        x.block_until_ready()
+        sync(x)
         laps.append(time.perf_counter() - t0)
     p50 = float(np.median(laps))
     print(

@@ -164,6 +164,47 @@ def run_e2e(cases=(("host_sync", 1, "float"), ("host", 1, "float"), ("host", 1, 
             print(f"[e2e {mode} chunk={nlat} {fmt}] FAILED {type(e).__name__}: {str(e)[:150]}", flush=True)
 
 
+def run_convcmp(sizes=(1, 2, 4)):
+    """Pallas conv3d backend vs XLA: per-chunk timing + whole-clip decode."""
+    from cosmos_predict2_tpu.tokenizers import wan_vae_streaming as wvs
+
+    cfg, params = make_vae()
+    kind, peak, bw = chip()
+    print(f"[chip] {kind}: bf16 peak {peak/1e12:.0f} TF/s, HBM {bw/1e9:.0f} GB/s", flush=True)
+
+    z_full = jax.random.normal(jax.random.PRNGKey(0), (1, LAT_T, LAT_H, LAT_W, 16), dtype=jnp.bfloat16)
+    for backend in ("xla", "auto"):
+        wvs.set_conv_backend(backend)
+        for nlat in sizes:
+            try:
+                z = z_full[:, :nlat]
+                fn = wvs._jitted_chunk("dec", cfg, first=False)
+                caches = wvs.init_decoder_state(cfg, 1, LAT_H, LAT_W, dtype=cfg.dtype).caches
+                px, caches = fn(params, z, caches)
+                sync(px)
+                times = []
+                for _ in range(4):
+                    t0 = time.perf_counter()
+                    px, caches = fn(params, z, caches)
+                    sync(px)
+                    times.append(time.perf_counter() - t0)
+                print(f"[convcmp {backend} chunk={nlat}] t={min(times)*1e3:.0f} ms", flush=True)
+            except Exception as e:
+                print(f"[convcmp {backend} chunk={nlat}] FAILED {type(e).__name__}: {str(e)[:120]}", flush=True)
+        # whole-clip decode, overlapped spool + uint8 (the production route)
+        kw = dict(chunk_latent_frames=sizes[0], out="host", pixel_format="uint8")
+        out = wvs.decode_streaming(cfg, params, z_full, **kw)
+        _ = float(np.sum(np.asarray(out[:, :1], np.float32)))
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = wvs.decode_streaming(cfg, params, z_full, **kw)
+            _ = float(np.sum(np.asarray(out[:, :1], np.float32)))
+            times.append(time.perf_counter() - t0)
+        print(f"[convcmp {backend} e2e u8] decode {N_FRAMES}f {PIX_H}x{PIX_W}: {min(times):.1f} s", flush=True)
+    wvs.set_conv_backend("auto")
+
+
 if __name__ == "__main__":
     cmd = sys.argv[1] if len(sys.argv) > 1 else "chunks"
     if cmd == "chunks":
@@ -173,5 +214,8 @@ if __name__ == "__main__":
         run_e2e()
     elif cmd == "attn":
         run_attn()
+    elif cmd == "convcmp":
+        sizes = tuple(int(a) for a in sys.argv[2:]) or (1, 2, 4)
+        run_convcmp(sizes)
     else:
         raise SystemExit(f"unknown subcommand {cmd}")

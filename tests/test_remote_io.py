@@ -181,3 +181,60 @@ def test_sharded_tar_dataset_streams_remote_shards(store, tmp_path):
     # spool stayed bounded: at most the look-ahead shard remains
     leftover = list((tmp_path / "spool").glob("*.tar"))
     assert len(leftover) <= 2
+
+
+@pytest.mark.level(0)
+def test_msc_backend_fake_client():
+    """MSC backend adapter semantics vs a fake multistorageclient.
+
+    Mirrors reference msc_backend.py: path_mapping longest-prefix rewrite,
+    read/write/is_file/list delegation (ref easy_io/backends/msc_backend.py).
+    """
+    from cosmos_predict2_tpu.utils.remote_io import MSCBackend
+
+    class Meta:
+        def __init__(self, key):
+            self.key = key
+
+    class FakeClient:
+        def __init__(self):
+            self.blobs = {}
+
+        def read(self, path):
+            return self.blobs[path]
+
+        def write(self, path, body):
+            self.blobs[path] = bytes(body)
+
+        def is_file(self, path):
+            return path in self.blobs
+
+        def is_empty(self, path):
+            return not any(k.startswith(path) for k in self.blobs)
+
+        def delete(self, path, recursive):
+            del self.blobs[path]
+
+        def list(self, path, include_directories, include_url_prefix):
+            return [Meta(k) for k in sorted(self.blobs) if k.startswith(path)]
+
+    fake = FakeClient()
+    be = MSCBackend(client=fake, path_mapping={"s3://bucket/": "data/", "s3://bucket/deep/": "deep/"})
+    be.put(b"hello", "msc://s3://bucket/a.txt")
+    assert fake.blobs == {"data/a.txt": b"hello"}  # longest-prefix mapping applied
+    be.put(b"x", "msc://s3://bucket/deep/b.bin")
+    assert "deep/b.bin" in fake.blobs  # the more specific prefix wins
+    assert be.get("msc://s3://bucket/a.txt") == b"hello"
+    assert be.exists("msc://s3://bucket/a.txt")
+    assert not be.exists("msc://s3://bucket/missing")
+    assert list(be.list("msc://s3://bucket/")) == ["data/a.txt"]
+    be.remove("msc://s3://bucket/a.txt")
+    assert not be.exists("msc://s3://bucket/a.txt")
+
+    # easy_io routing: registered msc backend serves load()
+    easy_io.register_backend("msc", be)
+    try:
+        be.put(json.dumps({"k": 1}).encode(), "msc://s3://bucket/c.json")
+        assert easy_io.load("msc://s3://bucket/c.json") == {"k": 1}
+    finally:
+        easy_io._BACKENDS.pop("msc", None)

@@ -102,6 +102,31 @@ def test_streaming_encode_decode_exact(vae_and_params):
 
 
 @pytest.mark.level(1)
+def test_streaming_decode_pallas_conv_backend(vae_and_params):
+    """The Pallas conv3d backend must reproduce the XLA streaming decode.
+
+    Runs the kernel in interpreter mode with the channel gate lowered so the
+    toy-width convs actually take the Pallas path (on the chip the same
+    routing fires for the production 96/192/384-channel stages).
+    """
+    from cosmos_predict2_tpu.tokenizers import wan_vae_streaming as wvs
+
+    vae, params = vae_and_params
+    z = jax.random.normal(jax.random.PRNGKey(9), (1, 3, 4, 4, 16)) * 0.5
+    ref = wvs.decode_streaming(vae.config, params, z, chunk_latent_frames=1)
+    old_min = wvs._PALLAS_MIN_CH
+    wvs.set_conv_backend("interpret")
+    wvs._PALLAS_MIN_CH = 8
+    try:
+        out = wvs.decode_streaming(vae.config, params, z, chunk_latent_frames=1)
+    finally:
+        wvs.set_conv_backend("auto")
+        wvs._PALLAS_MIN_CH = old_min
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
+@pytest.mark.level(1)
 def test_vae_interface_normalization(vae_and_params):
     from cosmos_predict2_tpu.tokenizers.interface import VAEInterfaceConfig, WanVAEInterface
     from cosmos_predict2_tpu.tokenizers.wan_vae import WanVAEConfig
