@@ -31,13 +31,17 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--hw", type=int, nargs=2, default=(44, 80), help="latent h w (44 80 = 720p)")
-    ap.add_argument("--blocks", type=int, default=8)
-    ap.add_argument("--cache-frames", type=int, default=16)
-    args = ap.parse_args()
+def measure(
+    hw: tuple[int, int] = (44, 80),
+    blocks: int = 8,
+    cache_frames: int = 16,
+    net_cfg=None,
+    num_steps: int = 4,
+) -> dict:
+    """Run the KV-cache streaming probe; returns {"p50_s", "latent_fps", "pixel_fps", "laps"}.
 
+    net_cfg defaults to the 2B causal DiT; tests pass a tiny preset so the
+    same probe path runs on the CPU mesh (level-2 test)."""
     from cosmos_predict2_tpu.conditioning.conditioner import make_condition
     from cosmos_predict2_tpu.models.interactive import (
         CausalVideo2WorldModel,
@@ -47,7 +51,7 @@ def main() -> None:
     )
     from cosmos_predict2_tpu.networks.dit import DiTConfig
 
-    net = DiTConfig(
+    net = net_cfg or DiTConfig(
         model_channels=2048,
         num_heads=16,
         num_blocks=28,
@@ -59,19 +63,19 @@ def main() -> None:
         remat="none",
         temporal_causal=True,
     )
-    h, w = args.hw
+    h, w = hw
     model = CausalVideo2WorldModel(causal_model_config(net, num_frame_per_block=1))
-    scfg = StreamingConfig(num_frame_per_block=1, cache_frame_size=args.cache_frames, num_steps=4)
+    scfg = StreamingConfig(num_frame_per_block=1, cache_frame_size=cache_frames, num_steps=num_steps)
     stream = StreamingInference(scfg, model)
 
     latent = (1, 16, 1, h, w)
-    print(f"[stream] init 2B causal params, latent frame {h}x{w} ...", flush=True)
+    print(f"[stream] init causal params ({net.model_channels}ch), latent frame {h}x{w} ...", flush=True)
     params = model.init_params(jax.random.PRNGKey(0), (1, 16, 4, h, w), text_len=512)
-    params = jax.tree.map(lambda p: p.astype(jnp.bfloat16) if p.ndim >= 2 else p, params)
-    emb = jnp.ones((1, 512, 1024), jnp.bfloat16) * 0.01
+    params = jax.tree.map(lambda p: p.astype(net.dtype) if p.ndim >= 2 else p, params)
+    emb = jnp.ones((1, 512, 1024), net.dtype) * 0.01
     cond = make_condition(emb)
 
-    caches = model.init_kv_caches(1, args.cache_frames + 1, h, w)
+    caches = model.init_kv_caches(1, cache_frames + 1, h, w)
 
     step_fn = jax.jit(
         lambda params, rng, caches, t_pos: stream.generate_block(
@@ -91,7 +95,7 @@ def main() -> None:
     print(f"[stream] first block (incl compile): {time.perf_counter() - t0:.1f}s", flush=True)
 
     laps = []
-    for i in range(args.blocks):
+    for i in range(blocks):
         t0 = time.perf_counter()
         x, caches = step_fn(params, jax.random.PRNGKey(2 + i), caches, i + 1)
         sync(x)
@@ -103,6 +107,16 @@ def main() -> None:
         f"(real-time 16 fps needs 4 latent f/s: {'YES' if 4 / p50 >= 16 else 'no'})",
         flush=True,
     )
+    return {"p50_s": p50, "latent_fps": 1 / p50, "pixel_fps": 4 / p50, "laps": laps}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--hw", type=int, nargs=2, default=(44, 80), help="latent h w (44 80 = 720p)")
+    ap.add_argument("--blocks", type=int, default=8)
+    ap.add_argument("--cache-frames", type=int, default=16)
+    args = ap.parse_args()
+    measure(tuple(args.hw), args.blocks, args.cache_frames)
 
 
 if __name__ == "__main__":

@@ -123,3 +123,22 @@ def test_self_forcing_dmd2_losses(causal_setup):
     closs_v, cg = jax.value_and_grad(closs)(params)
     assert np.isfinite(float(closs_v))
     assert sum(float(jnp.sum(jnp.abs(x))) for x in jax.tree.leaves(cg)) > 0.0
+
+
+@pytest.mark.level(2)
+def test_interactive_latency_probe():
+    """The streaming-latency probe (scripts/interactive_latency.py) runs
+    end-to-end and reports a finite p50; on the chip the same `measure()`
+    produces the PERF.md real-time numbers (ref: interactive/inference/
+    action_video2world_streaming.py:90-297)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"))
+    from interactive_latency import measure
+
+    net = dataclasses.replace(PRESETS["test"], dtype=jnp.float32, remat="none", temporal_causal=True)
+    r = measure(hw=(8, 8), blocks=3, cache_frames=4, net_cfg=net, num_steps=2)
+    assert r["p50_s"] > 0 and np.isfinite(r["p50_s"])
+    assert len(r["laps"]) == 3
+    assert r["pixel_fps"] == pytest.approx(4 * r["latent_fps"])
