@@ -36,6 +36,8 @@ GEOMS = {
     # post-training local-data recipe geometry (SURVEY §2.5: 93f 704x1280 is
     # the multi-chip config; per-chip microbatch uses the short clip)
     "seq8320": (1, 16, 5, 64, 104),  # 17f 512x832
+    "seq13312": (1, 16, 8, 64, 104),  # 29f 512x832
+    "seq16640": (1, 16, 10, 64, 104),  # 37f 512x832
     "seq21120": (1, 16, 12, 64, 104),  # 45f 512x832 (longer clip, more attn-bound)
     "seq84480": (1, 16, 24, 88, 160),  # 93f 704x1280 — the full-scale clip
     "seq42240": (1, 16, 12, 88, 160),  # 45f 704x1280 (half-T full-res)
@@ -43,8 +45,9 @@ GEOMS = {
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a != "--sparse"]
+    args = [a for a in sys.argv[1:] if a not in ("--sparse", "--lora")]
     sparse = "--sparse" in sys.argv[1:]
+    lora = "--lora" in sys.argv[1:]
     geom = args[0] if args else "seq8320"
     modes = tuple(args[1:]) or ("selective", "block")
     LATENT = GEOMS[geom]
@@ -95,11 +98,28 @@ def main() -> None:
             shapes,
         )
 
-        def loss_fn(p):
-            v = net.apply(p, x, ts, ctx)
-            return jnp.mean(jnp.square((v - target).astype(jnp.float32)))
+        if lora:
+            # the reference's single-device post-training mode (SURVEY §2.5
+            # LoRA recipes): base params frozen, grads only for the adapters
+            from cosmos_predict2_tpu.training.lora import init_lora_params, merge_lora
 
-        step = jax.jit(jax.value_and_grad(loss_fn))
+            lora_tree = init_lora_params(jax.random.PRNGKey(9), params, rank=16)
+
+            def loss_fn(lt, base):
+                v = net.apply(merge_lora(base, lt, rank=16), x, ts, ctx)
+                return jnp.mean(jnp.square((v - target).astype(jnp.float32)))
+
+            step = jax.jit(jax.value_and_grad(loss_fn))
+            orig_step = step
+            step = lambda p: orig_step(lora_tree, p)
+            print("[train] LoRA rank 16 (base frozen)", flush=True)
+        else:
+
+            def loss_fn(p):
+                v = net.apply(p, x, ts, ctx)
+                return jnp.mean(jnp.square((v - target).astype(jnp.float32)))
+
+            step = jax.jit(jax.value_and_grad(loss_fn))
         print(f"[train] remat={mode} seq={seq} compiling ...", flush=True)
 
         # NB: block_until_ready does not actually sync through the axon
