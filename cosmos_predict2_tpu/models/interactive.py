@@ -118,6 +118,25 @@ class StreamingInference:
         self.model = model
         self.dm = DistillationModel(dataclasses.replace(config.distill, model=model.config))
         self.dm.base = model
+        self._jit_blocks: dict = {}
+
+    def _jitted_block(self, block_shape: tuple):
+        """Compiled generate_block with DONATED caches for the inference loop.
+
+        Without donation two full KV-cache copies are live across the step
+        boundary — 13.7 GB at 720p cache-16, which alone exceeds a 16 GB
+        chip. (The training rollout must NOT donate: it reuses the caches
+        under grad.)"""
+        fn = self._jit_blocks.get(block_shape)
+        if fn is None:
+            fn = jax.jit(
+                lambda params, rng, cond, caches, t_pos: self.generate_block(
+                    params, rng, cond, caches, block_shape, t_pos
+                ),
+                donate_argnums=(3,),
+            )
+            self._jit_blocks[block_shape] = fn
+        return fn
 
     def prefill(self, params, latents_B_C_T_H_W, condition, kv_caches, t_start=0):
         """Append clean frames' kv to the cache (timestep ~0 = clean)."""
@@ -194,8 +213,8 @@ class StreamingInference:
         while generated < num_latent_frames:
             nb = cfg.num_frame_per_block
             block_shape = (B, state_ch, nb, h, w)
-            x, caches = self.generate_block(
-                params, jax.random.fold_in(rng, step), condition, caches, block_shape, t_pos
+            x, caches = self._jitted_block(block_shape)(
+                params, jax.random.fold_in(rng, step), condition, caches, t_pos
             )
             blocks.append(x)
             generated += nb

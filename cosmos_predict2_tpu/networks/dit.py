@@ -249,15 +249,23 @@ class Attention(nn.Module):
             k_buf = jax.lax.dynamic_update_slice(kv_cache["k"], k.astype(kv_cache["k"].dtype), (0, kv_cache["len"], 0, 0))
             v_buf = jax.lax.dynamic_update_slice(kv_cache["v"], v.astype(kv_cache["v"].dtype), (0, kv_cache["len"], 0, 0))
             new_cache = {"k": k_buf, "v": v_buf, "len": kv_cache["len"] + s_new}
-            # masked attention over the buffer: only filled positions visible
-            d = self.head_dim
-            scale = 1.0 / np.sqrt(d)
-            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k_buf, preferred_element_type=jnp.float32) * scale
-            visible = jnp.arange(k_buf.shape[1])[None, None, None, :] < new_cache["len"]
-            logits = jnp.where(visible, logits, -1e30)
-            probs = jax.nn.softmax(logits, axis=-1)
-            out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v_buf, preferred_element_type=jnp.float32)
-            out = out.astype(q.dtype)
+            if jax.default_backend() == "tpu":
+                # flash decode over the ring buffer: the materialized-score
+                # alternative below allocates an f32 (H, Sq, S_max) matrix —
+                # 6.66 GB at 720p cache-16, which alone OOMs a 16 GB chip
+                from cosmos_predict2_tpu.ops.flash_attention import flash_attention_kv_cache
+
+                out = flash_attention_kv_cache(q, k_buf, v_buf, new_cache["len"])
+            else:
+                # masked attention over the buffer: only filled positions visible
+                d = self.head_dim
+                scale = 1.0 / np.sqrt(d)
+                logits = jnp.einsum("bqhd,bkhd->bhqk", q, k_buf, preferred_element_type=jnp.float32) * scale
+                visible = jnp.arange(k_buf.shape[1])[None, None, None, :] < new_cache["len"]
+                logits = jnp.where(visible, logits, -1e30)
+                probs = jax.nn.softmax(logits, axis=-1)
+                out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v_buf, preferred_element_type=jnp.float32)
+                out = out.astype(q.dtype)
         elif self.na_video_size is not None and is_selfattn and self.na_video_size[0] != 1:
             # T==1 (image batches) falls through to dense attention below,
             # mirroring the reference's explicit NATTEN bypass for images

@@ -205,6 +205,104 @@ def out_sz(b, h, s, d):
     return b * h * s * d
 
 
+# ------------------------- kv-cache forward (decode) -------------------------
+
+
+def _fwd_cache_kernel(
+    kv_valid_ref, q_ref, k_ref, v_ref, o_ref, acc, m_scr, l_scr,
+    *, scale: float, block_kv: int,
+):
+    """Streaming-decode attention over a ring buffer: only the first
+    ``kv_valid`` (dynamic, SMEM) kv positions are visible. Blocks past the
+    frontier are skipped entirely — steady-state cost tracks the fill level,
+    not the buffer capacity."""
+    ik = pl.program_id(3)
+    n_kv = pl.num_programs(3)
+    kv_valid = kv_valid_ref[0]
+
+    @pl.when(ik == 0)
+    def _init():
+        acc[:] = jnp.zeros_like(acc)
+        m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+
+    @pl.when(ik * block_kv < kv_valid)
+    def _compute():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32) * scale
+        col = ik * block_kv + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < kv_valid, s, _NEG_INF)
+
+        m_prev = m_scr[:, :1]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)
+        corr = jnp.exp(m_prev - m_new)
+        l_new = l_scr[:, :1] * corr + jnp.sum(p, axis=1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        acc[:] = acc[:] * corr + pv
+        m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+        l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(ik == n_kv - 1)
+    def _finalize():
+        o_ref[0, 0] = (acc[:] / l_scr[:, :1]).astype(o_ref.dtype)
+
+
+def flash_attention_kv_cache(
+    q: jax.Array, k_buf: jax.Array, v_buf: jax.Array, kv_valid: jax.Array | int
+) -> jax.Array:
+    """Forward-only flash attention for KV-cache streaming decode (BSHD).
+
+    q: (B, Sq, H, D) new-block queries; k_buf/v_buf: (B, S_max, H, D) ring
+    buffers; kv_valid: dynamic count of filled kv positions (<= S_max).
+    Replaces the materialized masked-softmax einsum the cache path would
+    otherwise need (at 720p cache-16 that einsum's f32 score matrix is
+    6.66 GB — bigger than the whole 2B model). Inference-only: no VJP
+    (the self-forcing rollout differentiates the dense frame-causal path).
+    """
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k_buf.transpose(0, 2, 1, 3)
+    vt = v_buf.transpose(0, 2, 1, 3)
+    b, h, sq, d = qt.shape
+    skv = kt.shape[2]
+    scale = 1.0 / (d**0.5)
+    block_q, block_kv = _auto_blocks(sq, skv, None, None)
+
+    qp = _pad_seq(qt, block_q, 2)
+    kp = _pad_seq(kt, block_kv, 2)
+    vp = _pad_seq(vt, block_kv, 2)
+    sq_p, skv_p = qp.shape[2], kp.shape[2]
+    grid = (b, h, sq_p // block_q, skv_p // block_kv)
+    valid = jnp.asarray(kv_valid, jnp.int32).reshape((1,))
+
+    out = pl.pallas_call(
+        functools.partial(_fwd_cache_kernel, scale=scale, block_kv=block_kv),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, iq, ik: (b_, h_, iq, 0)),
+            pl.BlockSpec((1, 1, block_kv, d), lambda b_, h_, iq, ik: (b_, h_, ik, 0)),
+            pl.BlockSpec((1, 1, block_kv, d), lambda b_, h_, iq, ik: (b_, h_, ik, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, iq, ik: (b_, h_, iq, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, sq_p, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+    )(valid, qp, kp, vp)
+    return out[:, :, :sq].transpose(0, 2, 1, 3)
+
+
 # ------------------------------- backward -------------------------------
 
 

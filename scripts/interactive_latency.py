@@ -77,10 +77,14 @@ def measure(
 
     caches = model.init_kv_caches(1, cache_frames + 1, h, w)
 
+    # donate the caches: the ring buffer updates in place, so without
+    # donation two full KV-cache copies are live across the jit boundary
+    # (13.7 GB at 720p cache-16 — that alone OOMs the 16 GB chip)
     step_fn = jax.jit(
         lambda params, rng, caches, t_pos: stream.generate_block(
             params, rng, cond, caches, latent, t_pos
-        )
+        ),
+        donate_argnums=(2,),
     )
 
     # block_until_ready does not sync through the axon tunnel; force a

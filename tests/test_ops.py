@@ -114,3 +114,26 @@ def test_flash_attention_interpret_mode():
         out = flash_attention(q, k, v, block_q=128, block_kv=128)
     ref = reference_attention(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+@pytest.mark.level(1)
+def test_flash_attention_kv_cache_interpret_mode():
+    """flash_attention_kv_cache == masked softmax over the filled prefix of
+    the ring buffer (the dit.py cache branch's CPU fallback), at a fill
+    level that is not a multiple of the kv block."""
+    from jax.experimental.pallas import tpu as pltpu
+    from cosmos_predict2_tpu.ops.flash_attention import flash_attention_kv_cache
+
+    B, Smax, H, D = 1, 512, 2, 128
+    fill = 300  # valid prefix, mid-block frontier
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, 64, H, D), dtype=jnp.float32)
+    k_buf = jax.random.normal(jax.random.PRNGKey(1), (B, Smax, H, D), dtype=jnp.float32)
+    v_buf = jax.random.normal(jax.random.PRNGKey(2), (B, Smax, H, D), dtype=jnp.float32)
+    # garbage past the frontier must not leak into the output
+    k_buf = k_buf.at[:, fill:].set(1e3)
+    v_buf = v_buf.at[:, fill:].set(-1e3)
+
+    with pltpu.force_tpu_interpret_mode():
+        out = flash_attention_kv_cache(q, k_buf, v_buf, jnp.int32(fill))
+    ref = reference_attention(q, k_buf[:, :fill], v_buf[:, :fill])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
