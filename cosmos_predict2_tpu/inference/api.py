@@ -51,6 +51,9 @@ class InferenceArguments:
     # "video" (default) or "image": image runs the Text2Image single-frame
     # path (reference inference/text2image.py) and writes a png
     mode: str = "video"
+    # "unipc" (35-step CFG) or "dmd2" (distilled 4-step student, no CFG —
+    # reference generate_samples_from_batch_dmd2)
+    sampler: str = "unipc"
 
     @staticmethod
     def from_file(path: str) -> list["InferenceArguments"]:
@@ -264,6 +267,7 @@ class Inference:
                 num_steps=args.num_steps,
                 num_conditional_frames=k,
                 seed=args.seed,
+                sampler=args.sampler,
             )
 
         if self.video_guardrail is not None:

@@ -196,6 +196,34 @@ class Video2WorldInference:
             out="host",
         )
 
+    def _run_dmd2(self, video_u8, text_emb, noise, num_steps, num_conditional_frames):
+        """Distilled few-step path (no CFG — guidance is distilled into the
+        student): reference generate_samples_from_batch_dmd2
+        (text2world_model_rectified_flow.py:603-677), 4 TrigFlow times."""
+        from cosmos_predict2_tpu.models.distillation import DistillationConfig, DistillationModel
+        from cosmos_predict2_tpu.tokenizers.wan_vae_streaming import decode_streaming, encode_streaming
+
+        if not hasattr(self, "_dm"):
+            self._dm = DistillationModel(DistillationConfig(model=self.setup.model_config))
+            self._dmd2_gen = jax.jit(
+                lambda p, n, c, k, ncf: self._dm.generate(
+                    p, n, c, num_steps=k, num_conditional_frames=ncf
+                ),
+                static_argnums=(3, 4),
+            )
+        video = jnp.asarray(video_u8).astype(jnp.bfloat16) / 127.5 - 1.0
+        if self.setup.streaming_vae:
+            latents = encode_streaming(self.vae.config, self.vae_params, video.transpose(0, 2, 3, 4, 1))
+        else:
+            latents = self.vae.apply(self.vae_params, video.transpose(0, 2, 3, 4, 1), method=WanVAE.encode)
+        gt = latents.transpose(0, 4, 1, 2, 3).astype(jnp.float32)
+        condition = make_condition(text_emb, data_type=DataType.VIDEO).replace(gt_frames=gt)
+        x = self._dmd2_gen(self.params, noise, condition, num_steps, num_conditional_frames)
+        xt = x.astype(self.vae.config.dtype).transpose(0, 2, 3, 4, 1)
+        if self.setup.streaming_vae:
+            return decode_streaming(self.vae.config, self.vae_params, xt, out="host")
+        return self.vae.apply(self.vae_params, xt, method=WanVAE.decode)
+
     def generate_vid2world(
         self,
         video_u8: np.ndarray,
@@ -205,13 +233,18 @@ class Video2WorldInference:
         num_steps: int = 35,
         num_conditional_frames: int = 1,
         seed: int = 1,
+        sampler: str = "unipc",  # "unipc" (CFG) or "dmd2" (distilled 4-step)
     ) -> np.ndarray:
         """(1, 3, T, H, W) uint8 -> (T, H, W, 3) float in [-1, 1]."""
         mc = self.setup.model_config
         _, _, T, H, W = video_u8.shape
         state_shape = (1, mc.state_ch, 1 + (T - 1) // 4, H // 8, W // 8)
         noise = arch_invariant_rand(state_shape, seed=seed)
-        if self.setup.streaming_vae:
+        if sampler == "dmd2":
+            frames = self._run_dmd2(
+                video_u8, text_emb, noise, min(num_steps, 4), num_conditional_frames
+            )
+        elif self.setup.streaming_vae:
             frames = self._run_streaming(
                 video_u8, text_emb, neg_text_emb, noise, guidance, num_steps, num_conditional_frames
             )

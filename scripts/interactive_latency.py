@@ -117,9 +117,10 @@ def measure(
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
-        "--hw", type=int, nargs=2, default=(88, 160),
-        help="latent h w: 88 160 = 720p (1280x704), 32 32 = the reference's "
-        "256-res interactive geometry, 44 80 = 352x640",
+        "--hw", type=int, nargs=2, default=(44, 80),
+        help="latent h w: 88 160 = 720p (1280x704; use --cache-frames <= 8 — "
+        "a 16-frame 720p cache is 13.7 GB), 32 32 = the reference's 256-res "
+        "interactive geometry, 44 80 = 352x640",
     )
     ap.add_argument("--blocks", type=int, default=8)
     ap.add_argument("--cache-frames", type=int, default=16)

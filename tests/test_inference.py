@@ -137,3 +137,17 @@ def test_streaming_vae_pipeline_matches_oneshot(pipe):
     # streaming vs one-shot VAE agree to ~1e-4 per call; two sampling steps
     # amplify that to a few 1e-3 on [-1,1] pixels
     np.testing.assert_allclose(got, ref, atol=1e-2)
+
+
+@pytest.mark.level(1)
+def test_dmd2_sampler_path(pipe):
+    """sampler="dmd2" routes through the distilled few-step TrigFlow
+    generate (reference generate_samples_from_batch_dmd2): no CFG, finite
+    frames, conditional frame replaced from the input."""
+    video = np.random.RandomState(0).randint(0, 255, (1, 3, 5, 32, 32), dtype=np.uint8)
+    emb = pipe.encode_text(["a robot pouring coffee"])
+    frames = pipe.generate_vid2world(
+        video, emb, num_steps=4, num_conditional_frames=1, sampler="dmd2"
+    )
+    assert frames.shape == (5, 32, 32, 3)
+    assert np.isfinite(frames).all()
