@@ -236,6 +236,7 @@ class Video2WorldInference:
         sampler: str = "unipc",  # "unipc" (CFG) or "dmd2" (distilled 4-step)
     ) -> np.ndarray:
         """(1, 3, T, H, W) uint8 -> (T, H, W, 3) float in [-1, 1]."""
+        assert sampler in ("unipc", "dmd2"), f"unknown sampler {sampler!r}"
         mc = self.setup.model_config
         _, _, T, H, W = video_u8.shape
         state_shape = (1, mc.state_ch, 1 + (T - 1) // 4, H // 8, W // 8)

@@ -31,6 +31,7 @@ import dataclasses
 import json
 import os
 import queue
+import shutil
 import tempfile
 import threading
 import uuid
@@ -72,10 +73,15 @@ class GenerateRequest(V.ValidatedParams):
 _IMAGE_MAGIC = {b"\x89PNG": "png", b"\xff\xd8\xff": "jpg", b"GIF8": "gif", b"RIFF": "webp"}
 
 
+MAX_UPLOAD_BYTES = 64 * 1024 * 1024  # decoded image size cap
+
+
 def save_inline_image(b64: str) -> str:
     """Decode an uploaded base64/data-URL image to a temp file, return its path."""
     if "," in b64 and b64.lstrip().startswith("data:"):
         b64 = b64.split(",", 1)[1]
+    if len(b64) > MAX_UPLOAD_BYTES * 4 // 3 + 4:
+        raise ValueError(f"image upload exceeds {MAX_UPLOAD_BYTES >> 20} MB cap")
     try:
         data = base64.b64decode(b64, validate=True)
     except (binascii.Error, ValueError) as e:
@@ -96,6 +102,7 @@ class Job:
     status: str = "queued"
     output: Optional[str] = None
     error: Optional[str] = None
+    cleanup_path: Optional[str] = None  # uploaded temp file, removed when done
 
 
 class ModelWorker:
@@ -116,8 +123,8 @@ class ModelWorker:
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
-    def submit(self, args: InferenceArguments) -> str:
-        job = Job(job_id=uuid.uuid4().hex[:12], args=args)
+    def submit(self, args: InferenceArguments, cleanup_path: Optional[str] = None) -> str:
+        job = Job(job_id=uuid.uuid4().hex[:12], args=args, cleanup_path=cleanup_path)
         # unique output name per job so concurrent requests never clobber
         if not args.name or args.name == "sample":
             job.args = dataclasses.replace(args, name=f"sample_{job.job_id}")
@@ -161,6 +168,14 @@ class ModelWorker:
                             job.status = "error"
                             job.error = str(e)
                     log.error(f"batch of {len(bucket)} failed: {e}")
+                finally:
+                    for job in bucket:  # uploaded temp files are one-shot
+                        if job.cleanup_path:
+                            try:
+                                os.unlink(job.cleanup_path)
+                            except OSError:
+                                pass
+                            job.cleanup_path = None
 
 
 def make_handler(worker: ModelWorker):
@@ -177,17 +192,21 @@ def make_handler(worker: ModelWorker):
             types = {".mp4": "video/mp4", ".gif": "image/gif", ".png": "image/png", ".jpg": "image/jpeg"}
             ctype = types.get(os.path.splitext(path)[1].lower(), "application/octet-stream")
             try:
-                with open(path, "rb") as f:
-                    data = f.read()
+                size = os.stat(path).st_size
             except OSError:
                 self._send(404, {"error": "output file missing"})
                 return
             self.send_response(200)
             self.send_header("Content-Type", ctype)
-            self.send_header("Content-Length", str(len(data)))
+            self.send_header("Content-Length", str(size))
             self.end_headers()
-            if not head_only:
-                self.wfile.write(data)
+            if head_only:
+                return
+            try:  # stream in chunks: a 720p clip is hundreds of MB
+                with open(path, "rb") as f:
+                    shutil.copyfileobj(f, self.wfile, length=1 << 20)
+            except OSError:
+                pass  # file vanished mid-send or client disconnected
 
         def _output_path(self):
             job = worker.jobs.get(self.path.rsplit("/", 1)[-1])
@@ -243,16 +262,25 @@ def make_handler(worker: ModelWorker):
                 self._send(404, {"error": "unknown path"})
                 return
             length = int(self.headers.get("Content-Length", 0))
+            upload_path = None
             try:
                 payload = json.loads(self.rfile.read(length) or b"{}")
+                if not isinstance(payload, dict):
+                    raise ValueError("request body must be a JSON object")
                 b64 = payload.pop("input_image_b64", None)
                 if b64:
-                    payload["input_path"] = save_inline_image(b64)
+                    upload_path = save_inline_image(b64)
+                    payload["input_path"] = upload_path
                 args = GenerateRequest.from_dict(payload).to_args()
             except (json.JSONDecodeError, TypeError, ValueError) as e:
+                if upload_path:  # rejected request must not leak its temp file
+                    try:
+                        os.unlink(upload_path)
+                    except OSError:
+                        pass
                 self._send(400, {"error": f"bad request: {e}"})
                 return
-            self._send(200, {"job_id": worker.submit(args)})
+            self._send(200, {"job_id": worker.submit(args, cleanup_path=upload_path)})
 
         def log_message(self, fmt, *args):  # route to our logger
             log.debug("http: " + fmt % args)

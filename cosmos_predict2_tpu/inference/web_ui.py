@@ -96,24 +96,32 @@ $("f").addEventListener("submit", async (ev) => {
 });
 async function poll(id) {
   const t0 = Date.now();
+  let misses = 0;
   const tick = async () => {
-    const r = await fetch("/status/" + id);
-    const j = await r.json();
-    const dt = ((Date.now() - t0) / 1000).toFixed(0);
-    $("status").textContent = `job ${id}: ${j.status} (${dt}s)` + (j.error ? "\\n" + j.error : "");
-    if (j.status === "done") {
-      $("go").disabled = false;
-      const url = "/output/" + id;
-      const head = await fetch(url, {method: "HEAD"});
-      const type = head.headers.get("Content-Type") || "";
-      $("result").innerHTML = type.startsWith("video")
-        ? `<video src="${url}" controls autoplay loop muted></video>`
-        : `<img src="${url}">`;
-    } else if (j.status === "error") {
-      $("go").disabled = false;
-    } else {
-      setTimeout(tick, 2000);
+    try {
+      const r = await fetch("/status/" + id);
+      const j = await r.json();
+      misses = 0;
+      const dt = ((Date.now() - t0) / 1000).toFixed(0);
+      $("status").textContent = `job ${id}: ${j.status} (${dt}s)` + (j.error ? "\\n" + j.error : "");
+      if (j.status === "done") {
+        $("go").disabled = false;
+        const url = "/output/" + id;
+        const head = await fetch(url, {method: "HEAD"});
+        const type = head.headers.get("Content-Type") || "";
+        $("result").innerHTML = type.startsWith("video")
+          ? `<video src="${url}" controls autoplay loop muted></video>`
+          : `<img src="${url}">`;
+        return;
+      }
+      if (j.status === "error") { $("go").disabled = false; return; }
+    } catch (e) {
+      // transient fetch failure (server restart, network blip): keep polling
+      misses += 1;
+      $("status").textContent = `job ${id}: polling... (${misses} missed)`;
+      if (misses > 150) { $("status").textContent += " — giving up"; $("go").disabled = false; return; }
     }
+    setTimeout(tick, 2000);
   };
   tick();
 }

@@ -251,21 +251,18 @@ class Attention(nn.Module):
             new_cache = {"k": k_buf, "v": v_buf, "len": kv_cache["len"] + s_new}
             if jax.default_backend() == "tpu":
                 # flash decode over the ring buffer: the materialized-score
-                # alternative below allocates an f32 (H, Sq, S_max) matrix —
-                # 6.66 GB at 720p cache-16, which alone OOMs a 16 GB chip
+                # alternative allocates an f32 (H, Sq, S_max) matrix —
+                # 6.66 GB at 720p cache-16, which alone OOMs a 16 GB chip.
+                # Differentiable (custom VJP through the masked-softmax
+                # reference) so the self-forcing rollout trains on TPU.
                 from cosmos_predict2_tpu.ops.flash_attention import flash_attention_kv_cache
 
                 out = flash_attention_kv_cache(q, k_buf, v_buf, new_cache["len"])
             else:
                 # masked attention over the buffer: only filled positions visible
-                d = self.head_dim
-                scale = 1.0 / np.sqrt(d)
-                logits = jnp.einsum("bqhd,bkhd->bhqk", q, k_buf, preferred_element_type=jnp.float32) * scale
-                visible = jnp.arange(k_buf.shape[1])[None, None, None, :] < new_cache["len"]
-                logits = jnp.where(visible, logits, -1e30)
-                probs = jax.nn.softmax(logits, axis=-1)
-                out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v_buf, preferred_element_type=jnp.float32)
-                out = out.astype(q.dtype)
+                from cosmos_predict2_tpu.ops.flash_attention import _kv_cache_reference
+
+                out = _kv_cache_reference(q, k_buf, v_buf, new_cache["len"])
         elif self.na_video_size is not None and is_selfattn and self.na_video_size[0] != 1:
             # T==1 (image batches) falls through to dense attention below,
             # mirroring the reference's explicit NATTEN bypass for images

@@ -253,18 +253,53 @@ def _fwd_cache_kernel(
         o_ref[0, 0] = (acc[:] / l_scr[:, :1]).astype(o_ref.dtype)
 
 
-def flash_attention_kv_cache(
-    q: jax.Array, k_buf: jax.Array, v_buf: jax.Array, kv_valid: jax.Array | int
-) -> jax.Array:
-    """Forward-only flash attention for KV-cache streaming decode (BSHD).
+def _kv_cache_reference(q, k_buf, v_buf, kv_valid):
+    """Differentiable masked-softmax reference for the kv-cache kernel
+    (BSHD). Materializes the (B, H, Sq, S_max) score matrix — fine at the
+    self-forcing TRAINING geometries, which is the only consumer of its
+    gradient; inference uses the Pallas forward."""
+    scale = 1.0 / (q.shape[-1] ** 0.5)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k_buf, preferred_element_type=jnp.float32) * scale
+    visible = jnp.arange(k_buf.shape[1])[None, None, None, :] < kv_valid
+    logits = jnp.where(visible, logits, _NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v_buf.dtype), v_buf, preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
+
+
+@jax.custom_vjp
+def flash_attention_kv_cache(q, k_buf, v_buf, kv_valid):
+    """Flash attention for KV-cache streaming decode (BSHD).
 
     q: (B, Sq, H, D) new-block queries; k_buf/v_buf: (B, S_max, H, D) ring
     buffers; kv_valid: dynamic count of filled kv positions (<= S_max).
     Replaces the materialized masked-softmax einsum the cache path would
     otherwise need (at 720p cache-16 that einsum's f32 score matrix is
-    6.66 GB — bigger than the whole 2B model). Inference-only: no VJP
-    (the self-forcing rollout differentiates the dense frame-causal path).
+    6.66 GB — bigger than the whole 2B model). Differentiable: the VJP
+    recomputes through the masked-softmax reference, so the self-forcing
+    rollout (which differentiates forward_with_cache) trains on TPU; only
+    the backward materializes scores, and only at training geometries.
     """
+    return _flash_kv_cache_impl(q, k_buf, v_buf, kv_valid)
+
+
+def _flash_kv_cache_fwd(q, k_buf, v_buf, kv_valid):
+    return _flash_kv_cache_impl(q, k_buf, v_buf, kv_valid), (q, k_buf, v_buf, kv_valid)
+
+
+def _flash_kv_cache_bwd(res, do):
+    q, k_buf, v_buf, kv_valid = res
+    _, vjp = jax.vjp(lambda q_, k_, v_: _kv_cache_reference(q_, k_, v_, kv_valid), q, k_buf, v_buf)
+    dq, dk, dv = vjp(do)
+    return dq, dk, dv, None
+
+
+flash_attention_kv_cache.defvjp(_flash_kv_cache_fwd, _flash_kv_cache_bwd)
+
+
+def _flash_kv_cache_impl(
+    q: jax.Array, k_buf: jax.Array, v_buf: jax.Array, kv_valid: jax.Array | int
+) -> jax.Array:
     qt = q.transpose(0, 2, 1, 3)
     kt = k_buf.transpose(0, 2, 1, 3)
     vt = v_buf.transpose(0, 2, 1, 3)

@@ -46,6 +46,9 @@ CACHE_T = 2
 # 20.6 s overlapped) — so the overlapped `out="host"` route pins the XLA
 # conv and "auto" applies to serialized / device-resident decodes.
 _CONV_BACKEND = "auto"
+# decode_streaming temporarily pins the backend global while tracing/running
+# (out="host" route); concurrent decodes must not observe each other's pin
+_BACKEND_LOCK = __import__("threading").RLock()
 # Below this channel count the kernel's pad-to-128 lanes waste more MACs
 # than its layout win recovers (e.g. encoder conv1 Cin=3, decoder head
 # Cout=3); those convs stay on XLA. Tests lower this to cover the Pallas
@@ -364,6 +367,7 @@ def decode_streaming(
     # The pin must cover execution, not just _jitted_chunk(): the backend
     # global is consulted when jit TRACES on first call.
     global _CONV_BACKEND
+    _BACKEND_LOCK.acquire()
     saved_backend = _CONV_BACKEND
     if out == "host" and _CONV_BACKEND == "auto":
         _CONV_BACKEND = "xla"
@@ -396,6 +400,7 @@ def decode_streaming(
         return jnp.concatenate(outs, axis=1)
     finally:
         _CONV_BACKEND = saved_backend
+        _BACKEND_LOCK.release()
 
 
 # ---------------------- jit plumbing for the host loops ----------------------

@@ -77,15 +77,10 @@ def measure(
 
     caches = model.init_kv_caches(1, cache_frames + 1, h, w)
 
-    # donate the caches: the ring buffer updates in place, so without
-    # donation two full KV-cache copies are live across the jit boundary
-    # (13.7 GB at 720p cache-16 — that alone OOMs the 16 GB chip)
-    step_fn = jax.jit(
-        lambda params, rng, caches, t_pos: stream.generate_block(
-            params, rng, cond, caches, latent, t_pos
-        ),
-        donate_argnums=(2,),
-    )
+    # the production jitted block step (donated caches): measuring the
+    # exact code path StreamingInference.generate runs
+    jit_block = stream._jitted_block(latent)
+    step_fn = lambda params, rng, caches, t_pos: jit_block(params, rng, cond, caches, t_pos)
 
     # block_until_ready does not sync through the axon tunnel; force a
     # scalar fetch instead (same convention as bench.py / fa_bwd_bench.py)

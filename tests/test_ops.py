@@ -137,3 +137,32 @@ def test_flash_attention_kv_cache_interpret_mode():
         out = flash_attention_kv_cache(q, k_buf, v_buf, jnp.int32(fill))
     ref = reference_attention(q, k_buf[:, :fill], v_buf[:, :fill])
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+@pytest.mark.level(1)
+def test_flash_attention_kv_cache_grad():
+    """The kv-cache kernel must be differentiable (the self-forcing rollout
+    differentiates forward_with_cache on TPU): VJP == grad of the masked-
+    softmax reference."""
+    from jax.experimental.pallas import tpu as pltpu
+    from cosmos_predict2_tpu.ops.flash_attention import (
+        _kv_cache_reference,
+        flash_attention_kv_cache,
+    )
+
+    B, Smax, H, D = 1, 256, 2, 128
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, 64, H, D))
+    kb = jax.random.normal(jax.random.PRNGKey(1), (B, Smax, H, D))
+    vb = jax.random.normal(jax.random.PRNGKey(2), (B, Smax, H, D))
+    fill = jnp.int32(200)
+
+    with pltpu.force_tpu_interpret_mode():
+        g = jax.grad(
+            lambda q, kb, vb: jnp.sum(flash_attention_kv_cache(q, kb, vb, fill) ** 2),
+            argnums=(0, 1, 2),
+        )(q, kb, vb)
+    gref = jax.grad(
+        lambda q, kb, vb: jnp.sum(_kv_cache_reference(q, kb, vb, fill) ** 2), argnums=(0, 1, 2)
+    )(q, kb, vb)
+    for a, b in zip(g, gref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)

@@ -2,6 +2,8 @@
 
 import dataclasses
 import json
+import os
+import tempfile
 import time
 import urllib.request
 
@@ -245,3 +247,43 @@ def test_inline_image_upload(server):
     with pytest.raises(urllib.error.HTTPError) as exc:
         _post(server.port, "/generate", {"prompt": "x", "input_image_b64": "!!!notbase64"})
     assert exc.value.code == 400
+
+
+@pytest.mark.level(1)
+def test_non_object_json_body_is_400(server):
+    """A valid-JSON non-dict body must be a clean 400, not a handler crash."""
+    import urllib.error
+    import urllib.request
+
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}/generate",
+        data=json.dumps([1, 2, 3]).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(req)
+    assert exc.value.code == 400
+
+
+@pytest.mark.level(1)
+def test_rejected_upload_leaves_no_temp_file(server):
+    """An upload attached to an invalid request must not leak its temp file."""
+    import base64
+    import glob
+    import urllib.error
+    import urllib.request
+
+    png = base64.b64encode(
+        b"\x89PNG\r\n\x1a\n" + b"\x00" * 64
+    ).decode()
+    before = set(glob.glob(os.path.join(tempfile.gettempdir(), "cosmos_upload_*")))
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}/generate",
+        data=json.dumps({"input_image_b64": png, "num_steps": -5}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(req)
+    assert exc.value.code == 400
+    after = set(glob.glob(os.path.join(tempfile.gettempdir(), "cosmos_upload_*")))
+    assert after == before  # the rejected request's file was removed
