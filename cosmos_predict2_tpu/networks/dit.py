@@ -243,7 +243,14 @@ class Attention(nn.Module):
             k = apply_rope(k, rope_angles)
 
         new_cache = None
-        if kv_cache is not None:
+        if kv_cache is not None and self.cp_axis is not None:
+            # sequence-parallel streaming decode: block tokens sharded over
+            # cp, ring buffers head-sharded (see ulysses_kv_cache_attention)
+            assert is_selfattn, "kv cache only applies to self-attention"
+            from cosmos_predict2_tpu.parallel.cp import ulysses_kv_cache_attention
+
+            out, new_cache = ulysses_kv_cache_attention(q, k, v, kv_cache, self.cp_axis)
+        elif kv_cache is not None:
             assert is_selfattn, "kv cache only applies to self-attention"
             s_new = k.shape[1]
             k_buf = jax.lax.dynamic_update_slice(kv_cache["k"], k.astype(kv_cache["k"].dtype), (0, kv_cache["len"], 0, 0))

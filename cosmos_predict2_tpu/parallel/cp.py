@@ -78,3 +78,55 @@ def ulysses_attention(
         out_specs=spec,
         axis_names={axis_name},
     )(q, k, v)
+
+
+def ulysses_kv_cache_attention(
+    q: jax.Array,
+    k_new: jax.Array,
+    v_new: jax.Array,
+    kv_cache: dict,
+    axis_name: str = "cp",
+) -> tuple[jax.Array, dict]:
+    """Sequence-parallel STREAMING decode (the interactive CausalDIT's
+    KV-cache path under CP — the multi-chip route to real-time 720p,
+    PERF.md "Interactive"; reference proxy: interactive/networks/
+    ulysses.py DistributedAttention around the cached attention).
+
+    Block q/k_new/v_new: (B, S_blk, H, D) global view, token-sharded over
+    ``axis_name``. The ring buffers kv_cache["k"/"v"]: (B, S_max, H, D)
+    global view, HEAD-sharded over ``axis_name`` — the (large) cache never
+    crosses chips; only the small new block moves through two all-to-alls
+    per step. kv_cache["len"] is a replicated scalar.
+
+    Returns (out token-sharded, new_cache head-sharded). Must run inside
+    jit with an ambient mesh holding ``axis_name``.
+    """
+
+    def inner(q, k, v, k_buf, v_buf, ln):
+        scatter = lambda t: jax.lax.all_to_all(t, axis_name, split_axis=2, concat_axis=1, tiled=True)
+        gather = lambda t: jax.lax.all_to_all(t, axis_name, split_axis=1, concat_axis=2, tiled=True)
+        ql, kl, vl = scatter(q), scatter(k), scatter(v)  # (B, S_blk, H/c, D)
+        s_new = kl.shape[1]
+        k_buf = jax.lax.dynamic_update_slice(k_buf, kl.astype(k_buf.dtype), (0, ln[0], 0, 0))
+        v_buf = jax.lax.dynamic_update_slice(v_buf, vl.astype(v_buf.dtype), (0, ln[0], 0, 0))
+        new_len = ln + s_new
+        if jax.default_backend() == "tpu":
+            from cosmos_predict2_tpu.ops.flash_attention import flash_attention_kv_cache
+
+            out = flash_attention_kv_cache(ql, k_buf, v_buf, new_len[0])
+        else:
+            from cosmos_predict2_tpu.ops.flash_attention import _kv_cache_reference
+
+            out = _kv_cache_reference(ql, k_buf, v_buf, new_len[0])
+        return gather(out), k_buf, v_buf, new_len
+
+    tok = P(None, axis_name, None, None)
+    head = P(None, None, axis_name, None)
+    ln = jax.numpy.reshape(kv_cache["len"], (1,))
+    out, k_buf, v_buf, new_len = jax.shard_map(
+        inner,
+        in_specs=(tok, tok, tok, head, head, P()),
+        out_specs=(tok, head, head, P()),
+        axis_names={axis_name},
+    )(q, k_new, v_new, kv_cache["k"], kv_cache["v"], ln)
+    return out, {"k": k_buf, "v": v_buf, "len": new_len[0]}

@@ -254,3 +254,66 @@ def test_sharded_checkpoint_save_restore(tmp_path):
         for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(restored2)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b))
         ckpt2.close()
+
+
+@pytest.mark.chips(8)
+@pytest.mark.level(1)
+def test_ulysses_kv_cache_matches_single_device():
+    """CP streaming decode (head-sharded ring buffers, token-sharded block)
+    == single-device cached attention — the multi-chip interactive path."""
+    from cosmos_predict2_tpu.ops.flash_attention import _kv_cache_reference
+    from cosmos_predict2_tpu.parallel.cp import ulysses_kv_cache_attention
+
+    B, S_blk, H, D, S_max = 1, 8, 4, 16, 32
+    fill = 12
+    key = jax.random.PRNGKey(0)
+    q, k, v = (jax.random.normal(jax.random.PRNGKey(i), (B, S_blk, H, D)) for i in range(3))
+    k_buf = jax.random.normal(jax.random.PRNGKey(3), (B, S_max, H, D))
+    v_buf = jax.random.normal(jax.random.PRNGKey(4), (B, S_max, H, D))
+    cache = {"k": k_buf, "v": v_buf, "len": jnp.int32(fill)}
+
+    # single-device reference: update then masked attention
+    kb = jax.lax.dynamic_update_slice(k_buf, k, (0, fill, 0, 0))
+    vb = jax.lax.dynamic_update_slice(v_buf, v, (0, fill, 0, 0))
+    ref = _kv_cache_reference(q, kb, vb, jnp.int32(fill + S_blk))
+
+    mesh = make_mesh(1, 1, 4, 1, devices=jax.devices()[:4])
+    with jax.set_mesh(mesh):
+        out, new_cache = jax.jit(lambda q, k, v, c: ulysses_kv_cache_attention(q, k, v, c))(
+            q, k, v, cache
+        )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(new_cache["k"]), np.asarray(kb), atol=1e-6)
+    assert int(new_cache["len"]) == fill + S_blk
+
+
+@pytest.mark.chips(8)
+@pytest.mark.level(1)
+def test_attention_module_kv_cache_cp_routing():
+    """networks/dit.Attention routes kv_cache through the CP path when
+    cp_axis is set: module output + updated cache == the single-device
+    cached-attention branch with the same params."""
+    from cosmos_predict2_tpu.networks.dit import Attention
+
+    B, S_blk, H, D, S_max, fill = 1, 8, 8, 16, 64, 24
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, S_blk, H * D), dtype=jnp.float32)
+    cache = {
+        "k": jax.random.normal(jax.random.PRNGKey(1), (B, S_max, H, D), dtype=jnp.float32),
+        "v": jax.random.normal(jax.random.PRNGKey(2), (B, S_max, H, D), dtype=jnp.float32),
+        "len": jnp.int32(fill),
+    }
+
+    single = Attention(query_dim=H * D, context_dim=None, n_heads=H, head_dim=D, dtype=jnp.float32)
+    params = single.init(jax.random.PRNGKey(3), x, kv_cache=cache)
+    ref_out, ref_cache = single.apply(params, x, kv_cache=cache)
+
+    cp_mod = Attention(
+        query_dim=H * D, context_dim=None, n_heads=H, head_dim=D, dtype=jnp.float32, cp_axis="cp"
+    )
+    mesh = make_mesh(1, 1, 4, 1, devices=jax.devices()[:4])
+    with jax.set_mesh(mesh):
+        out, new_cache = jax.jit(lambda p, x, c: cp_mod.apply(p, x, kv_cache=c))(params, x, cache)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(new_cache["k"]), np.asarray(ref_cache["k"]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(new_cache["v"]), np.asarray(ref_cache["v"]), atol=1e-6)
+    assert int(new_cache["len"]) == int(ref_cache["len"])
