@@ -134,6 +134,7 @@ class Inference:
             args.num_steps,
             k,
             bool(args.negative_prompt),
+            args.sampler,
         )
 
     def generate_batch(self, samples: list[InferenceArguments]) -> dict[str, str]:
@@ -150,6 +151,9 @@ class Inference:
             and len(keys) == 1
             and samples[0].mode != "image"
             and not samples[0].enable_autoregressive
+            # the batched pass is the UniPC CFG program; other samplers
+            # (dmd2) run per-sample through _generate_sample
+            and samples[0].sampler == "unipc"
         )
         if not batchable:
             outputs: dict[str, str] = {}

@@ -70,7 +70,7 @@ class GenerateRequest(V.ValidatedParams):
         return InferenceArguments(**self.to_dict())
 
 
-_IMAGE_MAGIC = {b"\x89PNG": "png", b"\xff\xd8\xff": "jpg", b"GIF8": "gif", b"RIFF": "webp"}
+_IMAGE_MAGIC = {b"\x89PNG": "png", b"\xff\xd8\xff": "jpg", b"GIF8": "gif"}
 
 
 MAX_UPLOAD_BYTES = 64 * 1024 * 1024  # decoded image size cap
@@ -87,6 +87,9 @@ def save_inline_image(b64: str) -> str:
     except (binascii.Error, ValueError) as e:
         raise ValueError(f"invalid base64 image: {e}") from e
     ext = next((x for magic, x in _IMAGE_MAGIC.items() if data[:4].startswith(magic[:4])), None)
+    # RIFF alone also matches WAV/AVI containers; webp needs bytes 8..12
+    if ext is None and data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        ext = "webp"
     if ext is None:
         raise ValueError("unrecognized image format (need png/jpg/gif/webp)")
     fd, path = tempfile.mkstemp(suffix=f".{ext}", prefix="cosmos_upload_")
@@ -262,6 +265,13 @@ def make_handler(worker: ModelWorker):
                 self._send(404, {"error": "unknown path"})
                 return
             length = int(self.headers.get("Content-Length", 0))
+            # bound the body BEFORE buffering it: the base64 of a cap-sized
+            # image plus the other fields; anything bigger can only be an
+            # over-cap upload, rejected here without reading it into memory
+            max_body = MAX_UPLOAD_BYTES * 4 // 3 + 65536
+            if length > max_body:
+                self._send(413, {"error": f"request body exceeds {max_body >> 20} MB cap"})
+                return
             upload_path = None
             try:
                 payload = json.loads(self.rfile.read(length) or b"{}")

@@ -101,6 +101,13 @@ async function poll(id) {
     try {
       const r = await fetch("/status/" + id);
       const j = await r.json();
+      if (r.status === 404) {
+        // unknown job: the in-memory job table was lost (server restart) —
+        // the job will never come back, stop quickly
+        misses += 30;
+        throw new Error(j.error || "unknown job");
+      }
+      if (!r.ok) throw new Error(j.error || r.statusText);
       misses = 0;
       const dt = ((Date.now() - t0) / 1000).toFixed(0);
       $("status").textContent = `job ${id}: ${j.status} (${dt}s)` + (j.error ? "\\n" + j.error : "");

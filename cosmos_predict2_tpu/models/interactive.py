@@ -119,6 +119,7 @@ class StreamingInference:
         self.dm = DistillationModel(dataclasses.replace(config.distill, model=model.config))
         self.dm.base = model
         self._jit_blocks: dict = {}
+        self._jit_shifts: dict = {}
 
     def _jitted_block(self, block_shape: tuple):
         """Compiled generate_block with DONATED caches for the inference loop.
@@ -136,6 +137,20 @@ class StreamingInference:
                 donate_argnums=(3,),
             )
             self._jit_blocks[block_shape] = fn
+        return fn
+
+    def _jitted_shift(self, drop_tokens: int):
+        """Compiled window slide with DONATED caches: an eager
+        [shift_cache_window(c) for c in caches] keeps the whole old cache
+        list alive while building the new one — two full copies, the same
+        13.7 GB condition donation in _jitted_block exists to avoid."""
+        fn = self._jit_shifts.get(drop_tokens)
+        if fn is None:
+            fn = jax.jit(
+                lambda caches: [shift_cache_window(c, drop_tokens) for c in caches],
+                donate_argnums=(0,),
+            )
+            self._jit_shifts[drop_tokens] = fn
         return fn
 
     def prefill(self, params, latents_B_C_T_H_W, condition, kv_caches, t_start=0):
@@ -223,7 +238,7 @@ class StreamingInference:
             # slide the window when the cache is full
             max_tokens = cfg.cache_frame_size * tokens_per_frame
             if (step * nb + (init_latents.shape[2] if init_latents is not None else 0)) * tokens_per_frame > max_tokens:
-                caches = [shift_cache_window(c, nb * tokens_per_frame) for c in caches]
+                caches = self._jitted_shift(nb * tokens_per_frame)(caches)
         return jnp.concatenate(blocks, axis=2)[:, :, :num_latent_frames]
 
 

@@ -713,10 +713,20 @@ def neighborhood_attention(
             f"neighborhood_attn.py:168 asserts w >= s)")
     try:
         eff_window, eff_stride = _effective_params(size, tuple(window), tuple(stride), tuple(dilation))
-    except NotImplementedError:
+    except NotImplementedError as e:
         # Unsupported dilation geometry (non-divisor dilation or a dilated
         # window smaller than the sub-grid): degrade gracefully to the
-        # dense masked reference implementation instead of crashing —
-        # correct at any geometry, just slower (O(S^2) logits).
+        # dense masked reference implementation — correct at any geometry,
+        # but it materializes (B, H, S, S) f32 logits, so it is only a
+        # *graceful* degradation while that buffer is small. At production
+        # sequence lengths the fallback would be a guaranteed OOM minutes
+        # into compilation; surface the clear error up front instead.
+        logits_gib = b * h * s_len * s_len * 4 / 2**30
+        if logits_gib > 2.0:
+            raise NotImplementedError(
+                f"{e} — and the dense fallback would need {logits_gib:.1f} GiB "
+                f"of masked logits at S={s_len}; adjust natten window/dilation "
+                f"to a supported geometry (divisor dilation, window >= sub-grid)"
+            ) from e
         return neighborhood_attention_reference(q, k, v, size, window, stride, dilation)
     return _na(q, k, v, size, eff_window, eff_stride, tuple(dilation), int(block_q))

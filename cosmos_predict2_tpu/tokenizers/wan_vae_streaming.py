@@ -46,9 +46,6 @@ CACHE_T = 2
 # 20.6 s overlapped) — so the overlapped `out="host"` route pins the XLA
 # conv and "auto" applies to serialized / device-resident decodes.
 _CONV_BACKEND = "auto"
-# decode_streaming temporarily pins the backend global while tracing/running
-# (out="host" route); concurrent decodes must not observe each other's pin
-_BACKEND_LOCK = __import__("threading").RLock()
 # Below this channel count the kernel's pad-to-128 lanes waste more MACs
 # than its layout win recovers (e.g. encoder conv1 Cin=3, decoder head
 # Cout=3); those convs stay on XLA. Tests lower this to cover the Pallas
@@ -57,18 +54,29 @@ _PALLAS_MIN_CH = 64
 
 
 def set_conv_backend(mode: str) -> None:
+    """Set the process-default conv backend. Per-call overrides: the
+    ``conv_backend`` kwarg on encode_streaming/decode_streaming — the
+    backend is resolved ONCE per call and threaded explicitly through the
+    chunk programs, so concurrent encodes/decodes never observe each
+    other's routing."""
     assert mode in ("auto", "xla", "interpret"), mode
     global _CONV_BACKEND
     _CONV_BACKEND = mode
 
 
-def _use_pallas_conv(xin, w) -> bool:
-    if _CONV_BACKEND == "xla" or w.shape[:3] != (3, 3, 3):
+def _use_pallas_conv(xin, w, backend: str) -> bool:
+    if backend == "xla" or w.shape[:3] != (3, 3, 3):
         return False
     B, _, _, W, cin = xin.shape
     if B != 1 or W % 8 or min(cin, w.shape[-1]) < _PALLAS_MIN_CH:
         return False
-    return _CONV_BACKEND == "interpret" or jax.default_backend() == "tpu"
+    # The pallas_call has no GSPMD partitioning rule: under an ambient
+    # multi-device mesh (the spatially-sharded decode) it would force the
+    # full pixel grid onto every chip. Sharded decodes stay on the XLA
+    # conv, whose halo exchanges GSPMD inserts automatically.
+    if jax.sharding.get_abstract_mesh().size > 1:
+        return False
+    return backend == "interpret" or jax.default_backend() == "tpu"
 
 
 # ----------------------------- primitive ops -----------------------------
@@ -104,17 +112,17 @@ def _norm(p, x):
     return channel_l2_norm(x, p["gamma"], axis=-1)
 
 
-def _stream_conv(p, x, cache, dtype):
+def _stream_conv(p, x, cache, dtype, backend: str = "xla"):
     """Causal k_t=3 conv with a 2-frame input cache (zeros at stream start)."""
     xin = jnp.concatenate([cache.astype(x.dtype), x], axis=1)
-    if _use_pallas_conv(xin, p["weight"]):
+    if _use_pallas_conv(xin, p["weight"], backend):
         out = pallas_conv3d.conv3d_causal_taps(
             xin.astype(dtype),
             p["weight"].astype(dtype),
             p["bias"],
             kt=3,
             out_dtype=dtype,
-            interpret=_CONV_BACKEND == "interpret",
+            interpret=backend == "interpret",
         )
     else:
         out = _conv3d(p, xin, (0, 0), dtype=dtype)
@@ -128,14 +136,14 @@ def _init_conv_cache(batch, h, w, c, dtype):
 # ----------------------------- res / attn -----------------------------
 
 
-def _stream_resblock(p, x, caches: dict, key: str, dtype):
+def _stream_resblock(p, x, caches: dict, key: str, dtype, backend: str = "xla"):
     h = x
     if "shortcut" in p:
         h = _conv3d(p["shortcut"], x, (0, 0), spatial_pad=0, dtype=dtype)
     y = jax.nn.silu(_norm(p["norm1"], x))
-    y, caches[f"{key}.c1"] = _stream_conv(p["conv1"], y, caches[f"{key}.c1"], dtype)
+    y, caches[f"{key}.c1"] = _stream_conv(p["conv1"], y, caches[f"{key}.c1"], dtype, backend)
     y = jax.nn.silu(_norm(p["norm2"], y))
-    y, caches[f"{key}.c2"] = _stream_conv(p["conv2"], y, caches[f"{key}.c2"], dtype)
+    y, caches[f"{key}.c2"] = _stream_conv(p["conv2"], y, caches[f"{key}.c2"], dtype, backend)
     return y + h
 
 
@@ -186,7 +194,7 @@ def init_encoder_state(cfg: WanVAEConfig, batch: int, height: int, width: int, d
     return StreamState(caches=caches, first=True)
 
 
-def encoder_chunk(cfg: WanVAEConfig, params, x_chunk, state: StreamState):
+def encoder_chunk(cfg: WanVAEConfig, params, x_chunk, state: StreamState, conv_backend: str = "xla"):
     """One encode chunk: x (B, 1 or 4k, H, W, 3) -> latents (B, k', h, w, 16)."""
     p = params["params"]
     enc = p["encoder"]
@@ -195,11 +203,11 @@ def encoder_chunk(cfg: WanVAEConfig, params, x_chunk, state: StreamState):
     first = state.first
     dims = [cfg.dim * u for u in (1,) + tuple(cfg.dim_mult)]
 
-    x, caches["conv1"] = _stream_conv(enc["conv1"], x_chunk, caches["conv1"], dt)
+    x, caches["conv1"] = _stream_conv(enc["conv1"], x_chunk, caches["conv1"], dt, conv_backend)
     li = 0
     for s in range(len(cfg.dim_mult)):
         for _ in range(cfg.num_res_blocks):
-            x = _stream_resblock(enc[f"down_{li}"], x, caches, f"down_{li}", dt)
+            x = _stream_resblock(enc[f"down_{li}"], x, caches, f"down_{li}", dt, conv_backend)
             li += 1
         if s != len(cfg.dim_mult) - 1:
             rp = enc[f"down_{li}"]
@@ -213,11 +221,11 @@ def encoder_chunk(cfg: WanVAEConfig, params, x_chunk, state: StreamState):
                     caches[f"down_{li}.t"] = xin[:, -1:]
                     x = _conv3d(rp["time_conv"], xin, (0, 0), stride=(2, 1, 1), spatial_pad=0, dtype=dt)
             li += 1
-    x = _stream_resblock(enc["mid_res1"], x, caches, "mid_res1", dt)
+    x = _stream_resblock(enc["mid_res1"], x, caches, "mid_res1", dt, conv_backend)
     x = _attn_block(enc["mid_attn"], x, dt)
-    x = _stream_resblock(enc["mid_res2"], x, caches, "mid_res2", dt)
+    x = _stream_resblock(enc["mid_res2"], x, caches, "mid_res2", dt, conv_backend)
     y = jax.nn.silu(_norm(enc["head_norm"], x))
-    y, caches["head"] = _stream_conv(enc["head_conv"], y, caches["head"], dt)
+    y, caches["head"] = _stream_conv(enc["head_conv"], y, caches["head"], dt, conv_backend)
     out = _conv3d(p["conv1"], y, (0, 0), spatial_pad=0, dtype=dt)
     mu = out[..., : cfg.z_dim]
     mean = jnp.asarray(WAN_LATENT_MEAN, dtype=jnp.float32)
@@ -226,7 +234,7 @@ def encoder_chunk(cfg: WanVAEConfig, params, x_chunk, state: StreamState):
     return z, StreamState(caches=caches, first=False)
 
 
-def encode_streaming(vae_cfg: WanVAEConfig, params, x, chunk_frames: int = 4):
+def encode_streaming(vae_cfg: WanVAEConfig, params, x, chunk_frames: int = 4, conv_backend: str | None = None):
     """Full streaming encode of (B, 1+4k, H, W, 3); O(chunk) memory.
 
     Chunks run through a cached ``jax.jit`` of :func:`encoder_chunk`:
@@ -234,13 +242,14 @@ def encode_streaming(vae_cfg: WanVAEConfig, params, x, chunk_frames: int = 4):
     later chunk reuses the compiled program (same shapes).
     """
     assert chunk_frames % 4 == 0
+    be = _CONV_BACKEND if conv_backend is None else conv_backend
     B, T, H, W, _ = x.shape
     state = init_encoder_state(vae_cfg, B, H, W, dtype=vae_cfg.dtype)
     outs = []
-    z, caches = _jitted_chunk("enc", vae_cfg, first=True)(params, x[:, :1], state.caches)
+    z, caches = _jitted_chunk("enc", vae_cfg, first=True, conv_backend=be)(params, x[:, :1], state.caches)
     outs.append(z)
     pos = 1
-    steady = _jitted_chunk("enc", vae_cfg, first=False)
+    steady = _jitted_chunk("enc", vae_cfg, first=False, conv_backend=be)
     while pos < T:
         end = min(pos + chunk_frames, T)
         z, caches = steady(params, x[:, pos:end], caches)
@@ -280,7 +289,7 @@ def init_decoder_state(cfg: WanVAEConfig, batch: int, latent_h: int, latent_w: i
     return StreamState(caches=caches, first=True)
 
 
-def decoder_chunk(cfg: WanVAEConfig, params, z_chunk, state: StreamState):
+def decoder_chunk(cfg: WanVAEConfig, params, z_chunk, state: StreamState, conv_backend: str = "xla"):
     """One decode chunk: z (B, k, h, w, 16) -> pixels.
 
     First chunk must be a single latent frame (the global frame-0 bypass).
@@ -298,15 +307,15 @@ def decoder_chunk(cfg: WanVAEConfig, params, z_chunk, state: StreamState):
     std = jnp.asarray(WAN_LATENT_STD, dtype=jnp.float32)
     zin = (z_chunk.astype(jnp.float32) * std + mean).astype(dt)
     x = _conv3d(p["conv2"], zin, (0, 0), spatial_pad=0, dtype=dt)
-    x, caches["conv1"] = _stream_conv(dec["conv1"], x, caches["conv1"], dt)
-    x = _stream_resblock(dec["mid_res1"], x, caches, "mid_res1", dt)
+    x, caches["conv1"] = _stream_conv(dec["conv1"], x, caches["conv1"], dt, conv_backend)
+    x = _stream_resblock(dec["mid_res1"], x, caches, "mid_res1", dt, conv_backend)
     x = _attn_block(dec["mid_attn"], x, dt)
-    x = _stream_resblock(dec["mid_res2"], x, caches, "mid_res2", dt)
+    x = _stream_resblock(dec["mid_res2"], x, caches, "mid_res2", dt, conv_backend)
 
     li = 0
     for s in range(len(mult)):
         for _ in range(cfg.num_res_blocks + 1):
-            x = _stream_resblock(dec[f"up_{li}"], x, caches, f"up_{li}", dt)
+            x = _stream_resblock(dec[f"up_{li}"], x, caches, f"up_{li}", dt, conv_backend)
             li += 1
         if s != len(mult) - 1:
             rp = dec[f"up_{li}"]
@@ -327,13 +336,13 @@ def decoder_chunk(cfg: WanVAEConfig, params, z_chunk, state: StreamState):
             li += 1
 
     y = jax.nn.silu(_norm(dec["head_norm"], x))
-    y, caches["head"] = _stream_conv(dec["head_conv"], y, caches["head"], dt)
+    y, caches["head"] = _stream_conv(dec["head_conv"], y, caches["head"], dt, conv_backend)
     return y, StreamState(caches=caches, first=False)
 
 
 def decode_streaming(
     vae_cfg: WanVAEConfig, params, z, chunk_latent_frames: int = 1, out: str = "device",
-    pixel_format: str = "float",
+    pixel_format: str = "float", conv_backend: str | None = None,
 ):
     """Full streaming decode of (B, t, h, w, 16); O(chunk) memory.
 
@@ -363,44 +372,39 @@ def decode_streaming(
     u8 = pixel_format == "uint8"
     # Overlapped host spool + Pallas conv don't compose (module docstring /
     # PERF.md): the custom-kernel program serializes against the async D2H
-    # pulls, costing more than the kernel saves. Pin XLA for this route.
-    # The pin must cover execution, not just _jitted_chunk(): the backend
-    # global is consulted when jit TRACES on first call.
-    global _CONV_BACKEND
-    _BACKEND_LOCK.acquire()
-    saved_backend = _CONV_BACKEND
-    if out == "host" and _CONV_BACKEND == "auto":
-        _CONV_BACKEND = "xla"
-    try:
-        first_fn = _jitted_chunk("dec", vae_cfg, first=True, to_u8=u8)
-        steady = _jitted_chunk("dec", vae_cfg, first=False, to_u8=u8)
-        outs = []
-        px, caches = first_fn(params, z[:, :1], state.caches)
-        if out == "host":
-            # overlapped spool: keep one chunk in flight, pull the previous
-            # while the device runs the next
-            pos, pending = 1, px
-            while pos < t:
-                end = min(pos + chunk_latent_frames, t)
-                px, caches = steady(params, z[:, pos:end], caches)  # async dispatch
-                outs.append(to_out(pending))
-                pending = px
-                pos = end
-            outs.append(to_out(pending))
-            return np.concatenate(outs, axis=1)
-        outs.append(to_out(px))
-        pos = 1
+    # pulls, costing more than the kernel saves. Resolve the backend ONCE
+    # here and thread it explicitly (trace-time constant) — "auto" means
+    # XLA on the overlapped host route. Pass conv_backend to override
+    # (e.g. scripts/vae_bench.py measuring the Pallas kernel on this route).
+    be = _CONV_BACKEND if conv_backend is None else conv_backend
+    if out == "host" and be == "auto" and conv_backend is None:
+        be = "xla"
+    first_fn = _jitted_chunk("dec", vae_cfg, first=True, to_u8=u8, conv_backend=be)
+    steady = _jitted_chunk("dec", vae_cfg, first=False, to_u8=u8, conv_backend=be)
+    outs = []
+    px, caches = first_fn(params, z[:, :1], state.caches)
+    if out == "host":
+        # overlapped spool: keep one chunk in flight, pull the previous
+        # while the device runs the next
+        pos, pending = 1, px
         while pos < t:
             end = min(pos + chunk_latent_frames, t)
-            px, caches = steady(params, z[:, pos:end], caches)
-            outs.append(to_out(px))
+            px, caches = steady(params, z[:, pos:end], caches)  # async dispatch
+            outs.append(to_out(pending))
+            pending = px
             pos = end
-        if to_host:
-            return np.concatenate(outs, axis=1)
-        return jnp.concatenate(outs, axis=1)
-    finally:
-        _CONV_BACKEND = saved_backend
-        _BACKEND_LOCK.release()
+        outs.append(to_out(pending))
+        return np.concatenate(outs, axis=1)
+    outs.append(to_out(px))
+    pos = 1
+    while pos < t:
+        end = min(pos + chunk_latent_frames, t)
+        px, caches = steady(params, z[:, pos:end], caches)
+        outs.append(to_out(px))
+        pos = end
+    if to_host:
+        return np.concatenate(outs, axis=1)
+    return jnp.concatenate(outs, axis=1)
 
 
 # ---------------------- jit plumbing for the host loops ----------------------
@@ -420,18 +424,21 @@ def _cfg_key(cfg: WanVAEConfig) -> tuple:
     )
 
 
-def _jitted_chunk(kind: str, cfg: WanVAEConfig, *, first: bool, to_u8: bool = False):
+def _jitted_chunk(kind: str, cfg: WanVAEConfig, *, first: bool, to_u8: bool = False, conv_backend: str | None = None):
     """Compiled (params, chunk, caches) -> (out, caches) for one stream
     chunk. ``first`` is a trace-time constant (the frame-0 "Rep" bypass is
     Python control flow), so first/steady chunks get separate programs.
-    ``to_u8`` fuses [-1,1] -> uint8 quantization into the program (decode)."""
-    key = (kind, _cfg_key(cfg), first, to_u8, _CONV_BACKEND)
+    ``to_u8`` fuses [-1,1] -> uint8 quantization into the program (decode).
+    ``conv_backend`` is resolved here (defaults to the process global) and
+    baked into the program + cache key as a trace-time constant."""
+    be = _CONV_BACKEND if conv_backend is None else conv_backend
+    key = (kind, _cfg_key(cfg), first, to_u8, be)
     fn = _JIT_CACHE.get(key)
     if fn is None:
         base = encoder_chunk if kind == "enc" else decoder_chunk
 
-        def flat(params, chunk, caches, _base=base, _cfg=cfg, _first=first):
-            out, st = _base(_cfg, params, chunk, StreamState(caches=caches, first=_first))
+        def flat(params, chunk, caches, _base=base, _cfg=cfg, _first=first, _be=be):
+            out, st = _base(_cfg, params, chunk, StreamState(caches=caches, first=_first), conv_backend=_be)
             if to_u8:
                 out = jnp.round((jnp.clip(out.astype(jnp.float32), -1.0, 1.0) + 1.0) * 127.5).astype(jnp.uint8)
             return out, st.caches

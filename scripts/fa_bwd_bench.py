@@ -29,16 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timed(fn, *args, iters=3):
-    out = fn(*args)
-    _ = float(jnp.sum(jax.tree.leaves(out)[0][..., :1].astype(jnp.float32)))
-    ts = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        out = fn(*args)
-        _ = float(jnp.sum(jax.tree.leaves(out)[0][..., :1].astype(jnp.float32)))
-        ts.append(time.perf_counter() - t0)
-    return float(np.min(ts))
+from cosmos_predict2_tpu.utils.benchmarking import timed  # noqa: E402
 
 
 def main() -> None:

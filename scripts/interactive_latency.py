@@ -82,10 +82,7 @@ def measure(
     jit_block = stream._jitted_block(latent)
     step_fn = lambda params, rng, caches, t_pos: jit_block(params, rng, cond, caches, t_pos)
 
-    # block_until_ready does not sync through the axon tunnel; force a
-    # scalar fetch instead (same convention as bench.py / fa_bwd_bench.py)
-    def sync(a):
-        return float(jnp.sum(a[..., :1].astype(jnp.float32)))
+    from cosmos_predict2_tpu.utils.benchmarking import sync
 
     print("[stream] compiling block step ...", flush=True)
     t0 = time.perf_counter()

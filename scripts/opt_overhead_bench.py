@@ -39,8 +39,7 @@ import optax
 from cosmos_predict2_tpu.training.ema import ema_update, power_ema_beta
 
 
-def _sync(t) -> float:
-    return float(jnp.sum(jax.tree.leaves(t)[0][:8].astype(jnp.float32)))
+from cosmos_predict2_tpu.utils.benchmarking import sync as _sync  # noqa: E402
 
 
 def main() -> None:

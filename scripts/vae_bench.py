@@ -65,8 +65,7 @@ def make_vae():
     return cfg, params
 
 
-def sync(x):
-    return float(np.sum(np.asarray(jax.tree.leaves(x)[0][..., :1].astype(jnp.float32))))
+from cosmos_predict2_tpu.utils.benchmarking import sync  # noqa: E402
 
 
 def run_chunks(sizes=(1, 2, 4)):
@@ -173,12 +172,15 @@ def run_convcmp(sizes=(1, 2, 4)):
     print(f"[chip] {kind}: bf16 peak {peak/1e12:.0f} TF/s, HBM {bw/1e9:.0f} GB/s", flush=True)
 
     z_full = jax.random.normal(jax.random.PRNGKey(0), (1, LAT_T, LAT_H, LAT_W, 16), dtype=jnp.bfloat16)
+    # conv_backend is passed EXPLICITLY so the "auto" (Pallas) row really
+    # measures the Pallas kernel on the overlapped host route — without the
+    # override decode_streaming's host-route resolution pins auto -> xla
+    # and the row would duplicate the xla measurement.
     for backend in ("xla", "auto"):
-        wvs.set_conv_backend(backend)
         for nlat in sizes:
             try:
                 z = z_full[:, :nlat]
-                fn = wvs._jitted_chunk("dec", cfg, first=False)
+                fn = wvs._jitted_chunk("dec", cfg, first=False, conv_backend=backend)
                 caches = wvs.init_decoder_state(cfg, 1, LAT_H, LAT_W, dtype=cfg.dtype).caches
                 px, caches = fn(params, z, caches)
                 sync(px)
@@ -192,7 +194,7 @@ def run_convcmp(sizes=(1, 2, 4)):
             except Exception as e:
                 print(f"[convcmp {backend} chunk={nlat}] FAILED {type(e).__name__}: {str(e)[:120]}", flush=True)
         # whole-clip decode, overlapped spool + uint8 (the production route)
-        kw = dict(chunk_latent_frames=sizes[0], out="host", pixel_format="uint8")
+        kw = dict(chunk_latent_frames=sizes[0], out="host", pixel_format="uint8", conv_backend=backend)
         out = wvs.decode_streaming(cfg, params, z_full, **kw)
         _ = float(np.sum(np.asarray(out[:, :1], np.float32)))
         times = []
@@ -202,7 +204,6 @@ def run_convcmp(sizes=(1, 2, 4)):
             _ = float(np.sum(np.asarray(out[:, :1], np.float32)))
             times.append(time.perf_counter() - t0)
         print(f"[convcmp {backend} e2e u8] decode {N_FRAMES}f {PIX_H}x{PIX_W}: {min(times):.1f} s", flush=True)
-    wvs.set_conv_backend("auto")
 
 
 if __name__ == "__main__":

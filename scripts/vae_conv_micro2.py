@@ -13,16 +13,11 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timed(fn, *args, iters=5):
-    out = fn(*args)
-    _ = float(jnp.sum(out.astype(jnp.float32)[..., :1]))
-    ts = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        out = fn(*args)
-        _ = float(jnp.sum(out.astype(jnp.float32)[..., :1]))
-        ts.append(time.perf_counter() - t0)
-    return float(np.min(ts))
+from functools import partial  # noqa: E402
+
+from cosmos_predict2_tpu.utils.benchmarking import timed as _timed  # noqa: E402
+
+timed = partial(_timed, iters=5)
 
 
 def main():

@@ -98,6 +98,38 @@ def test_autoregressive_long_video(pipe):
 
 
 @pytest.mark.level(0)
+def test_batch_key_distinguishes_samplers():
+    """Requests with different samplers must not share a batched pass (the
+    batched program is the UniPC CFG sampler), and an all-dmd2 batch must
+    not be routed through it either."""
+    a = InferenceArguments(name="a", prompt="x", sampler="unipc")
+    b = InferenceArguments(name="b", prompt="y", sampler="dmd2")
+    assert Inference.batch_key(a) != Inference.batch_key(b)
+    assert Inference.batch_key(b) == Inference.batch_key(
+        InferenceArguments(name="c", prompt="z", sampler="dmd2")
+    )
+
+
+@pytest.mark.level(1)
+def test_generate_batch_dmd2_uses_distilled_sampler(pipe, tmp_path, monkeypatch):
+    """A same-key dmd2 batch falls back to per-sample generation (which
+    honors sampler) instead of the UniPC batch program."""
+    api = Inference(pipe, output_dir=str(tmp_path / "out"))
+    called = []
+    monkeypatch.setattr(
+        pipe, "generate_vid2world_batch",
+        lambda *a, **k: called.append("batch") or (_ for _ in ()).throw(AssertionError("batched pass ran")),
+    )
+    samples = [
+        InferenceArguments(name=f"d{i}", prompt="p", sampler="dmd2", num_steps=2, guidance=2.0)
+        for i in range(2)
+    ]
+    out = api.generate_batch(samples)
+    assert set(out) == {"d0", "d1"}
+    assert not called
+
+
+@pytest.mark.level(0)
 def test_text_guardrail_hook(pipe, tmp_path):
     api = Inference(pipe, output_dir=str(tmp_path), text_guardrail=lambda p: "bad" not in p, keep_going=False)
     with pytest.raises(ValueError, match="guardrail"):

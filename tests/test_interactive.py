@@ -87,6 +87,21 @@ def test_streaming_generation(causal_setup):
 
 
 @pytest.mark.level(1)
+def test_streaming_generation_slides_window(causal_setup):
+    """Generation past the cache window exercises the (jitted, donated)
+    rolling-window shift; lengths and values stay sane across slides."""
+    from cosmos_predict2_tpu.models.interactive import StreamingConfig, StreamingInference
+
+    model, params, cond, shape = causal_setup
+    stream = StreamingInference(StreamingConfig(num_frame_per_block=1, cache_frame_size=3, num_steps=2), model)
+    init = jax.random.normal(jax.random.PRNGKey(4), (1, 16, 1, 8, 8))
+    out = stream.generate(params, jax.random.PRNGKey(5), cond, init, num_latent_frames=7, latent_shape_hw=(8, 8))
+    assert out.shape == (1, 16, 7, 8, 8)
+    assert np.isfinite(np.asarray(out)).all()
+    assert stream._jit_shifts, "window slide was never exercised"
+
+
+@pytest.mark.level(1)
 def test_self_forcing_dmd2_losses(causal_setup):
     from cosmos_predict2_tpu.models.interactive import (
         SelfForcingDMD2,

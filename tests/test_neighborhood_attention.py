@@ -318,3 +318,35 @@ def test_dit_per_layer_natten_parameters():
     dense = MiniTrainDIT(base)
     out_dense = dense.apply(params, x, ts, ctx)
     assert np.abs(np.asarray(out) - np.asarray(out_dense)).max() > 1e-4
+
+
+@pytest.mark.level(0)
+def test_unsupported_dilation_fallback_vs_oom_guard():
+    """Unsupported dilation geometry: small sequences degrade to the dense
+    masked reference; at production scale (where the dense (B,H,S,S) logits
+    would be an OOM minutes into compilation) the clear error surfaces up
+    front instead."""
+    from cosmos_predict2_tpu.ops.neighborhood_attention import (
+        VideoSize,
+        neighborhood_attention,
+        neighborhood_attention_reference,
+    )
+
+    # small: non-divisor dilation (H=6, dilation=4) -> dense fallback, correct
+    size = VideoSize(2, 6, 8)
+    s = 2 * 6 * 8
+    q, k, v = (jax.random.normal(jax.random.PRNGKey(i), (1, s, 2, 16)) for i in range(3))
+    window, stride, dil = (1, 3, 3), (1, 1, 1), (1, 4, 1)
+    out = neighborhood_attention(q, k, v, size, window, stride=stride, dilation=dil)
+    ref = neighborhood_attention_reference(q, k, v, size, window, stride, dil)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    # production scale: abstract eval is enough to hit the guard (no alloc)
+    big = VideoSize(24, 110, 32)  # H=110 not divisible by dilation 4
+    s_big = 24 * 110 * 32
+    abstract = [jax.ShapeDtypeStruct((1, s_big, 16, 128), jnp.bfloat16)] * 3
+    with pytest.raises(NotImplementedError, match="GiB"):
+        jax.eval_shape(
+            lambda a, b, c: neighborhood_attention(a, b, c, big, window, stride=stride, dilation=dil),
+            *abstract,
+        )

@@ -265,6 +265,44 @@ def test_non_object_json_body_is_400(server):
     assert exc.value.code == 400
 
 
+@pytest.mark.level(0)
+def test_image_magic_sniffing():
+    """save_inline_image: RIFF alone (WAV/AVI) is rejected; real webp
+    (RIFF....WEBP) is accepted."""
+    import base64
+
+    from cosmos_predict2_tpu.inference.serving import save_inline_image
+
+    wav = b"RIFF" + (36).to_bytes(4, "little") + b"WAVEfmt " + b"\x00" * 32
+    with pytest.raises(ValueError, match="unrecognized image format"):
+        save_inline_image(base64.b64encode(wav).decode())
+
+    webp = b"RIFF" + (20).to_bytes(4, "little") + b"WEBPVP8 " + b"\x00" * 16
+    path = save_inline_image(base64.b64encode(webp).decode())
+    try:
+        assert path.endswith(".webp")
+    finally:
+        os.unlink(path)
+
+
+@pytest.mark.level(1)
+def test_oversized_body_rejected_before_read(server):
+    """A Content-Length beyond the upload cap is a 413 without the server
+    buffering the (never-sent) body into memory."""
+    import http.client
+
+    conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=30)
+    try:
+        conn.putrequest("POST", "/generate")
+        conn.putheader("Content-Type", "application/json")
+        conn.putheader("Content-Length", str(512 * 1024 * 1024))
+        conn.endheaders()  # headers only — the 512 MB body is never sent
+        resp = conn.getresponse()
+        assert resp.status == 413, (resp.status, resp.read()[:200])
+    finally:
+        conn.close()
+
+
 @pytest.mark.level(1)
 def test_rejected_upload_leaves_no_temp_file(server):
     """An upload attached to an invalid request must not leak its temp file."""
