@@ -157,3 +157,53 @@ def test_interactive_latency_probe():
     assert r["p50_s"] > 0 and np.isfinite(r["p50_s"])
     assert len(r["laps"]) == 3
     assert r["pixel_fps"] == pytest.approx(4 * r["latent_fps"])
+
+
+@pytest.mark.chips(8)
+@pytest.mark.level(1)
+def test_streaming_generation_under_cp_matches_single_device():
+    """The FULL streaming loop (prefill -> per-block few-step denoise ->
+    commit -> window slide) under Ulysses CP == the single-device loop:
+    the multi-chip interactive path at the generation-loop level, not just
+    the attention op (reference interactive/networks/ulysses.py around
+    ActionStreamingInference)."""
+    from cosmos_predict2_tpu.models.interactive import (
+        StreamingConfig,
+        StreamingInference,
+        causal_model_config,
+    )
+    from cosmos_predict2_tpu.parallel.mesh import make_mesh
+
+    net = dataclasses.replace(
+        PRESETS["test"], num_heads=4, dtype=jnp.float32, remat="none"
+    )
+    shape = (1, 16, 3, 8, 8)
+    emb = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 1024)) * 0.05
+    cond = make_condition(emb)
+    init = jax.random.normal(jax.random.PRNGKey(4), (1, 16, 1, 8, 8))
+
+    # params are structure-identical across cp settings; init once (no mesh)
+    base_model = CausalVideo2WorldModel(causal_model_config(net, num_frame_per_block=1, state_t=3))
+    params = base_model.init_params(jax.random.PRNGKey(0), shape, text_len=8)
+
+    def run(cp_axis, mesh=None):
+        model = CausalVideo2WorldModel(
+            causal_model_config(dataclasses.replace(net, cp_axis=cp_axis), num_frame_per_block=1, state_t=3)
+        )
+        stream = StreamingInference(
+            StreamingConfig(num_frame_per_block=1, cache_frame_size=3, num_steps=2), model
+        )
+        import contextlib
+
+        ctx = jax.set_mesh(mesh) if mesh is not None else contextlib.nullcontext()
+        with ctx:
+            out = stream.generate(
+                params, jax.random.PRNGKey(5), cond, init, num_latent_frames=6, latent_shape_hw=(8, 8)
+            )
+        return np.asarray(jax.device_get(out))
+
+    ref = run(None)
+    mesh = make_mesh(1, 1, 4, 1, devices=jax.devices()[:4])
+    got = run("cp", mesh)
+    assert ref.shape == got.shape == (1, 16, 6, 8, 8)
+    np.testing.assert_allclose(got, ref, atol=2e-4)
