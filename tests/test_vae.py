@@ -126,6 +126,23 @@ def test_streaming_decode_pallas_conv_backend(vae_and_params):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
 
 
+@pytest.mark.chips(8)
+@pytest.mark.level(0)
+def test_pallas_conv_disabled_under_multi_device_mesh():
+    """The Pallas conv3d has no GSPMD partitioning rule: under an ambient
+    multi-device mesh (the spatially-sharded decode) routing must fall back
+    to the XLA conv."""
+    from cosmos_predict2_tpu.parallel.mesh import make_mesh
+    from cosmos_predict2_tpu.tokenizers.wan_vae_streaming import _use_pallas_conv
+
+    x = jnp.zeros((1, 3, 8, 16, 64), jnp.bfloat16)
+    w = jnp.zeros((3, 3, 3, 64, 64), jnp.bfloat16)
+    assert _use_pallas_conv(x, w, "interpret")  # qualifies without a mesh
+    mesh = make_mesh(1, 2, 2, 1, devices=jax.devices()[:4])
+    with jax.set_mesh(mesh):
+        assert not _use_pallas_conv(x, w, "interpret")
+
+
 @pytest.mark.level(1)
 def test_vae_interface_normalization(vae_and_params):
     from cosmos_predict2_tpu.tokenizers.interface import VAEInterfaceConfig, WanVAEInterface
