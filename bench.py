@@ -171,44 +171,58 @@ def main() -> None:
 
     results: dict = {}
     for name, sparse in (("dense", False), ("sparse", True)):
-        net, _cfg = _make_net(sparse)
-        params = _make_params(net, x, ts, ctx)
+        # the primary (dense) metric must survive a flaky secondary
+        # measurement: sparse/DMD2/VAE failures degrade to an *_error
+        # field instead of losing the whole driver artifact
+        try:
+            net, _cfg = _make_net(sparse)
+            params = _make_params(net, x, ts, ctx)
 
-        @jax.jit
-        def cfg_step(params, x, ts, ctx, _net=net):
-            x2 = jnp.concatenate([x, x], axis=0)
-            ts2 = jnp.concatenate([ts, ts], axis=0)
-            ctx2 = jnp.concatenate([ctx, jnp.zeros_like(ctx)], axis=0)
-            v = _net.apply(params, x2, ts2, ctx2)
-            return v[:1] + 7.0 * (v[:1] - v[1:])
+            @jax.jit
+            def cfg_step(params, x, ts, ctx, _net=net):
+                x2 = jnp.concatenate([x, x], axis=0)
+                ts2 = jnp.concatenate([ts, ts], axis=0)
+                ctx2 = jnp.concatenate([ctx, jnp.zeros_like(ctx)], axis=0)
+                v = _net.apply(params, x2, ts2, ctx2)
+                return v[:1] + 7.0 * (v[:1] - v[1:])
 
-        t_step = _timed(cfg_step, params, x, ts, ctx)
-        results[f"{name}_t_step_s"] = round(t_step, 3)
-        results[f"{name}_frames_per_sec_per_chip"] = round(FRAMES / (NUM_STEPS * t_step), 4)
+            t_step = _timed(cfg_step, params, x, ts, ctx)
+            results[f"{name}_t_step_s"] = round(t_step, 3)
+            results[f"{name}_frames_per_sec_per_chip"] = round(FRAMES / (NUM_STEPS * t_step), 4)
 
-        if name == "dense":
-            dense_t_step = t_step
-            results["dense_mfu"] = round(2 * fwd_flops / t_step / peak, 4)
+            if name == "dense":
+                dense_t_step = t_step
+                results["dense_mfu"] = round(2 * fwd_flops / t_step / peak, 4)
 
-            # DMD2 distilled: single forward per step, 4 steps (same net)
-            single = jax.jit(lambda p, x, ts, c, _net=net: _net.apply(p, x, ts, c))
-            t_fwd = _timed(single, params, x, ts, ctx)
-            results["dmd2_t_fwd_s"] = round(t_fwd, 3)
-            results["dmd2_frames_per_sec_per_chip"] = round(FRAMES / (DMD2_STEPS * t_fwd), 4)
-        del params, net
+                # DMD2 distilled: single forward per step, 4 steps (same net)
+                single = jax.jit(lambda p, x, ts, c, _net=net: _net.apply(p, x, ts, c))
+                t_fwd = _timed(single, params, x, ts, ctx)
+                results["dmd2_t_fwd_s"] = round(t_fwd, 3)
+                results["dmd2_frames_per_sec_per_chip"] = round(FRAMES / (DMD2_STEPS * t_fwd), 4)
+            del params, net
+        except Exception as e:  # noqa: BLE001
+            if name == "dense":
+                raise  # the primary metric: no artifact without it
+            results[f"{name}_error"] = f"{type(e).__name__}: {e}"[:200]
 
-    t_enc, t_dec = _vae_times()
-    results["vae_encode_s"] = round(t_enc, 1)
-    results["vae_decode_s"] = round(t_dec, 1)
+    try:
+        t_enc, t_dec = _vae_times()
+        results["vae_encode_s"] = round(t_enc, 1)
+        results["vae_decode_s"] = round(t_dec, 1)
+    except Exception as e:  # noqa: BLE001
+        t_enc = t_dec = None
+        results["vae_error"] = f"{type(e).__name__}: {e}"[:200]
 
     # e2e = denoise clip + VAE + host stepping (component sum; see module doc)
-    results["e2e_sparse_clip_s"] = round(
-        NUM_STEPS * results["sparse_t_step_s"] + t_enc + t_dec + HOST_STEP_OVERHEAD_S, 1
-    )
-    results["e2e_dense_clip_s"] = round(
-        NUM_STEPS * results["dense_t_step_s"] + t_enc + t_dec + HOST_STEP_OVERHEAD_S, 1
-    )
-    results["e2e_dmd2_clip_s"] = round(DMD2_STEPS * results["dmd2_t_fwd_s"] + t_enc + t_dec, 1)
+    if t_enc is not None:
+        if "sparse_t_step_s" in results:
+            results["e2e_sparse_clip_s"] = round(
+                NUM_STEPS * results["sparse_t_step_s"] + t_enc + t_dec + HOST_STEP_OVERHEAD_S, 1
+            )
+        results["e2e_dense_clip_s"] = round(
+            NUM_STEPS * results["dense_t_step_s"] + t_enc + t_dec + HOST_STEP_OVERHEAD_S, 1
+        )
+        results["e2e_dmd2_clip_s"] = round(DMD2_STEPS * results["dmd2_t_fwd_s"] + t_enc + t_dec, 1)
 
     mfu = 2 * fwd_flops / dense_t_step / peak
     h100_t_step = 2 * fwd_flops / (989e12 * 0.40)
