@@ -14,7 +14,6 @@ from __future__ import annotations
 
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -26,7 +25,6 @@ jax.config.update(
 )
 
 import jax.numpy as jnp
-import numpy as np
 
 
 from cosmos_predict2_tpu.utils.benchmarking import timed  # noqa: E402
