@@ -207,3 +207,55 @@ def test_streaming_generation_under_cp_matches_single_device():
     got = run("cp", mesh)
     assert ref.shape == got.shape == (1, 16, 6, 8, 8)
     np.testing.assert_allclose(got, ref, atol=2e-4)
+
+
+@pytest.mark.chips(8)
+@pytest.mark.level(1)
+def test_self_forcing_generator_grad_under_cp_matches_single_device():
+    """Self-forcing DMD2 generator loss AND its gradient under Ulysses CP ==
+    single device: multi-chip interactive TRAINING (gradients flow through
+    the a2a'd, head-sharded KV-cache rollout; the kernel's custom VJP and
+    the shard_map transpose compose)."""
+    from cosmos_predict2_tpu.models.interactive import (
+        SelfForcingDMD2,
+        StreamingConfig,
+        StreamingInference,
+        causal_model_config,
+    )
+    from cosmos_predict2_tpu.parallel.mesh import make_mesh
+
+    net = dataclasses.replace(PRESETS["test"], num_heads=4, dtype=jnp.float32, remat="none")
+    shape = (1, 16, 3, 8, 8)
+    emb = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 1024)) * 0.05
+    condition = make_condition(emb)
+    base_model = CausalVideo2WorldModel(causal_model_config(net, num_frame_per_block=1, state_t=3))
+    params = base_model.init_params(jax.random.PRNGKey(0), shape, text_len=8)
+    fake_params = jax.tree.map(lambda x: x * 1.05, params)
+    rng = jax.random.PRNGKey(0)
+
+    def run(cp_axis, mesh=None):
+        model = CausalVideo2WorldModel(
+            causal_model_config(dataclasses.replace(net, cp_axis=cp_axis), num_frame_per_block=1, state_t=3)
+        )
+        sf = SelfForcingDMD2(
+            StreamingInference(StreamingConfig(num_frame_per_block=1, cache_frame_size=8, num_steps=2), model)
+        )
+
+        def gloss(p):
+            loss, _ = sf.generator_loss(p, params, fake_params, rng, condition, None, n_blocks=2, latent_hw=(8, 8))
+            return loss
+
+        import contextlib
+
+        ctx = jax.set_mesh(mesh) if mesh is not None else contextlib.nullcontext()
+        with ctx:
+            loss, g = jax.jit(jax.value_and_grad(gloss))(params)
+            loss, g = jax.device_get((loss, g))
+        return float(loss), g
+
+    ref_loss, ref_g = run(None)
+    mesh = make_mesh(1, 1, 4, 1, devices=jax.devices()[:4])
+    cp_loss, cp_g = run("cp", mesh)
+    assert np.isfinite(ref_loss) and abs(cp_loss - ref_loss) < 1e-4 * max(1.0, abs(ref_loss))
+    for a, b in zip(jax.tree.leaves(ref_g), jax.tree.leaves(cp_g)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=5e-4, rtol=1e-3)
