@@ -37,11 +37,16 @@ def measure(
     cache_frames: int = 16,
     net_cfg=None,
     num_steps: int = 4,
+    frames_per_block: int = 1,
 ) -> dict:
     """Run the KV-cache streaming probe; returns {"p50_s", "latent_fps", "pixel_fps", "laps"}.
 
     net_cfg defaults to the 2B causal DiT; tests pass a tiny preset so the
-    same probe path runs on the CPU mesh (level-2 test)."""
+    same probe path runs on the CPU mesh (level-2 test).
+    ``frames_per_block`` = the reference's num_frame_per_block: denoising
+    nb frames per block amortizes the cache read and feeds the MXU a
+    nb-times-larger q — higher throughput (latent f/s) at nb-times the
+    latency-to-first-frame."""
     from cosmos_predict2_tpu.conditioning.conditioner import make_condition
     from cosmos_predict2_tpu.models.interactive import (
         CausalVideo2WorldModel,
@@ -64,18 +69,19 @@ def measure(
         temporal_causal=True,
     )
     h, w = hw
-    model = CausalVideo2WorldModel(causal_model_config(net, num_frame_per_block=1))
-    scfg = StreamingConfig(num_frame_per_block=1, cache_frame_size=cache_frames, num_steps=num_steps)
+    nb = frames_per_block
+    model = CausalVideo2WorldModel(causal_model_config(net, num_frame_per_block=nb))
+    scfg = StreamingConfig(num_frame_per_block=nb, cache_frame_size=cache_frames, num_steps=num_steps)
     stream = StreamingInference(scfg, model)
 
-    latent = (1, 16, 1, h, w)
+    latent = (1, 16, nb, h, w)
     print(f"[stream] init causal params ({net.model_channels}ch), latent frame {h}x{w} ...", flush=True)
     params = model.init_params(jax.random.PRNGKey(0), (1, 16, 4, h, w), text_len=512)
     params = jax.tree.map(lambda p: p.astype(net.dtype) if p.ndim >= 2 else p, params)
     emb = jnp.ones((1, 512, 1024), net.dtype) * 0.01
     cond = make_condition(emb)
 
-    caches = model.init_kv_caches(1, cache_frames + 1, h, w)
+    caches = model.init_kv_caches(1, cache_frames + nb, h, w)
 
     # the production jitted block step (donated caches): measuring the
     # exact code path StreamingInference.generate runs
@@ -93,17 +99,18 @@ def measure(
     laps = []
     for i in range(blocks):
         t0 = time.perf_counter()
-        x, caches = step_fn(params, jax.random.PRNGKey(2 + i), caches, i + 1)
+        x, caches = step_fn(params, jax.random.PRNGKey(2 + i), caches, (i + 1) * nb)
         sync(x)
         laps.append(time.perf_counter() - t0)
     p50 = float(np.median(laps))
+    lfps = nb / p50
     print(
-        f"[stream] RESULT latent {h}x{w}: p50 block latency {p50 * 1e3:.0f} ms "
-        f"-> {1 / p50:.2f} latent frames/s = {4 / p50:.1f} pixel fps "
-        f"(real-time 16 fps needs 4 latent f/s: {'YES' if 4 / p50 >= 16 else 'no'})",
+        f"[stream] RESULT latent {h}x{w} nb={nb}: p50 block latency {p50 * 1e3:.0f} ms "
+        f"-> {lfps:.2f} latent frames/s = {4 * lfps:.1f} pixel fps "
+        f"(real-time 16 fps needs 4 latent f/s: {'YES' if 4 * lfps >= 16 else 'no'})",
         flush=True,
     )
-    return {"p50_s": p50, "latent_fps": 1 / p50, "pixel_fps": 4 / p50, "laps": laps}
+    return {"p50_s": p50, "latent_fps": lfps, "pixel_fps": 4 * lfps, "laps": laps}
 
 
 def main() -> None:
@@ -116,8 +123,9 @@ def main() -> None:
     )
     ap.add_argument("--blocks", type=int, default=8)
     ap.add_argument("--cache-frames", type=int, default=16)
+    ap.add_argument("--frames-per-block", type=int, default=1)
     args = ap.parse_args()
-    measure(tuple(args.hw), args.blocks, args.cache_frames)
+    measure(tuple(args.hw), args.blocks, args.cache_frames, frames_per_block=args.frames_per_block)
 
 
 if __name__ == "__main__":
