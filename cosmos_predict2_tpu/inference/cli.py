@@ -42,6 +42,8 @@ def parse_args(argv=None):
     p.add_argument("--num-output-frames", type=int, default=77)
     p.add_argument("--disable-guardrails", action="store_true")
     p.add_argument("--text-embedding-path", default=None, help=".npy precomputed embedding (offline path)")
+    p.add_argument("--sampler", choices=["unipc", "dmd2"], default="unipc",
+                   help="dmd2 = few-step distilled path (no CFG; needs distilled weights)")
     return p.parse_args(argv)
 
 
@@ -168,13 +170,14 @@ def main(argv=None) -> int:
                 prompt=args.prompt,
                 negative_prompt=args.negative_prompt,
                 input_path=args.input_path,
-                num_steps=args.num_steps or (1 if SMOKE else 35),
+                num_steps=args.num_steps or ((1 if SMOKE else 35) if args.sampler == "unipc" else 4),
                 guidance=args.guidance,
                 seed=args.seed,
                 num_conditional_frames=args.num_conditional_frames,
                 enable_autoregressive=args.autoregressive,
                 num_output_frames=args.num_output_frames,
                 text_embedding_path=args.text_embedding_path,
+                sampler=args.sampler,
             )
         ]
     outputs = api.generate(samples)

@@ -65,6 +65,7 @@ class GenerateRequest(V.ValidatedParams):
     chunk_overlap = V.Int(default=1, min=1, max=64)
     text_embedding_path = V.Path(default=None)
     mode = V.OneOf(default="video", options=("video", "image"))
+    sampler = V.OneOf(default="unipc", options=("unipc", "dmd2"))
 
     def to_args(self) -> InferenceArguments:
         return InferenceArguments(**self.to_dict())
