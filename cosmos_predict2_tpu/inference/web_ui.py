@@ -52,6 +52,9 @@ INDEX_HTML = """<!doctype html>
       <div><label>Cond. frames</label><select id="num_conditional_frames">
         <option value="0">0 (Text2World)</option><option value="1" selected>1 (Image2World)</option><option value="2">2 (Video2World)</option>
       </select></div>
+      <div><label>Sampler</label><select id="sampler">
+        <option value="unipc" selected>UniPC (35-step CFG)</option><option value="dmd2">DMD2 (4-step distilled)</option>
+      </select></div>
     </div>
   </fieldset>
   <button id="go" type="submit">Generate</button>
@@ -80,6 +83,7 @@ $("f").addEventListener("submit", async (ev) => {
     guidance: +$("guidance").value,
     seed: +$("seed").value,
     num_conditional_frames: +$("num_conditional_frames").value,
+    sampler: $("sampler").value,
   };
   const file = $("image").files[0];
   if (file) payload.input_image_b64 = await fileToB64(file);
