@@ -134,17 +134,22 @@ def encoder_chunk(cfg: Wan22VAEConfig, params, x_chunk, state: StreamState):
 
 
 def encode_streaming(cfg: Wan22VAEConfig, params, x, chunk_frames: int = 4):
-    """Full streaming encode of (B, 1+4k, H, W, 3); O(chunk) memory."""
+    """Full streaming encode of (B, 1+4k, H, W, 3); O(chunk) memory.
+
+    Chunks run through cached ``jax.jit`` programs with DONATED caches —
+    two compiled programs total (first + steady chunk), same design as the
+    Wan2.1 streaming path."""
     assert chunk_frames % 4 == 0
     B, T, H, W, _ = x.shape
     state = init_encoder_state(cfg, B, H, W)
     outs = []
-    z, state = encoder_chunk(cfg, params, x[:, :1], state)
+    z, caches = _jitted_chunk("enc", cfg, first=True)(params, x[:, :1], state.caches)
     outs.append(z)
     pos = 1
+    steady = _jitted_chunk("enc", cfg, first=False)
     while pos < T:
         end = min(pos + chunk_frames, T)
-        z, state = encoder_chunk(cfg, params, x[:, pos:end], state)
+        z, caches = steady(params, x[:, pos:end], caches)
         outs.append(z)
         pos = end
     return jnp.concatenate(outs, axis=1)
@@ -237,16 +242,57 @@ def decoder_chunk(cfg: Wan22VAEConfig, params, z_chunk, state: StreamState):
 
 
 def decode_streaming(cfg: Wan22VAEConfig, params, z, chunk_latent_frames: int = 1):
-    """Full streaming decode of (B, t, h, w, 48); O(chunk) memory."""
+    """Full streaming decode of (B, t, h, w, 48); O(chunk) memory.
+
+    Chunks run through cached ``jax.jit`` programs with DONATED caches
+    (first + steady), matching the Wan2.1 streaming design."""
     B, t, h, w, _ = z.shape
     state = init_decoder_state(cfg, B, h, w)
     outs = []
-    px, state = decoder_chunk(cfg, params, z[:, :1], state)
+    px, caches = _jitted_chunk("dec", cfg, first=True)(params, z[:, :1], state.caches)
     outs.append(px)
     pos = 1
+    steady = _jitted_chunk("dec", cfg, first=False)
     while pos < t:
         end = min(pos + chunk_latent_frames, t)
-        px, state = decoder_chunk(cfg, params, z[:, pos:end], state)
+        px, caches = steady(params, z[:, pos:end], caches)
         outs.append(px)
         pos = end
     return jnp.concatenate(outs, axis=1)
+
+
+# ---------------------- jit plumbing for the host loops ----------------------
+
+
+_JIT_CACHE: dict[tuple, Any] = {}
+
+
+def _cfg_key(cfg: Wan22VAEConfig) -> tuple:
+    return (
+        cfg.dim,
+        cfg.dec_dim,
+        cfg.z_dim,
+        tuple(cfg.dim_mult),
+        cfg.num_res_blocks,
+        tuple(cfg.temporal_downsample),
+        cfg.patch_size,
+        jnp.dtype(cfg.dtype).name,
+    )
+
+
+def _jitted_chunk(kind: str, cfg: Wan22VAEConfig, *, first: bool):
+    """Compiled (params, chunk, caches) -> (out, caches) for one stream
+    chunk; ``first`` is a trace-time constant (frame-0 bypass is Python
+    control flow). Donating the cache pytree lets XLA update the conv
+    histories in place instead of double-buffering them."""
+    key = (kind, _cfg_key(cfg), first)
+    fn = _JIT_CACHE.get(key)
+    if fn is None:
+        base = encoder_chunk if kind == "enc" else decoder_chunk
+
+        def flat(params, chunk, caches, _base=base, _cfg=cfg, _first=first):
+            out, st = _base(_cfg, params, chunk, StreamState(caches=caches, first=_first))
+            return out, st.caches
+
+        fn = _JIT_CACHE[key] = jax.jit(flat, donate_argnums=(2,))
+    return fn
