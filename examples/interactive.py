@@ -22,6 +22,12 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+# this environment's TPU plugin overrides JAX_PLATFORMS at import time;
+# re-assert an explicit cpu request so smoke runs never touch the tunnel
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 

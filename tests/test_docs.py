@@ -28,6 +28,18 @@ def test_train_cli_help():
     assert r.returncode == 0 and "--experiment" in r.stdout
 
 
+@pytest.mark.level(1)
+def test_interactive_example_smoke():
+    """examples/interactive.py streams under COSMOS_SMOKE on the CPU mesh."""
+    env = dict(os.environ, COSMOS_SMOKE="1", JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "examples/interactive.py", "--frames", "3", "--cache-frames", "4"],
+        capture_output=True, text=True, cwd=REPO, timeout=900, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "streamed 3 latent frames" in r.stdout
+
+
 @pytest.mark.level(2)  # documented command end-to-end; heavy compile on CPU
 def test_documented_inference_smoke(tmp_path):
     env = dict(os.environ, COSMOS_SMOKE="1", JAX_PLATFORMS="cpu")
