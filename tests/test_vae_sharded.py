@@ -39,3 +39,31 @@ def test_spatially_sharded_vae_matches_single_device():
         z_sharded = jax.device_put(z_ref, NamedSharding(mesh, P(None, None, "fsdp", "cp")))
         px = jax.jit(lambda p, v: vae.apply(p, v, method=WanVAE.decode))(params, z_sharded)
         np.testing.assert_allclose(np.asarray(px), np.asarray(px_ref), atol=2e-4)
+
+
+@pytest.mark.chips(8)
+@pytest.mark.level(1)
+def test_spatially_sharded_streaming_vae_matches_single_device():
+    """The STREAMING (cache-carrying) encode/decode under a 2D spatial mesh
+    == single device: the conv halo exchanges GSPMD inserts must compose
+    with the chunked feat-cache programs (donated cache pytrees stay
+    sharded chunk-to-chunk)."""
+    from cosmos_predict2_tpu.tokenizers import wan_vae_streaming as wvs
+
+    cfg = WanVAEConfig(dim=16, dtype=jnp.float32)
+    vae = WanVAE(cfg)
+    clip = jax.random.uniform(jax.random.PRNGKey(0), (1, 5, 32, 64, 3), minval=-1, maxval=1)
+    params = vae.init(jax.random.PRNGKey(1), clip)
+
+    z_ref = wvs.encode_streaming(cfg, params, clip)
+    px_ref = wvs.decode_streaming(cfg, params, z_ref)
+
+    mesh = make_mesh(1, 2, 2, 1, devices=jax.devices()[:4])
+    with jax.set_mesh(mesh):
+        sharded = jax.device_put(clip, NamedSharding(mesh, P(None, None, "fsdp", "cp")))
+        z = wvs.encode_streaming(cfg, params, sharded)
+        np.testing.assert_allclose(np.asarray(z), np.asarray(z_ref), atol=2e-4)
+
+        z_sharded = jax.device_put(jnp.asarray(z_ref), NamedSharding(mesh, P(None, None, "fsdp", "cp")))
+        px = wvs.decode_streaming(cfg, params, z_sharded)
+        np.testing.assert_allclose(np.asarray(px), np.asarray(px_ref), atol=2e-4)
