@@ -81,18 +81,11 @@ def dit_flops_per_forward(
     return n_blocks * per_block + embed + final
 
 
-def _sync(o) -> float:
-    return float(jnp.sum(o.astype(jnp.float32)))
+from cosmos_predict2_tpu.utils.benchmarking import timed  # noqa: E402
 
 
 def _timed(fn, *args, iters=TIMING_ITERS) -> float:
-    _sync(fn(*args))  # compile + warm
-    times = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        _sync(fn(*args))
-        times.append(time.perf_counter() - t0)
-    return float(np.min(times))
+    return timed(fn, *args, iters=iters)
 
 
 def _make_net(sparse: bool):
@@ -194,11 +187,16 @@ def main() -> None:
                 dense_t_step = t_step
                 results["dense_mfu"] = round(2 * fwd_flops / t_step / peak, 4)
 
-                # DMD2 distilled: single forward per step, 4 steps (same net)
-                single = jax.jit(lambda p, x, ts, c, _net=net: _net.apply(p, x, ts, c))
-                t_fwd = _timed(single, params, x, ts, ctx)
-                results["dmd2_t_fwd_s"] = round(t_fwd, 3)
-                results["dmd2_frames_per_sec_per_chip"] = round(FRAMES / (DMD2_STEPS * t_fwd), 4)
+                # DMD2 distilled: single forward per step, 4 steps (same
+                # net). Its own fail-soft scope — the dense numbers above
+                # are already in `results` and must survive a DMD2 failure.
+                try:
+                    single = jax.jit(lambda p, x, ts, c, _net=net: _net.apply(p, x, ts, c))
+                    t_fwd = _timed(single, params, x, ts, ctx)
+                    results["dmd2_t_fwd_s"] = round(t_fwd, 3)
+                    results["dmd2_frames_per_sec_per_chip"] = round(FRAMES / (DMD2_STEPS * t_fwd), 4)
+                except Exception as e:  # noqa: BLE001
+                    results["dmd2_error"] = f"{type(e).__name__}: {e}"[:200]
             del params, net
         except Exception as e:  # noqa: BLE001
             if name == "dense":
@@ -222,7 +220,8 @@ def main() -> None:
         results["e2e_dense_clip_s"] = round(
             NUM_STEPS * results["dense_t_step_s"] + t_enc + t_dec + HOST_STEP_OVERHEAD_S, 1
         )
-        results["e2e_dmd2_clip_s"] = round(DMD2_STEPS * results["dmd2_t_fwd_s"] + t_enc + t_dec, 1)
+        if "dmd2_t_fwd_s" in results:
+            results["e2e_dmd2_clip_s"] = round(DMD2_STEPS * results["dmd2_t_fwd_s"] + t_enc + t_dec, 1)
 
     mfu = 2 * fwd_flops / dense_t_step / peak
     h100_t_step = 2 * fwd_flops / (989e12 * 0.40)

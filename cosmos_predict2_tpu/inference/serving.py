@@ -265,11 +265,19 @@ def make_handler(worker: ModelWorker):
             if self.path != "/generate":
                 self._send(404, {"error": "unknown path"})
                 return
-            length = int(self.headers.get("Content-Length", 0))
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+            except (TypeError, ValueError):
+                self._send(400, {"error": "invalid Content-Length"})
+                return
             # bound the body BEFORE buffering it: the base64 of a cap-sized
             # image plus the other fields; anything bigger can only be an
-            # over-cap upload, rejected here without reading it into memory
+            # over-cap upload, rejected here without reading it into memory.
+            # A negative length would make read(-1) buffer until EOF — reject.
             max_body = MAX_UPLOAD_BYTES * 4 // 3 + 65536
+            if length < 0:
+                self._send(400, {"error": "invalid Content-Length"})
+                return
             if length > max_body:
                 self._send(413, {"error": f"request body exceeds {max_body >> 20} MB cap"})
                 return

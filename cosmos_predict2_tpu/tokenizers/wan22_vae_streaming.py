@@ -35,6 +35,7 @@ from cosmos_predict2_tpu.tokenizers.wan22_vae import (
     unpatchify,
 )
 from cosmos_predict2_tpu.tokenizers.wan_vae import _upsample2x_conv3x3
+from cosmos_predict2_tpu.tokenizers import wan_vae_streaming as _wvs
 from cosmos_predict2_tpu.tokenizers.wan_vae_streaming import (
     CACHE_T,
     StreamState,
@@ -83,7 +84,7 @@ def init_encoder_state(cfg: Wan22VAEConfig, batch: int, height: int, width: int,
     return StreamState(caches=caches, first=True)
 
 
-def encoder_chunk(cfg: Wan22VAEConfig, params, x_chunk, state: StreamState):
+def encoder_chunk(cfg: Wan22VAEConfig, params, x_chunk, state: StreamState, conv_backend: str = "xla"):
     """x (B, 1 or 4k, H, W, 3) -> latents (B, k', H/16, W/16, 48)."""
     p = params["params"]
     enc = p["encoder"]
@@ -93,7 +94,7 @@ def encoder_chunk(cfg: Wan22VAEConfig, params, x_chunk, state: StreamState):
     dims = _enc_dims(cfg)
 
     x = patchify(x_chunk, cfg.patch_size)
-    x, caches["conv1"] = _stream_conv(enc["conv1"], x, caches["conv1"], dt)
+    x, caches["conv1"] = _stream_conv(enc["conv1"], x, caches["conv1"], dt, conv_backend)
     for s in range(len(cfg.dim_mult)):
         sp = enc[f"down_{s}"]
         temporal = cfg.temporal_downsample[s] if s < len(cfg.temporal_downsample) else False
@@ -108,7 +109,7 @@ def encoder_chunk(cfg: Wan22VAEConfig, params, x_chunk, state: StreamState):
         )
         h = x
         for j in range(cfg.num_res_blocks):
-            h = _stream_resblock(sp[f"res_{j}"], h, caches, f"down_{s}.res_{j}", dt)
+            h = _stream_resblock(sp[f"res_{j}"], h, caches, f"down_{s}.res_{j}", dt, conv_backend)
         if down_flag:
             rp = sp["resample"]
             h = _conv2d(rp["conv"], h, stride=(2, 2), padding=((0, 1), (0, 1)), dtype=dt)
@@ -120,11 +121,11 @@ def encoder_chunk(cfg: Wan22VAEConfig, params, x_chunk, state: StreamState):
                     caches[f"down_{s}.t"] = hin[:, -1:]
                     h = _conv3d(rp["time_conv"], hin, (0, 0), stride=(2, 1, 1), spatial_pad=0, dtype=dt)
         x = h + shortcut.astype(h.dtype)
-    x = _stream_resblock(enc["mid_res1"], x, caches, "mid_res1", dt)
+    x = _stream_resblock(enc["mid_res1"], x, caches, "mid_res1", dt, conv_backend)
     x = _attn_block(enc["mid_attn"], x, dt)
-    x = _stream_resblock(enc["mid_res2"], x, caches, "mid_res2", dt)
+    x = _stream_resblock(enc["mid_res2"], x, caches, "mid_res2", dt, conv_backend)
     y = jax.nn.silu(_norm(enc["head_norm"], x))
-    y, caches["head"] = _stream_conv(enc["head_conv"], y, caches["head"], dt)
+    y, caches["head"] = _stream_conv(enc["head_conv"], y, caches["head"], dt, conv_backend)
     out = _conv3d(p["conv1"], y, (0, 0), spatial_pad=0, dtype=dt)
     mu = out[..., : cfg.z_dim]
     mean = jnp.asarray(WAN22_LATENT_MEAN, jnp.float32)
@@ -133,7 +134,7 @@ def encoder_chunk(cfg: Wan22VAEConfig, params, x_chunk, state: StreamState):
     return z, StreamState(caches=caches, first=False)
 
 
-def encode_streaming(cfg: Wan22VAEConfig, params, x, chunk_frames: int = 4):
+def encode_streaming(cfg: Wan22VAEConfig, params, x, chunk_frames: int = 4, conv_backend: str | None = None):
     """Full streaming encode of (B, 1+4k, H, W, 3); O(chunk) memory.
 
     Chunks run through cached ``jax.jit`` programs with DONATED caches —
@@ -143,10 +144,11 @@ def encode_streaming(cfg: Wan22VAEConfig, params, x, chunk_frames: int = 4):
     B, T, H, W, _ = x.shape
     state = init_encoder_state(cfg, B, H, W)
     outs = []
-    z, caches = _jitted_chunk("enc", cfg, first=True)(params, x[:, :1], state.caches)
+    be = _wvs._CONV_BACKEND if conv_backend is None else conv_backend
+    z, caches = _jitted_chunk("enc", cfg, first=True, conv_backend=be)(params, x[:, :1], state.caches)
     outs.append(z)
     pos = 1
-    steady = _jitted_chunk("enc", cfg, first=False)
+    steady = _jitted_chunk("enc", cfg, first=False, conv_backend=be)
     while pos < T:
         end = min(pos + chunk_frames, T)
         z, caches = steady(params, x[:, pos:end], caches)
@@ -183,7 +185,7 @@ def init_decoder_state(cfg: Wan22VAEConfig, batch: int, latent_h: int, latent_w:
     return StreamState(caches=caches, first=True)
 
 
-def decoder_chunk(cfg: Wan22VAEConfig, params, z_chunk, state: StreamState):
+def decoder_chunk(cfg: Wan22VAEConfig, params, z_chunk, state: StreamState, conv_backend: str = "xla"):
     """z (B, k, h, w, 48) -> pixels; first chunk must be one latent frame."""
     p = params["params"]
     dec = p["decoder"]
@@ -198,10 +200,10 @@ def decoder_chunk(cfg: Wan22VAEConfig, params, z_chunk, state: StreamState):
     std = jnp.asarray(WAN22_LATENT_STD, jnp.float32)
     zin = (z_chunk.astype(jnp.float32) * std + mean).astype(dt)
     x = _conv3d(p["conv2"], zin, (0, 0), spatial_pad=0, dtype=dt)
-    x, caches["conv1"] = _stream_conv(dec["conv1"], x, caches["conv1"], dt)
-    x = _stream_resblock(dec["mid_res1"], x, caches, "mid_res1", dt)
+    x, caches["conv1"] = _stream_conv(dec["conv1"], x, caches["conv1"], dt, conv_backend)
+    x = _stream_resblock(dec["mid_res1"], x, caches, "mid_res1", dt, conv_backend)
     x = _attn_block(dec["mid_attn"], x, dt)
-    x = _stream_resblock(dec["mid_res2"], x, caches, "mid_res2", dt)
+    x = _stream_resblock(dec["mid_res2"], x, caches, "mid_res2", dt, conv_backend)
 
     for s in range(len(mult)):
         sp = dec[f"up_{s}"]
@@ -210,7 +212,7 @@ def decoder_chunk(cfg: Wan22VAEConfig, params, z_chunk, state: StreamState):
         x_in = x
         h = x
         for j in range(cfg.num_res_blocks + 1):
-            h = _stream_resblock(sp[f"res_{j}"], h, caches, f"up_{s}.res_{j}", dt)
+            h = _stream_resblock(sp[f"res_{j}"], h, caches, f"up_{s}.res_{j}", dt, conv_backend)
         if up_flag:
             rp = sp["resample"]
             if temporal:
@@ -237,11 +239,11 @@ def decoder_chunk(cfg: Wan22VAEConfig, params, z_chunk, state: StreamState):
             x = h
 
     y = jax.nn.silu(_norm(dec["head_norm"], x))
-    y, caches["head"] = _stream_conv(dec["head_conv"], y, caches["head"], dt)
+    y, caches["head"] = _stream_conv(dec["head_conv"], y, caches["head"], dt, conv_backend)
     return unpatchify(y, cfg.patch_size), StreamState(caches=caches, first=False)
 
 
-def decode_streaming(cfg: Wan22VAEConfig, params, z, chunk_latent_frames: int = 1):
+def decode_streaming(cfg: Wan22VAEConfig, params, z, chunk_latent_frames: int = 1, conv_backend: str | None = None):
     """Full streaming decode of (B, t, h, w, 48); O(chunk) memory.
 
     Chunks run through cached ``jax.jit`` programs with DONATED caches
@@ -249,10 +251,11 @@ def decode_streaming(cfg: Wan22VAEConfig, params, z, chunk_latent_frames: int = 
     B, t, h, w, _ = z.shape
     state = init_decoder_state(cfg, B, h, w)
     outs = []
-    px, caches = _jitted_chunk("dec", cfg, first=True)(params, z[:, :1], state.caches)
+    be = _wvs._CONV_BACKEND if conv_backend is None else conv_backend
+    px, caches = _jitted_chunk("dec", cfg, first=True, conv_backend=be)(params, z[:, :1], state.caches)
     outs.append(px)
     pos = 1
-    steady = _jitted_chunk("dec", cfg, first=False)
+    steady = _jitted_chunk("dec", cfg, first=False, conv_backend=be)
     while pos < t:
         end = min(pos + chunk_latent_frames, t)
         px, caches = steady(params, z[:, pos:end], caches)
@@ -280,18 +283,21 @@ def _cfg_key(cfg: Wan22VAEConfig) -> tuple:
     )
 
 
-def _jitted_chunk(kind: str, cfg: Wan22VAEConfig, *, first: bool):
+def _jitted_chunk(kind: str, cfg: Wan22VAEConfig, *, first: bool, conv_backend: str | None = None):
     """Compiled (params, chunk, caches) -> (out, caches) for one stream
     chunk; ``first`` is a trace-time constant (frame-0 bypass is Python
     control flow). Donating the cache pytree lets XLA update the conv
-    histories in place instead of double-buffering them."""
-    key = (kind, _cfg_key(cfg), first)
+    histories in place instead of double-buffering them. ``conv_backend``
+    (default: the shared wan_vae_streaming global) is baked into the
+    program + cache key, same design as the Wan2.1 path."""
+    be = _wvs._CONV_BACKEND if conv_backend is None else conv_backend
+    key = (kind, _cfg_key(cfg), first, be)
     fn = _JIT_CACHE.get(key)
     if fn is None:
         base = encoder_chunk if kind == "enc" else decoder_chunk
 
-        def flat(params, chunk, caches, _base=base, _cfg=cfg, _first=first):
-            out, st = _base(_cfg, params, chunk, StreamState(caches=caches, first=_first))
+        def flat(params, chunk, caches, _base=base, _cfg=cfg, _first=first, _be=be):
+            out, st = _base(_cfg, params, chunk, StreamState(caches=caches, first=_first), conv_backend=_be)
             return out, st.caches
 
         fn = _JIT_CACHE[key] = jax.jit(flat, donate_argnums=(2,))
