@@ -317,3 +317,39 @@ def test_attention_module_kv_cache_cp_routing():
     np.testing.assert_allclose(np.asarray(new_cache["k"]), np.asarray(ref_cache["k"]), atol=1e-6)
     np.testing.assert_allclose(np.asarray(new_cache["v"]), np.asarray(ref_cache["v"]), atol=1e-6)
     assert int(new_cache["len"]) == int(ref_cache["len"])
+
+
+@pytest.mark.chips(8)
+@pytest.mark.level(1)
+def test_ulysses_kv_cache_communication_pattern():
+    """The compiled CP streaming-decode program moves ONLY the small new
+    block: exactly 4 all-to-alls (scatter q/k/v + gather out) on block-sized
+    tensors and ZERO all-gathers — the (large) head-sharded KV ring buffers
+    never cross chips. Pins the design claim in PERF.md 'Interactive'."""
+    import re
+
+    from cosmos_predict2_tpu.parallel.cp import ulysses_kv_cache_attention
+
+    B, S_blk, H, D, S_max, fill = 1, 8, 8, 16, 32, 12
+    q, k, v = (jax.random.normal(jax.random.PRNGKey(i), (B, S_blk, H, D)) for i in range(3))
+    cache = {
+        "k": jax.random.normal(jax.random.PRNGKey(3), (B, S_max, H, D)),
+        "v": jax.random.normal(jax.random.PRNGKey(4), (B, S_max, H, D)),
+        "len": jnp.int32(fill),
+    }
+    mesh = make_mesh(1, 1, 4, 1, devices=jax.devices()[:4])
+    with jax.set_mesh(mesh):
+        txt = (
+            jax.jit(lambda q, k, v, c: ulysses_kv_cache_attention(q, k, v, c))
+            .lower(q, k, v, cache)
+            .compile()
+            .as_text()
+        )
+    a2a_defs = [l for l in txt.splitlines() if "all-to-all(" in l]
+    assert len(a2a_defs) == 4, a2a_defs
+    # each moves only block-sized tensors: total elements per tuple entry ==
+    # B * (S_blk/cp) * (H/cp) * D — far below the S_max cache size
+    for l in a2a_defs:
+        dims = [int(x) for x in re.findall(r"f32\[([\d,]+)\]", l)[0].split(",")]
+        assert dims[1] * dims[2] <= S_blk * H // 4, (l, dims)
+    assert "all-gather" not in txt
