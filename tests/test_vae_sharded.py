@@ -67,3 +67,48 @@ def test_spatially_sharded_streaming_vae_matches_single_device():
         z_sharded = jax.device_put(jnp.asarray(z_ref), NamedSharding(mesh, P(None, None, "fsdp", "cp")))
         px = wvs.decode_streaming(cfg, params, z_sharded)
         np.testing.assert_allclose(np.asarray(px), np.asarray(px_ref), atol=2e-4)
+
+
+@pytest.mark.chips(8)
+@pytest.mark.level(1)
+def test_sharded_streaming_decode_communication_pattern():
+    """The compiled spatially-sharded streaming decode exchanges conv HALOS
+    (collective-permute), not whole grids: any all-gather in the program is
+    latent-resolution-sized (the global mid-attention), never pixel-scale —
+    pins the memory claim behind the GSPMD halo design (reference does the
+    same by hand, wan2pt1_2d_plugins.py:139-728)."""
+    import re
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from cosmos_predict2_tpu.tokenizers import wan_vae_streaming as wvs
+
+    cfg = WanVAEConfig(dim=16, dtype=jnp.float32)
+    vae = WanVAE(cfg)
+    params = vae.init(jax.random.PRNGKey(7), jnp.zeros((1, 5, 32, 64, 3), jnp.float32))
+    mesh = make_mesh(1, 2, 2, 1, devices=jax.devices()[:4])
+    lat_h, lat_w = 4, 8
+    z = jax.random.normal(jax.random.PRNGKey(8), (1, 1, lat_h, lat_w, 16), dtype=jnp.float32)
+    with jax.set_mesh(mesh):
+        zs = jax.device_put(z, NamedSharding(mesh, P(None, None, "fsdp", "cp")))
+        state = wvs.init_decoder_state(cfg, 1, lat_h, lat_w, dtype=cfg.dtype)
+        txt = (
+            wvs._jitted_chunk("dec", cfg, first=False)
+            .lower(params, zs, state.caches)
+            .compile()
+            .as_text()
+        )
+    halos = [l for l in txt.splitlines() if "collective-permute(" in l]
+    assert len(halos) > 0, "expected GSPMD halo exchanges"
+    # decoded pixel chunk is (1, 4, 32, 64, 3) = 24,576 elements; any
+    # all-gather must stay well below that (latent-resolution tensors only)
+    pixel_elems = 4 * 32 * 64 * 3
+    for l in txt.splitlines():
+        if "all-gather(" not in l:
+            continue
+        shapes = re.findall(r"f32\[([\d,]*)\]", l.split("all-gather(")[0])
+        for s in shapes:
+            elems = 1
+            for d in (s.split(",") if s else []):
+                elems *= int(d)
+            assert elems < pixel_elems // 2, (l[:160], elems)
