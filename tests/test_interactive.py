@@ -75,6 +75,33 @@ def test_kv_cache_matches_full_forward(causal_setup):
 
 
 @pytest.mark.level(1)
+def test_kv_cache_matches_full_forward_multi_frame_blocks():
+    """Incremental decode in 2-frame blocks (num_frame_per_block=2, the
+    probe's throughput mode) == the full block-causal forward."""
+    net = dataclasses.replace(PRESETS["test"], dtype=jnp.float32, remat="none")
+    cfg = causal_model_config(net, num_frame_per_block=2, state_t=4)
+    model = CausalVideo2WorldModel(cfg)
+    shape = (1, 16, 4, 8, 8)
+    params = model.init_params(jax.random.PRNGKey(0), shape, text_len=8)
+    emb = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 1024)) * 0.05
+    cond = make_condition(emb)
+
+    x = jax.random.normal(jax.random.PRNGKey(3), shape)
+    ts_full = jnp.full((1, 4), 300.0)
+    full_out = model.net.apply(params, x, ts_full, cond.crossattn_emb)
+
+    caches = model.init_kv_caches(1, 4, 8, 8, dtype=jnp.float32)
+    outs = []
+    for t0 in range(0, 4, 2):
+        block = x[:, :, t0 : t0 + 2]
+        ts = jnp.full((1, 2), 300.0)
+        out_t, caches = model.forward_with_cache(params, block, ts, cond, caches, t_start=t0)
+        outs.append(out_t)
+    inc_out = jnp.concatenate(outs, axis=2)
+    np.testing.assert_allclose(np.asarray(inc_out), np.asarray(full_out), atol=2e-4)
+
+
+@pytest.mark.level(1)
 def test_streaming_generation(causal_setup):
     from cosmos_predict2_tpu.models.interactive import StreamingConfig, StreamingInference
 
