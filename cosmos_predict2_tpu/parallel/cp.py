@@ -101,6 +101,19 @@ def ulysses_kv_cache_attention(
     Returns (out token-sharded, new_cache head-sharded). Must run inside
     jit with an ambient mesh holding ``axis_name``.
     """
+    mesh = jax.sharding.get_abstract_mesh()
+    if axis_name not in mesh.shape:
+        raise ValueError(
+            f"ulysses_kv_cache_attention needs an ambient mesh with axis "
+            f"{axis_name!r} (got {mesh}); run inside `with jax.set_mesh(...)`"
+        )
+    c = mesh.shape[axis_name]
+    _, s_blk, n_heads, _ = q.shape
+    if s_blk % c or n_heads % c:
+        raise ValueError(
+            f"block tokens ({s_blk}) and heads ({n_heads}) must both divide "
+            f"the {axis_name}={c} degree for the all-to-alls"
+        )
 
     def inner(q, k, v, k_buf, v_buf, ln):
         scatter = lambda t: jax.lax.all_to_all(t, axis_name, split_axis=2, concat_axis=1, tiled=True)
