@@ -131,6 +131,11 @@ def install_shims() -> None:
     )
     _mod("transformer_engine", pytorch=te_pytorch, __version__="1.14.0")
 
+    # --- torchvision (interactive dit_causal imports transforms; its
+    # forward never uses them in the parity configs) ----------------------
+    tv_transforms = _mod("torchvision.transforms")
+    _mod("torchvision", transforms=tv_transforms, __version__="0.20.0")
+
     # --- boto3/botocore (S3 IO; parity tests only touch local tensors) --
     class _FakeClient:
         def __getattr__(self, name):
