@@ -117,6 +117,13 @@ class DiTConfig:
     # it to the timestep embedding (B_D) and the AdaLN-LoRA term (B_3D)
     action_dim: Optional[int] = None
     num_action_per_chunk: int = 12
+    # per-LATENT-FRAME action embeddings (reference ActionChunkCausalDIT,
+    # interactive/networks/dit_action_causal.py:61-190): actions grouped by
+    # latent frame (num_action_per_latent_frame each), embedded per frame,
+    # frame 0 zero-padded — used by the causal/interactive action family.
+    # False = one chunk-level embedding (the non-causal LVG action DiT).
+    action_per_latent_frame: bool = False
+    num_action_per_latent_frame: int = 4
     timestep_scale: float = 1.0
     # compute dtype for matmuls; norms & modulation stay fp32
     dtype: jnp.dtype = jnp.bfloat16
@@ -718,10 +725,29 @@ class MiniTrainDIT(nn.Module):
         if cfg.action_dim is not None:
             if action is None:
                 raise ValueError("config.action_dim set but no action passed")
-            act = action.reshape(B, 1, -1).astype(jnp.float32)  # b t d -> b 1 (t d)
             d = cfg.model_channels
-            act_emb = ActionMlp(d * 4, d, name="action_embedder_B_D")(act)
-            act_emb_3d = ActionMlp(d * 4, 3 * d, name="action_embedder_B_3D")(act)
+            if cfg.action_per_latent_frame:
+                # causal/interactive grouping (dit_action_causal.py:104-170):
+                # (B, n_act, d_a) -> (B, t_act, na*d_a), embedded per latent
+                # frame; the clip's frame 0 gets a zero action embedding.
+                na = cfg.num_action_per_latent_frame
+                t_act = action.shape[1] // na
+                act = action.reshape(B, t_act, -1).astype(jnp.float32)
+                act_emb = ActionMlp(d * 4, d, name="action_embedder_B_D")(act)
+                act_emb_3d = ActionMlp(d * 4, 3 * d, name="action_embedder_B_3D")(act)
+                t_emb = emb_B_T_D.shape[1]
+                if t_act + 1 == t_emb:  # full clip: zero-pad frame 0
+                    act_emb = jnp.concatenate([jnp.zeros_like(act_emb[:, :1]), act_emb], axis=1)
+                    act_emb_3d = jnp.concatenate([jnp.zeros_like(act_emb_3d[:, :1]), act_emb_3d], axis=1)
+                elif t_act != t_emb:  # streaming block past frame 0: 1:1
+                    raise ValueError(
+                        f"per-frame actions ({t_act} groups of {na}) must cover "
+                        f"the {t_emb} timestep frames exactly or all but frame 0"
+                    )
+            else:
+                act = action.reshape(B, 1, -1).astype(jnp.float32)  # b t d -> b 1 (t d)
+                act_emb = ActionMlp(d * 4, d, name="action_embedder_B_D")(act)
+                act_emb_3d = ActionMlp(d * 4, 3 * d, name="action_embedder_B_3D")(act)
             emb_B_T_D = emb_B_T_D + act_emb
             if adaln_lora_B_T_3D is not None:
                 adaln_lora_B_T_3D = adaln_lora_B_T_3D + act_emb_3d

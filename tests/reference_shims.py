@@ -126,8 +126,31 @@ def install_shims() -> None:
         apply_rotary_pos_emb=_te_apply_rotary_pos_emb,
         DotProductAttention=_TEDotProductAttention,
     )
+    te_distributed = _mod(
+        "transformer_engine.pytorch.distributed",
+        get_all_rng_states=lambda: {},
+        graph_safe_rng_available=lambda: False,
+    )
+    class _TEBaseModule(torch.nn.Module):
+        pass
+
+    te_module_base = _mod(
+        "transformer_engine.pytorch.module.base", TransformerEngineBaseModule=_TEBaseModule
+    )
+    te_module = _mod("transformer_engine.pytorch.module", base=te_module_base)
+    te_graph = _mod(
+        "transformer_engine.pytorch.graph",
+        make_graphed_callables=lambda *a, **k: (_ for _ in ()).throw(
+            RuntimeError("cuda-graph shim: not available in parity tests")
+        ),
+    )
     te_pytorch = _mod(
-        "transformer_engine.pytorch", RMSNorm=_TERMSNorm, attention=te_attention
+        "transformer_engine.pytorch",
+        RMSNorm=_TERMSNorm,
+        attention=te_attention,
+        distributed=te_distributed,
+        module=te_module,
+        graph=te_graph,
     )
     _mod("transformer_engine", pytorch=te_pytorch, __version__="1.14.0")
 

@@ -235,6 +235,100 @@ def test_causal_dit_forward_matches_reference():
     assert diff < 2e-4 * max(scale, 1.0), f"CausalDIT max diff {diff}, ref scale {scale}"
 
 
+@pytest.mark.level(1)
+def test_action_causal_dit_forward_matches_reference():
+    """Reference ActionChunkCausalDIT (interactive/networks/
+    dit_action_causal.py:61-190): PER-LATENT-FRAME action embeddings (actions
+    grouped by temporal_compression_ratio, zero-padded frame 0, added to the
+    t-embedding and AdaLN-LoRA streams) on top of the causal mask — vs our
+    action_per_latent_frame=True causal DiT with converted weights.
+    Frame 0 is causally isolated from actions; frames 1+ are action-modulated
+    (verified: output is action-sensitive)."""
+    mod = import_reference("cosmos_predict2._src.predict2.interactive.networks.dit_action_causal")
+    torch.manual_seed(0)
+    ref = mod.ActionChunkCausalDIT(
+        max_img_h=64,
+        max_img_w=64,
+        max_frames=8,
+        in_channels=16,
+        out_channels=16,
+        patch_spatial=2,
+        patch_temporal=1,
+        concat_padding_mask=True,
+        model_channels=64,
+        num_blocks=2,
+        num_heads=2,
+        atten_backend="torch",
+        crossattn_emb_channels=1024,
+        pos_emb_cls="rope3d",
+        use_adaln_lora=True,
+        adaln_lora_dim=16,
+        rope_enable_fps_modulation=False,
+        action_dim=8,
+        temporal_compression_ratio=4,
+    ).eval()
+
+    rng = np.random.RandomState(3)
+    x = rng.randn(1, 16, 3, 8, 8).astype(np.float32)
+    ts = np.full((1, 3), 700.0, dtype=np.float32)
+    ctx = (rng.randn(1, 8, 1024) * 0.05).astype(np.float32)
+    pad = np.zeros((1, 8, 8), dtype=np.float32)
+    act = (rng.randn(1, 8, 8) * 0.3).astype(np.float32)  # (B, (T-1)*4, action_dim)
+    with torch.no_grad():
+        ref_out = ref(
+            torch.from_numpy(x),
+            torch.from_numpy(ts),
+            torch.from_numpy(ctx),
+            padding_mask=torch.from_numpy(pad),
+            action=torch.from_numpy(act),
+        ).numpy()
+        # sanity: the action path is live (frames 1+ react to actions)
+        ref_out2 = ref(
+            torch.from_numpy(x),
+            torch.from_numpy(ts),
+            torch.from_numpy(ctx),
+            padding_mask=torch.from_numpy(pad),
+            action=torch.from_numpy(act * 5.0),
+        ).numpy()
+    assert np.abs(ref_out - ref_out2).max() > 1e-2
+
+    from cosmos_predict2_tpu.networks.dit import DiTConfig, MiniTrainDIT
+    from cosmos_predict2_tpu.utils.checkpoint_convert import convert_dit_state_dict
+
+    cfg = DiTConfig(
+        model_channels=64,
+        num_heads=2,
+        num_blocks=2,
+        use_adaln_lora=True,
+        adaln_lora_dim=16,
+        rope_enable_fps_modulation=False,
+        dtype=jnp.float32,
+        remat="none",
+        temporal_causal=True,
+        num_frame_per_block=1,
+        action_dim=8,
+        action_per_latent_frame=True,
+        num_action_per_latent_frame=4,
+    )
+    params = convert_dit_state_dict({k: v.numpy() for k, v in ref.state_dict().items()}, 2)
+    params = jax.tree.map(lambda a: jnp.asarray(a, jnp.float32), params)
+    mine = np.asarray(
+        MiniTrainDIT(cfg).apply(
+            params,
+            jnp.asarray(x),
+            jnp.asarray(ts),
+            jnp.asarray(ctx),
+            padding_mask=jnp.asarray(pad[:, None]),
+            action=jnp.asarray(act),
+        )
+    )
+
+    assert mine.shape == ref_out.shape
+    scale = np.abs(ref_out).max()
+    diff = np.abs(mine - ref_out).max()
+    assert diff < 2e-4 * max(scale, 1.0), f"ActionCausalDIT max diff {diff}, ref scale {scale}"
+
+
 # --------------------------------------------------------------------------
 # Wan2.1 VAE
 # --------------------------------------------------------------------------
