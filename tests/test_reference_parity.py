@@ -236,6 +236,86 @@ def test_causal_dit_forward_matches_reference():
 
 
 @pytest.mark.level(1)
+def test_causal_dit_with_conditional_mask_matches_reference():
+    """CausalDITwithConditionalMask (dit_causal.py:1020-1058): condition
+    mask concatenated as an extra input channel + timestep scaling, on top
+    of the causal mask — vs our concat_condition_mask/timestep_scale knobs."""
+    dit_mod = import_reference("cosmos_predict2._src.predict2.interactive.networks.dit_causal")
+    torch.manual_seed(0)
+    ref = dit_mod.CausalDITwithConditionalMask(
+        max_img_h=64,
+        max_img_w=64,
+        max_frames=8,
+        in_channels=16,
+        out_channels=16,
+        patch_spatial=2,
+        patch_temporal=1,
+        concat_padding_mask=True,
+        model_channels=64,
+        num_blocks=2,
+        num_heads=2,
+        atten_backend="torch",
+        crossattn_emb_channels=1024,
+        pos_emb_cls="rope3d",
+        use_adaln_lora=True,
+        adaln_lora_dim=16,
+        rope_enable_fps_modulation=False,
+        timestep_scale=0.001,
+    ).eval()
+
+    rng = np.random.RandomState(3)
+    x = rng.randn(1, 16, 3, 8, 8).astype(np.float32)
+    ts = np.full((1, 3), 700.0, dtype=np.float32)
+    ctx = (rng.randn(1, 8, 1024) * 0.05).astype(np.float32)
+    pad = np.zeros((1, 8, 8), dtype=np.float32)
+    cond_mask = np.zeros((1, 1, 3, 8, 8), dtype=np.float32)
+    cond_mask[:, :, :1] = 1.0  # frame 0 conditioned
+    with torch.no_grad():
+        ref_out = ref(
+            torch.from_numpy(x),
+            torch.from_numpy(ts),
+            torch.from_numpy(ctx),
+            condition_video_input_mask_B_C_T_H_W=torch.from_numpy(cond_mask),
+            padding_mask=torch.from_numpy(pad),
+        ).numpy()
+
+    from cosmos_predict2_tpu.networks.dit import DiTConfig, MiniTrainDIT
+    from cosmos_predict2_tpu.utils.checkpoint_convert import convert_dit_state_dict
+
+    cfg = DiTConfig(
+        model_channels=64,
+        num_heads=2,
+        num_blocks=2,
+        use_adaln_lora=True,
+        adaln_lora_dim=16,
+        rope_enable_fps_modulation=False,
+        dtype=jnp.float32,
+        remat="none",
+        temporal_causal=True,
+        num_frame_per_block=1,
+        concat_condition_mask=True,
+        timestep_scale=0.001,
+    )
+    params = convert_dit_state_dict({k: v.numpy() for k, v in ref.state_dict().items()}, 2)
+    params = jax.tree.map(lambda a: jnp.asarray(a, jnp.float32), params)
+    mine = np.asarray(
+        MiniTrainDIT(cfg).apply(
+            params,
+            jnp.asarray(x),
+            jnp.asarray(ts),
+            jnp.asarray(ctx),
+            padding_mask=jnp.asarray(pad[:, None]),
+            condition_mask=jnp.asarray(cond_mask),
+        )
+    )
+
+    assert mine.shape == ref_out.shape
+    scale = np.abs(ref_out).max()
+    diff = np.abs(mine - ref_out).max()
+    assert diff < 2e-4 * max(scale, 1.0), f"CausalDIT+mask max diff {diff}, ref scale {scale}"
+
+
+@pytest.mark.level(1)
 def test_action_causal_dit_forward_matches_reference():
     """Reference ActionChunkCausalDIT (interactive/networks/
     dit_action_causal.py:61-190): PER-LATENT-FRAME action embeddings (actions
