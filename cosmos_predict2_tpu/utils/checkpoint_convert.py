@@ -91,6 +91,10 @@ def convert_dit_state_dict(sd: Mapping[str, Array], num_blocks: int, use_adaln_l
             "layer1": {"kernel": _t(np.asarray(sd[f"blocks.{i}.mlp.layer1.weight"]))},
             "layer2": {"kernel": _t(np.asarray(sd[f"blocks.{i}.mlp.layer2.weight"]))},
         }
+        # camera-conditioned variant: per-block bias-free linear on the
+        # Plücker camera embedding (minimal_v4_dit_camera_conditioned.py:1080)
+        if f"blocks.{i}.cam_encoder.weight" in sd:
+            b["cam_encoder"] = {"kernel": _t(np.asarray(sd[f"blocks.{i}.cam_encoder.weight"]))}
         for mod in ("adaln_modulation_self_attn", "adaln_modulation_cross_attn", "adaln_modulation_mlp"):
             if use_adaln_lora:
                 b[mod] = {

@@ -236,6 +236,93 @@ def test_causal_dit_forward_matches_reference():
 
 
 @pytest.mark.level(1)
+def test_camera_dit_forward_matches_reference():
+    """Reference CameraMiniTrainDIT (camera/networks/
+    minimal_v4_dit_camera_conditioned.py:1250+): per-block bias-free
+    cam_encoder on the per-token Plücker camera embedding, added to the
+    normalized hidden states before self-attention — vs our camera_dim knob
+    through the converter (output verified camera-sensitive)."""
+    mod = import_reference(
+        "cosmos_predict2._src.predict2.camera.networks.minimal_v4_dit_camera_conditioned"
+    )
+    torch.manual_seed(0)
+    ref = mod.CameraMiniTrainDIT(
+        max_img_h=64,
+        max_img_w=64,
+        max_frames=8,
+        in_channels=16,
+        out_channels=16,
+        patch_spatial=2,
+        patch_temporal=1,
+        concat_padding_mask=True,
+        model_channels=64,
+        num_blocks=2,
+        num_heads=2,
+        atten_backend="torch",
+        crossattn_emb_channels=1024,
+        pos_emb_cls="rope3d",
+        use_adaln_lora=True,
+        adaln_lora_dim=16,
+        rope_enable_fps_modulation=False,
+    ).eval()
+
+    rng = np.random.RandomState(3)
+    x = rng.randn(1, 16, 2, 8, 8).astype(np.float32)
+    ts = np.array([700.0], dtype=np.float32)
+    ctx = (rng.randn(1, 8, 1024) * 0.05).astype(np.float32)
+    pad = np.zeros((1, 8, 8), dtype=np.float32)
+    cam = (rng.randn(1, 2, 4, 4, 1536) * 0.1).astype(np.float32)  # (B,T,Hp,Wp,cam_dim)
+    with torch.no_grad():
+        ref_out = ref(
+            torch.from_numpy(x),
+            torch.from_numpy(ts),
+            torch.from_numpy(ctx),
+            padding_mask=torch.from_numpy(pad),
+            camera=torch.from_numpy(cam),
+        ).numpy()
+        ref_out2 = ref(
+            torch.from_numpy(x),
+            torch.from_numpy(ts),
+            torch.from_numpy(ctx),
+            padding_mask=torch.from_numpy(pad),
+            camera=torch.from_numpy(cam * 3.0),
+        ).numpy()
+    assert np.abs(ref_out - ref_out2).max() > 1e-2  # camera path is live
+
+    from cosmos_predict2_tpu.networks.dit import DiTConfig, MiniTrainDIT
+    from cosmos_predict2_tpu.utils.checkpoint_convert import convert_dit_state_dict
+
+    cfg = DiTConfig(
+        model_channels=64,
+        num_heads=2,
+        num_blocks=2,
+        use_adaln_lora=True,
+        adaln_lora_dim=16,
+        rope_enable_fps_modulation=False,
+        dtype=jnp.float32,
+        remat="none",
+        camera_dim=1536,
+    )
+    params = convert_dit_state_dict({k: v.numpy() for k, v in ref.state_dict().items()}, 2)
+    params = jax.tree.map(lambda a: jnp.asarray(a, jnp.float32), params)
+    mine = np.asarray(
+        MiniTrainDIT(cfg).apply(
+            params,
+            jnp.asarray(x),
+            jnp.asarray(ts),
+            jnp.asarray(ctx),
+            padding_mask=jnp.asarray(pad[:, None]),
+            camera=jnp.asarray(cam),
+        )
+    )
+
+    assert mine.shape == ref_out.shape
+    scale = np.abs(ref_out).max()
+    diff = np.abs(mine - ref_out).max()
+    assert diff < 2e-4 * max(scale, 1.0), f"CameraDiT max diff {diff}, ref scale {scale}"
+
+
+@pytest.mark.level(1)
 def test_causal_dit_with_conditional_mask_matches_reference():
     """CausalDITwithConditionalMask (dit_causal.py:1020-1058): condition
     mask concatenated as an extra input channel + timestep scaling, on top
