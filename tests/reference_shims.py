@@ -154,6 +154,25 @@ def install_shims() -> None:
     )
     _mod("transformer_engine", pytorch=te_pytorch, __version__="1.14.0")
 
+    # --- flash_attn rotary (wan2pt1.rope_apply calls it with
+    # interleaved=True; implemented faithfully so the reference WanModel
+    # runs on CPU: pairs (x[2i], x[2i+1]) rotated by (cos_i, sin_i)) ------
+    def _fa_apply_rotary_emb(x, cos, sin, interleaved=True, inplace=False):
+        assert interleaved, "shim implements the interleaved layout only"
+        xf = x.float()
+        x1, x2 = xf[..., 0::2], xf[..., 1::2]
+        # cos/sin: (S, rot/2) -> broadcast over (B, S, H, rot/2)
+        c = cos.float()[None, :, None, :]
+        s = sin.float()[None, :, None, :]
+        o1 = x1 * c - x2 * s
+        o2 = x1 * s + x2 * c
+        out = torch.stack([o1, o2], dim=-1).reshape(x.shape)
+        return out.to(x.dtype)
+
+    fa_rotary_mod = _mod("flash_attn.layers.rotary", apply_rotary_emb=_fa_apply_rotary_emb)
+    fa_layers = _mod("flash_attn.layers", rotary=fa_rotary_mod)
+    _mod("flash_attn", layers=fa_layers, __version__="2.6.0")
+
     # --- torchvision (interactive dit_causal imports transforms; its
     # forward never uses them in the parity configs) ----------------------
     tv_transforms = _mod("torchvision.transforms")
@@ -454,15 +473,12 @@ def install_reason1_shims() -> None:
     mta = _mod("apex.multi_tensor_apply", multi_tensor_applier=_noop)
     _mod("apex", multi_tensor_apply=mta)
     _mod("amp_C", multi_tensor_adam=_noop, multi_tensor_l2norm=_noop, multi_tensor_scale=_noop)
-    fa_rotary = _mod("flash_attn.layers.rotary", apply_rotary_emb=_noop)
-    fa_layers = _mod("flash_attn.layers", rotary=fa_rotary)
-    _mod(
-        "flash_attn",
-        flash_attn_varlen_func=_noop,
-        flash_attn_func=_noop,
-        layers=fa_layers,
-        __version__="2.8.1",
-    )
+    # keep install_shims' FAITHFUL rotary (wan2pt1 parity uses it); only add
+    # the kernel entry points qwen2_5_vl asserts on (never actually called)
+    fa = _sys.modules["flash_attn"]
+    fa.flash_attn_varlen_func = _noop
+    fa.flash_attn_func = _noop
+    fa.__version__ = "2.8.1"
     import transformers.utils as tu
 
     tu.is_flash_attn_2_available = lambda: True

@@ -1135,3 +1135,96 @@ def test_multiview_dit_forward_matches_reference():
     scale = np.abs(ref_out).max()
     diff = np.abs(mine - ref_out).max()
     assert diff < 2e-4 * max(scale, 1.0), f"multiview DiT max diff {diff}, ref scale {scale}"
+
+
+# --------------------------------------------------------------------------
+# Wan2.1 DiT (WanModel)
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.level(1)
+@pytest.mark.parametrize("mode", ["t2v", "i2v"])
+def test_wan_dit_forward_matches_reference(mode):
+    """Reference WanModel (networks/wan2pt1.py:646-900: interleaved
+    flash-rotary RoPE, Wan RMS/LayerNorms, 6-way time modulation, i2v CLIP
+    image cross-attention with k_img/v_img) vs our networks/wan_dit.WanModel
+    through convert_wan_dit_state_dict. The head is zero-initialized, so
+    weights are re-randomized to make the comparison non-vacuous."""
+    # the reference rope hardcodes .cuda(); run it on CPU
+    orig_cuda = torch.Tensor.cuda
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    try:
+        wan = import_reference("cosmos_predict2._src.predict2.networks.wan2pt1")
+        torch.manual_seed(0)
+        i2v = mode == "i2v"
+        ref = wan.WanModel(
+            model_type=mode,
+            patch_size=(1, 2, 2),
+            text_len=16,
+            in_dim=32 if i2v else 16,
+            dim=64,
+            ffn_dim=128,
+            freq_dim=32,
+            text_dim=48,
+            out_dim=16,
+            num_heads=2,
+            num_layers=2,
+            qk_norm=True,
+            cross_attn_norm=True,
+            concat_padding_mask=False,
+            attention_backend="transformer_engine",
+        ).eval()
+        g = torch.Generator().manual_seed(7)
+        sd = {k: torch.randn(v.shape, generator=g) * 0.05 for k, v in ref.state_dict().items()}
+        ref.load_state_dict(sd)
+
+        rng = np.random.RandomState(3)
+        x = rng.randn(1, 16, 2, 8, 8).astype(np.float32)
+        ts = np.array([[700.0]], dtype=np.float32)
+        ctx = (rng.randn(1, 16, 48) * 0.05).astype(np.float32)
+        kwargs_ref, kwargs_mine = {}, {}
+        if i2v:
+            y = rng.randn(1, 16, 2, 8, 8).astype(np.float32)
+            clip = (rng.randn(1, 257, 1280) * 0.05).astype(np.float32)
+            kwargs_ref = dict(
+                y_B_C_T_H_W=torch.from_numpy(y),
+                frame_cond_crossattn_emb_B_L_D=torch.from_numpy(clip),
+            )
+            kwargs_mine = dict(y_B_C_T_H_W=jnp.asarray(y), frame_cond_crossattn_emb=jnp.asarray(clip))
+        with torch.no_grad():
+            ref_out = ref(
+                torch.from_numpy(x), torch.from_numpy(ts), torch.from_numpy(ctx), **kwargs_ref
+            ).numpy()
+        assert np.abs(ref_out).max() > 1e-3  # non-vacuous after re-randomize
+    finally:
+        torch.Tensor.cuda = orig_cuda
+
+    from cosmos_predict2_tpu.networks.wan_dit import WanConfig, WanModel
+    from cosmos_predict2_tpu.utils.checkpoint_convert import convert_wan_dit_state_dict
+
+    cfg = WanConfig(
+        model_type=mode,
+        in_dim=32 if i2v else 16,
+        dim=64,
+        ffn_dim=128,
+        freq_dim=32,
+        text_dim=48,
+        out_dim=16,
+        num_heads=2,
+        num_layers=2,
+        text_len=16,
+        concat_padding_mask=False,
+        dtype=jnp.float32,
+    )
+    params = convert_wan_dit_state_dict(
+        {k: v.numpy() for k, v in sd.items()}, 2, i2v=i2v, extra_in_channels=0
+    )
+    params = jax.tree.map(lambda a: jnp.asarray(a, jnp.float32), params)
+    mine = np.asarray(
+        WanModel(cfg).apply(params, jnp.asarray(x), jnp.asarray(ts), jnp.asarray(ctx), **kwargs_mine)
+    )
+
+    assert mine.shape == ref_out.shape
+    scale = np.abs(ref_out).max()
+    diff = np.abs(mine - ref_out).max()
+    assert diff < 2e-4 * max(scale, 1.0), f"WanModel[{mode}] max diff {diff}, ref scale {scale}"
