@@ -164,6 +164,38 @@ def conv3d_causal_taps(x, w, b, *, kt: int = 3, out_dtype=jnp.bfloat16, interpre
     return out[None]
 
 
+def conv3d_causal_taps_xla(x, w, b, *, kt: int = 3, out_dtype=jnp.bfloat16):
+    """Pure-XLA tap decomposition: kt*3*3 shifted GEMMs, accumulated.
+
+    Same contract as :func:`conv3d_causal_taps` (x carries kt-1 context
+    frames; SAME-1 spatial padding) but lowered as plain dot_generals so
+    XLA schedules it — unlike the pallas_call, programs built from it
+    keep overlapping with the host spool's async D2H pulls, and GSPMD can
+    partition it. Nothing larger than one shifted copy of x materializes
+    (vs im2col's kt*9*C patch tensor). See scripts/vae_conv_micro3.py for
+    the measured comparison vs the XLA conv emitter.
+    """
+    B, T_in, H, W, Cin = x.shape
+    T = T_in - kt + 1
+    Cout = w.shape[-1]
+    xpad = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (1, 1), (0, 0)))
+    out = None
+    for dt in range(kt):
+        for dh in range(3):
+            for dw in range(3):
+                xs = jax.lax.slice(
+                    xpad, (0, dt, dh, dw, 0), (B, dt + T, dh + H, dw + W, Cin)
+                )
+                o = jax.lax.dot_general(
+                    xs.reshape(-1, Cin),
+                    w[dt, dh, dw],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=out_dtype,
+                )
+                out = o if out is None else out + o
+    return (out.reshape(B, T, H, W, Cout) + b.astype(out_dtype)).astype(out_dtype)
+
+
 def conv3d_causal_taps_reference(x, w, b, *, kt: int = 3, out_dtype=jnp.bfloat16):
     """XLA conv with the same contract (for parity tests / fallback)."""
     out = jax.lax.conv_general_dilated(

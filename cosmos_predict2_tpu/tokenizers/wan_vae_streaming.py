@@ -59,13 +59,26 @@ def set_conv_backend(mode: str) -> None:
     backend is resolved ONCE per call and threaded explicitly through the
     chunk programs, so concurrent encodes/decodes never observe each
     other's routing."""
-    assert mode in ("auto", "xla", "interpret"), mode
+    assert mode in ("auto", "xla", "taps", "interpret"), mode
     global _CONV_BACKEND
     _CONV_BACKEND = mode
 
 
+def _use_xla_taps_conv(xin, w, backend: str) -> bool:
+    """Pure-XLA tap-sum lowering (kt*9 shifted GEMMs) for the causal 3x3x3
+    convs — explicit opt-in via backend="taps". Stays on the XLA conv for
+    thin channels (the GEMM K dim would waste the MXU) and under a multi-
+    device mesh (each shifted slice would need its own GSPMD halo exchange
+    — 27 of them vs the conv's one)."""
+    if backend != "taps" or w.shape[:3] != (3, 3, 3):
+        return False
+    if min(xin.shape[-1], w.shape[-1]) < _PALLAS_MIN_CH:
+        return False
+    return jax.sharding.get_abstract_mesh().size == 1
+
+
 def _use_pallas_conv(xin, w, backend: str) -> bool:
-    if backend == "xla" or w.shape[:3] != (3, 3, 3):
+    if backend in ("xla", "taps") or w.shape[:3] != (3, 3, 3):
         return False
     B, _, _, W, cin = xin.shape
     if B != 1 or W % 8 or min(cin, w.shape[-1]) < _PALLAS_MIN_CH:
@@ -115,7 +128,11 @@ def _norm(p, x):
 def _stream_conv(p, x, cache, dtype, backend: str = "xla"):
     """Causal k_t=3 conv with a 2-frame input cache (zeros at stream start)."""
     xin = jnp.concatenate([cache.astype(x.dtype), x], axis=1)
-    if _use_pallas_conv(xin, p["weight"], backend):
+    if _use_xla_taps_conv(xin, p["weight"], backend):
+        out = pallas_conv3d.conv3d_causal_taps_xla(
+            xin.astype(dtype), p["weight"].astype(dtype), p["bias"], kt=3, out_dtype=dtype
+        )
+    elif _use_pallas_conv(xin, p["weight"], backend):
         out = pallas_conv3d.conv3d_causal_taps(
             xin.astype(dtype),
             p["weight"].astype(dtype),

@@ -21,6 +21,7 @@ run() {
 CHIP_STEP_TIMEOUT=${CHIP_STEP_TIMEOUT:-7200}
 
 run conv_micro3 python scripts/vae_conv_micro3.py
+run convcmp_taps python scripts/vae_bench.py convcmp 1 --taps
 run train_sparse_42k python scripts/train_step_bench.py seq42240 --sparse
 run train_sparse_84k python scripts/train_step_bench.py seq84480 --sparse
 run e2e_sparse_r4 python scripts/e2e_clip_latency.py full --sparse --repeat 4

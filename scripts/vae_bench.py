@@ -163,8 +163,12 @@ def run_e2e(cases=(("host_sync", 1, "float"), ("host", 1, "float"), ("host", 1, 
             print(f"[e2e {mode} chunk={nlat} {fmt}] FAILED {type(e).__name__}: {str(e)[:150]}", flush=True)
 
 
-def run_convcmp(sizes=(1, 2, 4)):
-    """Pallas conv3d backend vs XLA: per-chunk timing + whole-clip decode."""
+def run_convcmp(sizes=(1, 2, 4), backends=("xla", "auto")):
+    """Conv backends vs XLA: per-chunk timing + whole-clip decode.
+
+    backends: "xla" (conv emitter), "auto" (Pallas implicit-GEMM kernel),
+    "taps" (pure-XLA tap-sum GEMMs — overlap-friendly, see
+    scripts/vae_conv_micro3.py)."""
     from cosmos_predict2_tpu.tokenizers import wan_vae_streaming as wvs
 
     cfg, params = make_vae()
@@ -176,7 +180,7 @@ def run_convcmp(sizes=(1, 2, 4)):
     # measures the Pallas kernel on the overlapped host route — without the
     # override decode_streaming's host-route resolution pins auto -> xla
     # and the row would duplicate the xla measurement.
-    for backend in ("xla", "auto"):
+    for backend in backends:
         for nlat in sizes:
             try:
                 z = z_full[:, :nlat]
@@ -216,7 +220,8 @@ if __name__ == "__main__":
     elif cmd == "attn":
         run_attn()
     elif cmd == "convcmp":
-        sizes = tuple(int(a) for a in sys.argv[2:]) or (1, 2, 4)
-        run_convcmp(sizes)
+        sizes = tuple(int(a) for a in sys.argv[2:] if not a.startswith("--")) or (1, 2, 4)
+        backends = ("xla", "taps") if "--taps" in sys.argv else ("xla", "auto")
+        run_convcmp(sizes, backends)
     else:
         raise SystemExit(f"unknown subcommand {cmd}")

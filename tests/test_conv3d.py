@@ -14,6 +14,7 @@ import pytest
 from cosmos_predict2_tpu.ops.conv3d import (
     conv3d_causal_taps,
     conv3d_causal_taps_reference,
+    conv3d_causal_taps_xla,
 )
 
 
@@ -44,3 +45,39 @@ def test_conv3d_matches_xla(shape, kt):
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
     )
+
+
+@pytest.mark.parametrize("kt", [3, 1])
+def test_conv3d_taps_xla_matches_conv(kt):
+    """Pure-XLA tap-sum lowering == the conv emitter (any batch, any W)."""
+    rng = np.random.default_rng(7 + kt)
+    T, H, W, Cin, Cout = 2, 10, 20, 48, 80
+    x = jnp.asarray(rng.standard_normal((2, T + kt - 1, H, W, Cin)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((kt, 3, 3, Cin, Cout)) / np.sqrt(9 * kt * Cin), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((Cout,)), jnp.float32)
+    out = conv3d_causal_taps_xla(x, w, b, kt=kt, out_dtype=jnp.float32)
+    ref = conv3d_causal_taps_reference(x, w, b, kt=kt, out_dtype=jnp.float32)
+    assert out.shape == ref.shape == (2, T, H, W, Cout)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_streaming_decode_taps_backend_matches_xla():
+    """decode_streaming(conv_backend='taps') == 'xla' end-to-end (CPU)."""
+    from cosmos_predict2_tpu.tokenizers import wan_vae_streaming as wvs
+    from cosmos_predict2_tpu.tokenizers.wan_vae import WanVAE, WanVAEConfig
+
+    cfg = WanVAEConfig(dim=16, dtype=jnp.float32)
+    net = WanVAE(cfg)
+    params = net.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 5, 32, 32, 3), jnp.float32)
+    )
+    z = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 4, 4, cfg.z_dim), jnp.float32)
+    # drop the channel floor so the toy widths actually route through taps
+    old = wvs._PALLAS_MIN_CH
+    wvs._PALLAS_MIN_CH = 8
+    try:
+        ref = wvs.decode_streaming(cfg, params, z, conv_backend="xla")
+        got = wvs.decode_streaming(cfg, params, z, conv_backend="taps")
+    finally:
+        wvs._PALLAS_MIN_CH = old
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=5e-5, atol=5e-5)
