@@ -196,6 +196,8 @@ class Inference:
         else:
             emb = self.pipe.encode_text([a.prompt for a in ok])
             neg = self.pipe.encode_text([a.negative_prompt for a in ok]) if ok[0].negative_prompt else None
+        # uint8 end-to-end: the streaming decode quantizes on device (half
+        # the D2H), the guardrail + mp4 writer consume uint8 natively
         frames_b = self.pipe.generate_vid2world_batch(
             np.concatenate(videos, axis=0),
             emb,
@@ -204,6 +206,7 @@ class Inference:
             num_steps=ok[0].num_steps,
             num_conditional_frames=self.batch_key(ok[0])[4],
             seeds=[a.seed for a in ok],
+            pixel_format="uint8",
         )
 
         outputs: dict[str, str] = {}
@@ -248,7 +251,9 @@ class Inference:
         emb = self._text_embedding(args, args.prompt)
         neg = self._text_embedding(args, args.negative_prompt) if args.negative_prompt else None
 
-        # k == 0 (no input): pure Text2World, no conditional frames pinned
+        # k == 0 (no input): pure Text2World, no conditional frames pinned.
+        # uint8 end-to-end: device-side quantization on the streaming decode,
+        # guardrail + writer consume uint8 natively (no float round-trip).
         if args.enable_autoregressive:
             frames = self.pipe.generate_autoregressive(
                 video,
@@ -261,6 +266,7 @@ class Inference:
                 num_steps=args.num_steps,
                 seed=args.seed,
                 neg_text_emb=neg,
+                pixel_format="uint8",
             )
         else:
             frames = self.pipe.generate_vid2world(
@@ -272,6 +278,7 @@ class Inference:
                 num_conditional_frames=k,
                 seed=args.seed,
                 sampler=args.sampler,
+                pixel_format="uint8",
             )
 
         if self.video_guardrail is not None:

@@ -166,7 +166,8 @@ class Video2WorldInference:
         return frames  # (B, T, H, W, 3) in [-1, 1]
 
     def _run_streaming(
-        self, video_u8, text_emb, neg_text_emb, noise, guidance, num_steps, num_conditional_frames
+        self, video_u8, text_emb, neg_text_emb, noise, guidance, num_steps, num_conditional_frames,
+        pixel_format="float",
     ):
         from cosmos_predict2_tpu.tokenizers.wan_vae_streaming import decode_streaming, encode_streaming
 
@@ -194,9 +195,10 @@ class Video2WorldInference:
             self.vae_params,
             samples.astype(self.vae.config.dtype).transpose(0, 2, 3, 4, 1),
             out="host",
+            pixel_format=pixel_format,
         )
 
-    def _run_dmd2(self, video_u8, text_emb, noise, num_steps, num_conditional_frames):
+    def _run_dmd2(self, video_u8, text_emb, noise, num_steps, num_conditional_frames, pixel_format="float"):
         """Distilled few-step path (no CFG — guidance is distilled into the
         student): reference generate_samples_from_batch_dmd2
         (text2world_model_rectified_flow.py:603-677), 4 TrigFlow times."""
@@ -221,7 +223,9 @@ class Video2WorldInference:
         x = self._dmd2_gen(self.params, noise, condition, num_steps, num_conditional_frames)
         xt = x.astype(self.vae.config.dtype).transpose(0, 2, 3, 4, 1)
         if self.setup.streaming_vae:
-            return decode_streaming(self.vae.config, self.vae_params, xt, out="host")
+            return decode_streaming(
+                self.vae.config, self.vae_params, xt, out="host", pixel_format=pixel_format
+            )
         return self.vae.apply(self.vae_params, xt, method=WanVAE.decode)
 
     def generate_vid2world(
@@ -234,20 +238,33 @@ class Video2WorldInference:
         num_conditional_frames: int = 1,
         seed: int = 1,
         sampler: str = "unipc",  # "unipc" (CFG) or "dmd2" (distilled 4-step)
+        pixel_format: str = "float",  # "float" [-1,1] or "uint8" [0,255]
     ) -> np.ndarray:
-        """(1, 3, T, H, W) uint8 -> (T, H, W, 3) float in [-1, 1]."""
+        """(1, 3, T, H, W) uint8 -> (T, H, W, 3) float in [-1, 1] (default)
+        or uint8 [0, 255] with ``pixel_format="uint8"``.
+
+        Every production consumer (guardrails, mp4/png writers, the
+        autoregressive write-back buffer) quantizes to uint8 immediately;
+        on the streaming-VAE route ``pixel_format="uint8"`` fuses that
+        quantization into the compiled decode chunk program, halving the
+        device->host transfer (PERF.md "VAE roofline": 24.9 -> 17.3 s for
+        the full-scale decode) and skipping the host float pass entirely.
+        """
         assert sampler in ("unipc", "dmd2"), f"unknown sampler {sampler!r}"
+        assert pixel_format in ("float", "uint8"), pixel_format
         mc = self.setup.model_config
         _, _, T, H, W = video_u8.shape
         state_shape = (1, mc.state_ch, 1 + (T - 1) // 4, H // 8, W // 8)
         noise = arch_invariant_rand(state_shape, seed=seed)
         if sampler == "dmd2":
             frames = self._run_dmd2(
-                video_u8, text_emb, noise, min(num_steps, 4), num_conditional_frames
+                video_u8, text_emb, noise, min(num_steps, 4), num_conditional_frames,
+                pixel_format=pixel_format,
             )
         elif self.setup.streaming_vae:
             frames = self._run_streaming(
-                video_u8, text_emb, neg_text_emb, noise, guidance, num_steps, num_conditional_frames
+                video_u8, text_emb, neg_text_emb, noise, guidance, num_steps, num_conditional_frames,
+                pixel_format=pixel_format,
             )
         else:
             frames = self._generate_jit(
@@ -261,7 +278,19 @@ class Video2WorldInference:
                 num_steps=num_steps,
                 num_conditional_frames=num_conditional_frames,
             )
-        return np.asarray(frames[0], dtype=np.float32)
+        return self._to_pixel_format(frames, pixel_format)[0]
+
+    @staticmethod
+    def _to_pixel_format(frames, pixel_format: str) -> np.ndarray:
+        """Normalize any decode route's output to the requested format."""
+        arr = np.asarray(frames)
+        if pixel_format == "uint8":
+            if arr.dtype == np.uint8:
+                return arr
+            return np.round((np.clip(arr.astype(np.float32), -1.0, 1.0) + 1.0) * 127.5).astype(np.uint8)
+        if arr.dtype == np.uint8:
+            return arr.astype(np.float32) / 127.5 - 1.0
+        return arr.astype(np.float32)
 
     def generate_vid2world_batch(
         self,
@@ -272,6 +301,7 @@ class Video2WorldInference:
         num_steps: int = 35,
         num_conditional_frames: int = 1,
         seeds: Optional[list[int]] = None,
+        pixel_format: str = "float",
     ) -> np.ndarray:
         """Batched serving path: N same-geometry requests in ONE sampling
         pass -> (B, T, H, W, 3) float in [-1, 1]. The denoise loop runs at
@@ -289,7 +319,8 @@ class Video2WorldInference:
         noise = jnp.concatenate([arch_invariant_rand(per, seed=s) for s in seeds], axis=0)
         if self.setup.streaming_vae:
             frames = self._run_streaming(
-                video_u8, text_emb, neg_text_emb, noise, guidance, num_steps, num_conditional_frames
+                video_u8, text_emb, neg_text_emb, noise, guidance, num_steps, num_conditional_frames,
+                pixel_format=pixel_format,
             )
         else:
             frames = self._generate_jit(
@@ -303,7 +334,7 @@ class Video2WorldInference:
                 num_steps=num_steps,
                 num_conditional_frames=num_conditional_frames,
             )
-        return np.asarray(frames, dtype=np.float32)
+        return self._to_pixel_format(frames, pixel_format)
 
     # ----------------------- autoregressive mode -----------------------
 
@@ -319,6 +350,7 @@ class Video2WorldInference:
         num_steps: int = 35,
         seed: int = 1,
         neg_text_emb: Optional[jax.Array] = None,
+        pixel_format: str = "float",
     ) -> np.ndarray:
         """Sliding-window long-video generation
         (reference generate_autoregressive_from_batch, video2world.py:582-804):
@@ -346,7 +378,10 @@ class Video2WorldInference:
         while len(out_frames) < num_output_frames:
             window = buffer[:, :, start : start + chunk]
             k = num_conditional_frames if chunk_idx == 0 else chunk_overlap
-            frames = self.generate_vid2world(
+            # generate in uint8 regardless of the caller's pixel_format: the
+            # re-conditioning buffer is uint8 anyway, so the float round-trip
+            # (and the doubled D2H on the streaming route) is pure waste
+            frames_u8 = self.generate_vid2world(
                 window,
                 text_emb,
                 neg_text_emb=neg_text_emb,
@@ -354,18 +389,18 @@ class Video2WorldInference:
                 num_steps=num_steps,
                 num_conditional_frames=k,
                 seed=seed + chunk_idx,
-            )  # (chunk, H, W, 3) in [-1, 1]
-            frames_u8 = ((frames + 1.0) * 127.5).clip(0, 255).astype(np.uint8)
+                pixel_format="uint8",
+            )  # (chunk, H, W, 3) uint8
             # write generated frames back into the buffer for re-conditioning
             end = min(start + chunk, buffer.shape[2])
             buffer[0, :, start:end] = frames_u8.transpose(3, 0, 1, 2)[:, : end - start]
-            new = frames if chunk_idx == 0 else frames[overlap_px:]
+            new = frames_u8 if chunk_idx == 0 else frames_u8[overlap_px:]
             out_frames.extend(list(new))
             start += chunk - overlap_px
             chunk_idx += 1
             log.info(f"autoregressive chunk {chunk_idx}: {len(out_frames)}/{num_output_frames} frames")
 
-        return np.stack(out_frames[:num_output_frames])
+        return self._to_pixel_format(np.stack(out_frames[:num_output_frames]), pixel_format)
 
 
 class Text2ImageInference:

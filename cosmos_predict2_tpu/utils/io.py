@@ -78,22 +78,25 @@ def resize_frames(frames: np.ndarray, height: int, width: int) -> np.ndarray:
 def save_img_or_video(
     frames_f32: np.ndarray, path: str, fps: int = 16, input_range: str = "[-1,1]"
 ) -> str:
-    """Save float frames: (T, H, W, 3) -> mp4 (or png if T==1).
+    """Save frames: (T, H, W, 3) -> mp4 (or png if T==1).
 
     ``input_range`` is explicit ("[-1,1]" — what every pipeline path
     produces — or "[0,1]") rather than inferred from the data: an all-bright
     [-1,1] clip whose min is >= 0 would otherwise skip the rescale and save
-    washed out (ADVICE r1).
+    washed out (ADVICE r1). uint8 frames are written as-is (the streaming
+    VAE's ``pixel_format="uint8"`` route quantizes on device; re-scaling
+    here would double-convert).
 
     Parity: imaginaire/visualize/video.py (fps=16 default at save,
     cosmos_predict2/inference.py:171).
     """
     frames = np.asarray(frames_f32)
-    if input_range == "[-1,1]":
-        frames = (frames + 1.0) / 2.0
-    elif input_range != "[0,1]":
-        raise ValueError(f"input_range must be '[-1,1]' or '[0,1]', got {input_range!r}")
-    frames = (np.clip(frames, 0, 1) * 255).astype(np.uint8)
+    if frames.dtype != np.uint8:
+        if input_range == "[-1,1]":
+            frames = (frames + 1.0) / 2.0
+        elif input_range != "[0,1]":
+            raise ValueError(f"input_range must be '[-1,1]' or '[0,1]', got {input_range!r}")
+        frames = (np.clip(frames, 0, 1) * 255).astype(np.uint8)
     os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
     if frames.shape[0] == 1 or path.endswith(".png") or path.endswith(".jpg"):
         from PIL import Image

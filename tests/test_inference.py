@@ -183,3 +183,40 @@ def test_dmd2_sampler_path(pipe):
     )
     assert frames.shape == (5, 32, 32, 3)
     assert np.isfinite(frames).all()
+
+
+@pytest.mark.level(1)
+def test_pixel_format_uint8_matches_float(pipe):
+    """pixel_format="uint8" (the production api.py route: device-side
+    quantization on the streaming decode, uint8 guardrails + writer) must
+    agree with quantizing the float route on the host — on both the
+    one-shot jit path and the streaming-VAE path."""
+    video = np.random.RandomState(5).randint(0, 255, (1, 3, 5, 32, 32), dtype=np.uint8)
+    emb = pipe.encode_text(["a robot pouring coffee"])
+    f = pipe.generate_vid2world(video, emb, guidance=2.0, num_steps=2, seed=3)
+    u = pipe.generate_vid2world(video, emb, guidance=2.0, num_steps=2, seed=3, pixel_format="uint8")
+    assert u.dtype == np.uint8 and u.shape == f.shape
+    want = np.round((np.clip(f, -1, 1) + 1) * 127.5).astype(np.int32)
+    assert np.abs(want - u.astype(np.int32)).max() <= 1  # float-order-of-ops LSB
+
+    stream_pipe = Video2WorldInference(
+        dataclasses.replace(pipe.setup, streaming_vae=True),
+        pipe.params, pipe.vae_params, text_encoder=pipe.text_encoder,
+    )
+    fs = stream_pipe.generate_vid2world(video, emb, guidance=2.0, num_steps=2, seed=3)
+    us = stream_pipe.generate_vid2world(video, emb, guidance=2.0, num_steps=2, seed=3, pixel_format="uint8")
+    assert us.dtype == np.uint8 and us.shape == fs.shape
+    want_s = np.round((np.clip(fs, -1, 1) + 1) * 127.5).astype(np.int32)
+    assert np.abs(want_s - us.astype(np.int32)).max() <= 1
+
+
+@pytest.mark.level(0)
+def test_save_img_or_video_uint8_passthrough(tmp_path):
+    """uint8 frames are written as-is (no double rescale): a mid-gray uint8
+    clip must not come back washed out."""
+    from cosmos_predict2_tpu.utils.io import read_video, save_img_or_video
+
+    frames = np.full((3, 16, 16, 3), 127, dtype=np.uint8)
+    path = save_img_or_video(frames, str(tmp_path / "clip"), fps=4)
+    back, _ = read_video(path)
+    assert abs(int(back.astype(np.int32).mean()) - 127) <= 2
