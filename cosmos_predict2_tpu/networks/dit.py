@@ -139,6 +139,16 @@ class DiTConfig:
     #                 recomputed. The reference policy likewise keeps flash
     #                 results; saving *all* dots OOMs a 16GB v5e at 2B/4800.
     remat: str = "block"
+    # scan-over-blocks (maxtext-style): roll consecutive same-config blocks
+    # into one lax.scan'd module with stacked parameters. The compiled
+    # program carries ONE block body per segment instead of num_blocks
+    # copies — ~28x smaller HLO for the dense 2B, minutes less XLA compile
+    # at full scale, and fwd+bwd programs that fit compile-helper limits.
+    # Parameter layout changes (blocks_i -> stacked blocks_scan{start}); use
+    # utils/scan_params.stack_block_params to convert existing checkpoints.
+    # Ignored (falls back to the unrolled loop) for kv-cache streaming,
+    # intermediate-feature taps, and per-index "mixed:K" remat.
+    scan_blocks: bool = False
     # cp mesh axis name (when run under shard_map sequence parallelism)
     cp_axis: Optional[str] = None
     # "ulysses" (all-to-all head scatter, cp <= num_heads) or
@@ -604,6 +614,76 @@ class ActionMlp(nn.Module):
         return Dense(self.out, use_bias=True, dtype=jnp.float32, name="fc2")(h)
 
 
+def block_layout(cfg: DiTConfig) -> tuple[list, list]:
+    """Per-block (use_sparse_attn, na_override) lists.
+
+    Sparse/dense interleave semantics of the reference
+    replace_selfattn_op_with_sparse_attn_op (minimal_v4_dit.py:1785-1797):
+    n_dense_blocks evenly spread; or an explicit per-layer parameter list
+    (sparse_14B.py:29-105).
+    """
+    na_overrides: list = [None] * cfg.num_blocks
+    if cfg.natten_parameters is not None:
+        assert len(cfg.natten_parameters) == cfg.num_blocks, (
+            len(cfg.natten_parameters), cfg.num_blocks)
+        sparse = [p is not None for p in cfg.natten_parameters]
+        na_overrides = [tuple(p) if p is not None else None for p in cfg.natten_parameters]
+    elif cfg.n_dense_blocks == -1:
+        sparse = [False] * cfg.num_blocks
+    elif cfg.n_dense_blocks == 0:
+        sparse = [True] * cfg.num_blocks
+    elif cfg.n_dense_blocks == 1:
+        sparse = [i != cfg.num_blocks // 2 for i in range(cfg.num_blocks)]
+    else:
+        dense_idx = set(np.linspace(0, cfg.num_blocks - 1, cfg.n_dense_blocks, dtype=int).tolist())
+        sparse = [i not in dense_idx for i in range(cfg.num_blocks)]
+    return sparse, na_overrides
+
+
+def block_segments(cfg: DiTConfig) -> list[tuple[int, int]]:
+    """(start, count) runs of consecutive blocks with identical static
+    config — each run compiles to ONE scanned body under scan_blocks.
+    Dense nets give a single (0, num_blocks) segment; the sparse_2B
+    interleave alternates short dense/sparse runs."""
+    sparse, na_overrides = block_layout(cfg)
+    segs: list[list[int]] = []
+    for i in range(cfg.num_blocks):
+        key = (sparse[i], na_overrides[i])
+        if segs and segs[-1][2] == key:
+            segs[-1][1] += 1
+        else:
+            segs.append([i, 1, key])
+    return [(s, c) for s, c, _ in segs]
+
+
+class ScanBlock(nn.Module):
+    """lax.scan body for scan-over-blocks: one Block with the segment's
+    static config, returning the (carry, ()) pair nn.scan expects.
+    Remat composes inside the scan (prevent_cse=False — CSE prevention is
+    unnecessary under scan and blocks XLA's loop optimizations)."""
+
+    config: DiTConfig
+    use_sparse_attn: bool = False
+    na_override: Optional[tuple] = None
+
+    @nn.compact
+    def __call__(self, x, emb_B_T_D, crossattn_emb, rope_angles, adaln_lora_B_T_3D, camera):
+        cfg = self.config
+        if cfg.remat == "selective":
+            cls = nn.remat(
+                Block, static_argnums=(), prevent_cse=False,
+                policy=jax.checkpoint_policies.save_only_these_names("attn_out"),
+            )
+        elif cfg.remat == "none":
+            cls = Block
+        else:  # "block" (default)
+            cls = nn.remat(Block, static_argnums=(), prevent_cse=False)
+        x = cls(cfg, use_sparse_attn=self.use_sparse_attn, na_override=self.na_override, name="block")(
+            x, emb_B_T_D, crossattn_emb, rope_angles, adaln_lora_B_T_3D, camera=camera
+        )
+        return x, ()
+
+
 class FinalLayer(nn.Module):
     """AdaLN(2 chunks) + linear head (minimal_v4_dit.py:916-995)."""
 
@@ -791,37 +871,42 @@ class MiniTrainDIT(nn.Module):
                 # similarly size-keyed, minimal_v4_dit.py:58-203)
                 k = int(cfg.remat.split(":", 1)[1]) if ":" in cfg.remat else cfg.num_blocks // 2
                 per_block_cls = [sel_cls if i < k else full_cls for i in range(cfg.num_blocks)]
-        # sparse/dense interleave (reference replace_selfattn_op_with_sparse
-        # _attn_op, minimal_v4_dit.py:1785-1797): n_dense_blocks evenly spread
-        na_overrides: list = [None] * cfg.num_blocks
-        if cfg.natten_parameters is not None:
-            # per-layer parameter list (reference sparse_14B.py:29-105)
-            assert len(cfg.natten_parameters) == cfg.num_blocks, (
-                len(cfg.natten_parameters), cfg.num_blocks)
-            sparse = [p is not None for p in cfg.natten_parameters]
-            na_overrides = [tuple(p) if p is not None else None for p in cfg.natten_parameters]
-        elif cfg.n_dense_blocks == -1:
-            sparse = [False] * cfg.num_blocks
-        elif cfg.n_dense_blocks == 0:
-            sparse = [True] * cfg.num_blocks
-        elif cfg.n_dense_blocks == 1:
-            sparse = [i != cfg.num_blocks // 2 for i in range(cfg.num_blocks)]
-        else:
-            dense_idx = set(np.linspace(0, cfg.num_blocks - 1, cfg.n_dense_blocks, dtype=int).tolist())
-            sparse = [i not in dense_idx for i in range(cfg.num_blocks)]
+        sparse, na_overrides = block_layout(cfg)
 
+        use_scan = (
+            cfg.scan_blocks
+            and kv_caches is None
+            and not intermediate_feature_ids
+            and not cfg.remat.startswith("mixed")
+        )
         new_caches = [] if kv_caches is not None else None
         intermediates = []
-        for i in range(cfg.num_blocks):
-            cls_i = per_block_cls[i] if per_block_cls is not None else block_cls
-            block = cls_i(cfg, use_sparse_attn=sparse[i], na_override=na_overrides[i], name=f"blocks_{i}")
-            if kv_caches is not None:
-                x, cache_i = block(x, emb_B_T_D, crossattn_emb, rope_angles, adaln_lora_B_T_3D, kv_cache=kv_caches[i])
-                new_caches.append(cache_i)
-            else:
-                x = block(x, emb_B_T_D, crossattn_emb, rope_angles, adaln_lora_B_T_3D, camera=camera)
-            if intermediate_feature_ids and i in intermediate_feature_ids:
-                intermediates.append(x.reshape(B, -1, cfg.model_channels))
+        if use_scan:
+            for start, count in block_segments(cfg):
+                scanned = nn.scan(
+                    ScanBlock,
+                    variable_axes={"params": 0},
+                    split_rngs={"params": True},
+                    in_axes=nn.broadcast,
+                    length=count,
+                )(
+                    cfg,
+                    use_sparse_attn=sparse[start],
+                    na_override=na_overrides[start],
+                    name=f"blocks_scan{start}",
+                )
+                x, _ = scanned(x, emb_B_T_D, crossattn_emb, rope_angles, adaln_lora_B_T_3D, camera)
+        else:
+            for i in range(cfg.num_blocks):
+                cls_i = per_block_cls[i] if per_block_cls is not None else block_cls
+                block = cls_i(cfg, use_sparse_attn=sparse[i], na_override=na_overrides[i], name=f"blocks_{i}")
+                if kv_caches is not None:
+                    x, cache_i = block(x, emb_B_T_D, crossattn_emb, rope_angles, adaln_lora_B_T_3D, kv_cache=kv_caches[i])
+                    new_caches.append(cache_i)
+                else:
+                    x = block(x, emb_B_T_D, crossattn_emb, rope_angles, adaln_lora_B_T_3D, camera=camera)
+                if intermediate_feature_ids and i in intermediate_feature_ids:
+                    intermediates.append(x.reshape(B, -1, cfg.model_channels))
 
         # ---- final layer + unpatchify ----
         x = FinalLayer(cfg, name="final_layer")(x, emb_B_T_D, adaln_lora_B_T_3D)

@@ -45,9 +45,10 @@ GEOMS = {
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a not in ("--sparse", "--lora")]
+    args = [a for a in sys.argv[1:] if a not in ("--sparse", "--lora", "--scan")]
     sparse = "--sparse" in sys.argv[1:]
     lora = "--lora" in sys.argv[1:]
+    scan = "--scan" in sys.argv[1:]  # scan-over-blocks: ~28x smaller HLO
     geom = args[0] if args else "seq8320"
     modes = tuple(args[1:]) or ("selective", "block")
     LATENT = GEOMS[geom]
@@ -87,16 +88,21 @@ def main() -> None:
     )
 
     for mode in modes:
-        net = MiniTrainDIT(dataclasses.replace(base, remat=mode))
+        net = MiniTrainDIT(dataclasses.replace(base, remat=mode, scan_blocks=scan))
         shapes = jax.eval_shape(lambda: net.init(jax.random.PRNGKey(0), x, ts, ctx))
         keys = iter(jax.random.split(jax.random.PRNGKey(42), len(jax.tree.leaves(shapes))))
         # bf16 directly: an f32 intermediate tree (7.3 GiB for the 2B) plus
         # the 12.8 GiB step working set would overrun the 16 GB chip
-        params = jax.tree.map(
-            lambda s: jax.random.normal(next(keys), s.shape, jnp.bfloat16 if len(s.shape) >= 2 else s.dtype) * 0.02
-            if len(s.shape) >= 2 else jnp.zeros(s.shape, s.dtype),
-            shapes,
-        )
+        def init_leaf(path, s):
+            # weights ('kernel') get bf16 randn; biases/norm scales zeros —
+            # keyed by param NAME, not ndim (scan_blocks stacks a leading
+            # segment axis onto every block leaf)
+            name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+            if name == "kernel":
+                return jax.random.normal(next(keys), s.shape, jnp.bfloat16) * 0.02
+            return jnp.zeros(s.shape, s.dtype)
+
+        params = jax.tree_util.tree_map_with_path(init_leaf, shapes)
 
         if lora:
             # the reference's single-device post-training mode (SURVEY §2.5
