@@ -81,6 +81,12 @@ def build_pipeline(args):
 
             params = jax.tree.map(jnp.asarray, convert_model_checkpoint(args.checkpoint, model_cfg.net.num_blocks))
             params = {"params": params["params"]}
+            if model_cfg.net.scan_blocks:
+                # torch checkpoints are always unrolled; stack into the
+                # scanned layout the model expects
+                from cosmos_predict2_tpu.utils.scan_params import adapt_block_layout
+
+                params = adapt_block_layout(params, model_cfg.net)
         else:
             from cosmos_predict2_tpu.training.checkpointing import load_consolidated
 

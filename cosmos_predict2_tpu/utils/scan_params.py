@@ -70,3 +70,25 @@ def unstack_block_params(params: dict, cfg: Any) -> dict:
         for j in range(count):
             out[f"blocks_{start + j}"] = jax.tree.map(lambda x, _j=j: x[_j], stacked)
     return _rewrap(out, wrapped)
+
+
+def adapt_block_layout(params: dict, cfg: Any) -> dict:
+    """Convert any DiT block subtrees in ``params`` to the layout ``cfg``
+    expects (``cfg.scan_blocks`` -> stacked, else unrolled). Recurses so it
+    works on whole-model trees (e.g. ``{"params": {"net": {...}}}``) as well
+    as bare DiT trees; no-op when the layout already matches. Used by the
+    model loader so torch-converted checkpoints (always unrolled) load into
+    scanned models transparently."""
+
+    def rec(d):
+        if not isinstance(d, dict):
+            return d
+        has_unrolled = any(k.startswith("blocks_") and not k.startswith("blocks_scan") for k in d)
+        has_scan = any(k.startswith("blocks_scan") for k in d)
+        if has_unrolled and cfg.scan_blocks:
+            return stack_block_params(d, cfg)
+        if has_scan and not cfg.scan_blocks:
+            return unstack_block_params(d, cfg)
+        return {k: rec(v) for k, v in d.items()}
+
+    return rec(dict(params))

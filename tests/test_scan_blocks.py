@@ -100,3 +100,25 @@ def test_scanned_init_shapes_match_stacked():
     want = jax.tree.map(lambda x: x.shape, stack_block_params(params, BASE))
     got = jax.tree.map(lambda x: x.shape, direct)
     assert want == got
+
+
+@pytest.mark.level(0)
+def test_adapt_block_layout_whole_model_tree():
+    """adapt_block_layout finds the DiT subtree inside a whole-model param
+    tree and converts it to the layout the config expects, both directions;
+    no-op when it already matches."""
+    from cosmos_predict2_tpu.utils.scan_params import adapt_block_layout
+
+    _, _, params = _pair(BASE)
+    tree = {"params": {"net": params["params"], "other": {"w": jnp.ones((2,))}}}
+    cfg_scan = dataclasses.replace(BASE, scan_blocks=True)
+    scanned = adapt_block_layout(tree, cfg_scan)
+    assert "blocks_scan0" in scanned["params"]["net"]
+    assert "other" in scanned["params"]
+    # already matching: identity
+    again = adapt_block_layout(scanned, cfg_scan)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+                 scanned, again)
+    back = adapt_block_layout(scanned, BASE)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+                 tree, back)
