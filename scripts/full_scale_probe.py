@@ -30,6 +30,7 @@ SEQ = 24 * 44 * 80
 
 
 def make_net(n_dense_blocks: int = -1, natten_window=(-1, 12, 24), natten_stride=(1, 4, 8)):
+    scan = "--scan" in sys.argv  # scan-over-blocks: ~28x smaller HLO, faster compile
     from cosmos_predict2_tpu.networks.dit import DiTConfig, MiniTrainDIT
 
     cfg = DiTConfig(
@@ -46,6 +47,7 @@ def make_net(n_dense_blocks: int = -1, natten_window=(-1, 12, 24), natten_stride
         natten_window=natten_window,
         natten_stride=natten_stride if n_dense_blocks >= 0 else (1, 1, 1),
         natten_base_size=(-1, 44, 80) if n_dense_blocks >= 0 else None,
+        scan_blocks=scan,
     )
     return MiniTrainDIT(cfg), cfg
 
@@ -105,7 +107,11 @@ def run_cfg(n_dense_blocks=-1):
         v = net.apply(params, x2, ts2, ctx2)
         return v[:1] + 7.0 * (v[:1] - v[1:])
 
-    print(f"[cfg] compiling seq={SEQ} dense_blocks={n_dense_blocks} ...", flush=True)
+    print(f"[cfg] compiling seq={SEQ} dense_blocks={n_dense_blocks} scan={cfg.scan_blocks} ...", flush=True)
+    t0 = time.perf_counter()
+    out = step(params, x, ts, ctx)
+    _ = float(jnp.sum(out))
+    print(f"[cfg] first call (incl compile): {time.perf_counter() - t0:.1f}s", flush=True)
     t = timed(step, params, x, ts, ctx)
     fl = 2 * flops_forward(SEQ)
     peak, kind = peak_flops()
@@ -199,13 +205,15 @@ def run_vae_encode():
 
 
 if __name__ == "__main__":
-    cmd = sys.argv[1] if len(sys.argv) > 1 else "cfg"
+    _pos = [a for a in sys.argv[1:] if a != "--scan"]
+    sys.argv = [sys.argv[0]] + sys.argv[1:]  # make_net reads --scan from sys.argv
+    cmd = _pos[0] if _pos else "cfg"
     if cmd == "cfg":
-        run_cfg(int(sys.argv[2]) if len(sys.argv) > 2 else -1)
+        run_cfg(int(_pos[1]) if len(_pos) > 1 else -1)
     elif cmd == "single":
         run_single()
     elif cmd == "na":
-        run_cfg(n_dense_blocks=int(sys.argv[2]) if len(sys.argv) > 2 else 7)
+        run_cfg(n_dense_blocks=int(_pos[1]) if len(_pos) > 1 else 7)
     elif cmd == "blocks":
         run_blocks()
     elif cmd == "vae":
