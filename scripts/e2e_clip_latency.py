@@ -113,9 +113,10 @@ def run_dmd2(pipe, H: int, W: int, state_t: int, repeat: int, geom: str = "full"
         noise = arch_invariant_rand(gt.shape, seed=seed)
         x = gen(pipe.params, noise, cond)
         frames = decode_streaming(
-            pipe.vae.config, pipe.vae_params, x.astype(pipe.vae.config.dtype).transpose(0, 2, 3, 4, 1), out="host"
+            pipe.vae.config, pipe.vae_params, x.astype(pipe.vae.config.dtype).transpose(0, 2, 3, 4, 1),
+            out="host", pixel_format="uint8",  # production api.py route
         )
-        assert np.isfinite(np.asarray(frames[:, :1], np.float32)).all()
+        assert frames.dtype == np.uint8 and frames.size
         return time.perf_counter() - t0
 
     print(f"[e2e] dmd2: {T}f {H}x{W}, 4-step distilled — first run (incl compile)...", flush=True)
@@ -153,7 +154,7 @@ def main() -> None:
 
     print(f"[e2e] {args.geom}: {T}f {H}x{W}, {args.steps} steps — first run (incl compile)...", flush=True)
     t0 = time.perf_counter()
-    frames = pipe.generate_vid2world(video, emb, guidance=7.0, num_steps=args.steps, seed=1)
+    frames = pipe.generate_vid2world(video, emb, guidance=7.0, num_steps=args.steps, seed=1, pixel_format="uint8")
     t_first = time.perf_counter() - t0
     assert frames.shape == (T, H, W, 3) and np.isfinite(frames).all()
     print(f"[e2e] first={t_first:.1f}s", flush=True)
@@ -161,7 +162,7 @@ def main() -> None:
     laps = []
     for i in range(args.repeat):
         t0 = time.perf_counter()
-        frames = pipe.generate_vid2world(video, emb, guidance=7.0, num_steps=args.steps, seed=2 + i)
+        frames = pipe.generate_vid2world(video, emb, guidance=7.0, num_steps=args.steps, seed=2 + i, pixel_format="uint8")
         laps.append(time.perf_counter() - t0)
         print(f"[e2e] steady run {i}: {laps[-1]:.1f}s", flush=True)
     p50 = float(np.median(laps))
