@@ -91,7 +91,22 @@ def build_pipeline(args):
             from cosmos_predict2_tpu.training.checkpointing import load_consolidated
 
             template = model.init_params(jax.random.PRNGKey(0), latent_shape)
-            params = load_consolidated(template, args.checkpoint)
+            try:
+                params = load_consolidated(template, args.checkpoint)
+            except (ValueError, KeyError):
+                # checkpoint saved with the other DiT block layout
+                # (unrolled blocks_i <-> stacked blocks_scan{start}):
+                # deserialize against the flipped-layout template, then
+                # convert to the layout this model expects
+                from cosmos_predict2_tpu.utils.scan_params import adapt_block_layout
+
+                flipped = dataclasses.replace(
+                    model_cfg.net, scan_blocks=not model_cfg.net.scan_blocks
+                )
+                alt_template = adapt_block_layout(template, flipped)
+                params = adapt_block_layout(
+                    load_consolidated(alt_template, args.checkpoint), model_cfg.net
+                )
     else:
         log.warning("no checkpoint given (or SMOKE): using random weights")
         params = model.init_params(jax.random.PRNGKey(0), latent_shape)

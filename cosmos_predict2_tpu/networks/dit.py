@@ -146,8 +146,10 @@ class DiTConfig:
     # at full scale, and fwd+bwd programs that fit compile-helper limits.
     # Parameter layout changes (blocks_i -> stacked blocks_scan{start}); use
     # utils/scan_params.stack_block_params to convert existing checkpoints.
-    # Ignored (falls back to the unrolled loop) for kv-cache streaming,
-    # intermediate-feature taps, and per-index "mixed:K" remat.
+    # INCOMPATIBLE with kv-cache streaming, intermediate-feature taps, and
+    # per-index "mixed:K" remat (those need per-block python control): the
+    # forward raises a clear error — run those with scan_blocks=False and
+    # utils/scan_params.unstack_block_params on the parameters.
     scan_blocks: bool = False
     # cp mesh axis name (when run under shard_map sequence parallelism)
     cp_axis: Optional[str] = None
@@ -879,6 +881,16 @@ class MiniTrainDIT(nn.Module):
             and not intermediate_feature_ids
             and not cfg.remat.startswith("mixed")
         )
+        if cfg.scan_blocks and not use_scan:
+            # the stacked blocks_scan{start} parameter layout cannot drive
+            # the unrolled blocks_i modules — failing here beats flax's
+            # opaque ScopeParamNotFoundError deep in block 0
+            raise ValueError(
+                "scan_blocks=True is incompatible with kv-cache streaming, "
+                "intermediate_feature_ids, and mixed:K remat; use "
+                "scan_blocks=False and utils/scan_params.unstack_block_params "
+                "to convert the parameters"
+            )
         new_caches = [] if kv_caches is not None else None
         intermediates = []
         if use_scan:

@@ -11,8 +11,21 @@ set -u
 mkdir -p /tmp/chip_r3e
 cd /root/repo
 
+# bounded wait: proceed when phase 4 marks complete, when its runner is no
+# longer alive (crash — don't spin forever on a marker that will never
+# appear), or after 6 h regardless (worst case: brief chip contention)
+waited=0
 while [ ! -f /tmp/chip_r3d/session.log ] || ! grep -q "phase 4 complete" /tmp/chip_r3d/session.log; do
+  if ! pgrep -x -f "bash scripts/chip_session_r3d.sh" > /dev/null 2>&1; then
+    echo "=== phase-4 runner gone without completion marker; proceeding ($(date))" >> /tmp/chip_r3e/session.log
+    break
+  fi
+  if [ "$waited" -ge 360 ]; then
+    echo "=== phase-4 wait timed out after 6h; proceeding ($(date))" >> /tmp/chip_r3e/session.log
+    break
+  fi
   sleep 60
+  waited=$((waited + 1))
 done
 
 run() {

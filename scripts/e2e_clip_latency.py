@@ -116,7 +116,9 @@ def run_dmd2(pipe, H: int, W: int, state_t: int, repeat: int, geom: str = "full"
             pipe.vae.config, pipe.vae_params, x.astype(pipe.vae.config.dtype).transpose(0, 2, 3, 4, 1),
             out="host", pixel_format="uint8",  # production api.py route
         )
-        assert frames.dtype == np.uint8 and frames.size
+        # uint8 is always finite; catch NaN-poisoned decodes (quantize
+        # maps NaN to a constant) by requiring real image variance
+        assert frames.dtype == np.uint8 and frames.std(dtype=np.float32) > 1.0
         return time.perf_counter() - t0
 
     print(f"[e2e] dmd2: {T}f {H}x{W}, 4-step distilled — first run (incl compile)...", flush=True)

@@ -29,8 +29,7 @@ LATENT = (1, 16, 24, 88, 160)
 SEQ = 24 * 44 * 80
 
 
-def make_net(n_dense_blocks: int = -1, natten_window=(-1, 12, 24), natten_stride=(1, 4, 8)):
-    scan = "--scan" in sys.argv  # scan-over-blocks: ~28x smaller HLO, faster compile
+def make_net(n_dense_blocks: int = -1, natten_window=(-1, 12, 24), natten_stride=(1, 4, 8), scan: bool = False):
     from cosmos_predict2_tpu.networks.dit import DiTConfig, MiniTrainDIT
 
     cfg = DiTConfig(
@@ -92,8 +91,8 @@ def peak_flops():
     return next((v for k, v in peaks.items() if kind.startswith(k)), 197e12), kind
 
 
-def run_cfg(n_dense_blocks=-1):
-    net, cfg = make_net(n_dense_blocks)
+def run_cfg(n_dense_blocks=-1, scan=False):
+    net, cfg = make_net(n_dense_blocks, scan=scan)
     x = jax.random.normal(jax.random.PRNGKey(0), LATENT, dtype=jnp.bfloat16)
     ts = jnp.full((1,), 500.0, dtype=jnp.float32)
     ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 512, 1024), dtype=jnp.bfloat16) * 0.02
@@ -205,15 +204,15 @@ def run_vae_encode():
 
 
 if __name__ == "__main__":
+    _scan = "--scan" in sys.argv[1:]  # scan-over-blocks (28x smaller HLO)
     _pos = [a for a in sys.argv[1:] if a != "--scan"]
-    sys.argv = [sys.argv[0]] + sys.argv[1:]  # make_net reads --scan from sys.argv
     cmd = _pos[0] if _pos else "cfg"
     if cmd == "cfg":
-        run_cfg(int(_pos[1]) if len(_pos) > 1 else -1)
+        run_cfg(int(_pos[1]) if len(_pos) > 1 else -1, scan=_scan)
     elif cmd == "single":
         run_single()
     elif cmd == "na":
-        run_cfg(n_dense_blocks=int(_pos[1]) if len(_pos) > 1 else 7)
+        run_cfg(n_dense_blocks=int(_pos[1]) if len(_pos) > 1 else 7, scan=_scan)
     elif cmd == "blocks":
         run_blocks()
     elif cmd == "vae":

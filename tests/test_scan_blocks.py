@@ -122,3 +122,38 @@ def test_adapt_block_layout_whole_model_tree():
     back = adapt_block_layout(scanned, BASE)
     jax.tree.map(lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
                  tree, back)
+
+
+@pytest.mark.level(0)
+def test_scan_blocks_incompatible_modes_raise():
+    """kv-cache / intermediate-feature calls on a scan_blocks model raise a
+    clear error (the stacked layout cannot drive the unrolled modules)."""
+    scanned = MiniTrainDIT(dataclasses.replace(BASE, scan_blocks=True))
+    params = scanned.init(jax.random.PRNGKey(0), X, TS, CTX)
+    with pytest.raises(ValueError, match="scan_blocks"):
+        scanned.apply(params, X, TS, CTX, intermediate_feature_ids=(0,))
+
+
+@pytest.mark.level(1)
+def test_consolidated_checkpoint_cross_layout_load(tmp_path):
+    """A consolidated checkpoint saved in one block layout deserializes into
+    the other via the flipped-template + adapt_block_layout fallback the CLI
+    loader uses (STATUS: 'either checkpoint layout loads into either model')."""
+    from cosmos_predict2_tpu.training.checkpointing import load_consolidated, save_consolidated
+    from cosmos_predict2_tpu.utils.scan_params import adapt_block_layout
+
+    _, _, params = _pair(BASE)  # unrolled layout
+    path = str(tmp_path / "ck.msgpack")
+    save_consolidated(params, path)
+
+    scan_cfg = dataclasses.replace(BASE, scan_blocks=True)
+    scanned_model = MiniTrainDIT(scan_cfg)
+    template = scanned_model.init(jax.random.PRNGKey(9), X, TS, CTX)  # stacked
+    with pytest.raises((ValueError, KeyError)):
+        load_consolidated(template, path)  # layout mismatch: strict load fails
+    # the CLI fallback: deserialize against the flipped-layout template...
+    alt_template = adapt_block_layout(template, BASE)
+    restored = adapt_block_layout(load_consolidated(alt_template, path), scan_cfg)
+    ref = scanned_model.apply(adapt_block_layout(params, scan_cfg), X, TS, CTX)
+    got = scanned_model.apply(restored, X, TS, CTX)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
