@@ -105,21 +105,36 @@ def run_dmd2(pipe, H: int, W: int, state_t: int, repeat: int, geom: str = "full"
     gen = jax.jit(lambda p, n, c: dm.generate(p, n, c, num_steps=4, num_conditional_frames=1))
 
     def lap(seed: int) -> float:
+        # per-stage splits so the gap between the component sum and the
+        # measured e2e is attributable (upload/host glue vs device stages)
         t0 = time.perf_counter()
         v = jnp.asarray(video).astype(jnp.bfloat16) / 127.5 - 1.0
         latents = encode_streaming(pipe.vae.config, pipe.vae_params, v.transpose(0, 2, 3, 4, 1))
         gt = latents.transpose(0, 4, 1, 2, 3).astype(jnp.float32)
+        _ = float(jnp.sum(gt[:, :1]))  # force encode before timing the split
+        t_enc = time.perf_counter() - t0
         cond = make_condition(emb, data_type=DataType.VIDEO).replace(gt_frames=gt)
         noise = arch_invariant_rand(gt.shape, seed=seed)
+        t1 = time.perf_counter()
         x = gen(pipe.params, noise, cond)
+        _ = float(jnp.sum(x[:, :, :1].astype(jnp.float32)))
+        t_den = time.perf_counter() - t1
+        t2 = time.perf_counter()
         frames = decode_streaming(
             pipe.vae.config, pipe.vae_params, x.astype(pipe.vae.config.dtype).transpose(0, 2, 3, 4, 1),
             out="host", pixel_format="uint8",  # production api.py route
         )
+        t_dec = time.perf_counter() - t2
         # uint8 is always finite; catch NaN-poisoned decodes (quantize
         # maps NaN to a constant) by requiring real image variance
         assert frames.dtype == np.uint8 and frames.std(dtype=np.float32) > 1.0
-        return time.perf_counter() - t0
+        t = time.perf_counter() - t0
+        print(
+            f"[e2e]   split: upload+encode={t_enc:.1f}s denoise4={t_den:.1f}s "
+            f"decode={t_dec:.1f}s glue={t - t_enc - t_den - t_dec:.1f}s",
+            flush=True,
+        )
+        return t
 
     print(f"[e2e] dmd2: {T}f {H}x{W}, 4-step distilled — first run (incl compile)...", flush=True)
     print(f"[e2e] first={lap(1):.1f}s", flush=True)
