@@ -378,10 +378,12 @@ class Video2WorldInference:
         while len(out_frames) < num_output_frames:
             window = buffer[:, :, start : start + chunk]
             k = num_conditional_frames if chunk_idx == 0 else chunk_overlap
-            # generate in uint8 regardless of the caller's pixel_format: the
-            # re-conditioning buffer is uint8 anyway, so the float round-trip
-            # (and the doubled D2H on the streaming route) is pure waste
-            frames_u8 = self.generate_vid2world(
+            # the re-conditioning buffer is uint8 either way; generate in the
+            # caller's pixel_format so the FLOAT api keeps full-precision
+            # outputs (only the written-back conditioning frames quantize,
+            # matching the reference's uint8 input buffer), while the uint8
+            # api gets the device-side-quantized fast path
+            frames = self.generate_vid2world(
                 window,
                 text_emb,
                 neg_text_emb=neg_text_emb,
@@ -389,18 +391,19 @@ class Video2WorldInference:
                 num_steps=num_steps,
                 num_conditional_frames=k,
                 seed=seed + chunk_idx,
-                pixel_format="uint8",
-            )  # (chunk, H, W, 3) uint8
+                pixel_format=pixel_format,
+            )  # (chunk, H, W, 3) in the requested format
+            frames_u8 = self._to_pixel_format(frames, "uint8")
             # write generated frames back into the buffer for re-conditioning
             end = min(start + chunk, buffer.shape[2])
             buffer[0, :, start:end] = frames_u8.transpose(3, 0, 1, 2)[:, : end - start]
-            new = frames_u8 if chunk_idx == 0 else frames_u8[overlap_px:]
+            new = frames if chunk_idx == 0 else frames[overlap_px:]
             out_frames.extend(list(new))
             start += chunk - overlap_px
             chunk_idx += 1
             log.info(f"autoregressive chunk {chunk_idx}: {len(out_frames)}/{num_output_frames} frames")
 
-        return self._to_pixel_format(np.stack(out_frames[:num_output_frames]), pixel_format)
+        return np.stack(out_frames[:num_output_frames])
 
 
 class Text2ImageInference:

@@ -190,10 +190,13 @@ def conv3d_causal_taps_xla(x, w, b, *, kt: int = 3, out_dtype=jnp.bfloat16):
                     xs.reshape(-1, Cin),
                     w[dt, dh, dw],
                     (((1,), (0,)), ((), ())),
-                    preferred_element_type=out_dtype,
+                    # f32 running sum: 26 bf16 partial-sum roundings would
+                    # add ~1% noise the XLA-conv and Pallas backends (both
+                    # f32 accumulators) don't have
+                    preferred_element_type=jnp.float32,
                 )
                 out = o if out is None else out + o
-    return (out.reshape(B, T, H, W, Cout) + b.astype(out_dtype)).astype(out_dtype)
+    return (out.reshape(B, T, H, W, Cout) + b.astype(jnp.float32)).astype(out_dtype)
 
 
 def conv3d_causal_taps_reference(x, w, b, *, kt: int = 3, out_dtype=jnp.bfloat16):

@@ -49,6 +49,15 @@ def init_lora_params(
                 "a": jax.random.uniform(key, (leaf.shape[0], rank), jnp.float32, -bound, bound),
                 "b": jnp.zeros((rank, leaf.shape[1]), dtype=jnp.float32),
             }
+        if _is_target(_path_str(path), targets) and leaf.ndim == 3:
+            # scan_blocks stacked kernel (segment, in, out): per-segment-
+            # member adapters, batched on the same leading axis
+            seg, fan_in, fan_out = leaf.shape
+            bound = np.sqrt(6.0 / fan_in)
+            return {
+                "a": jax.random.uniform(key, (seg, fan_in, rank), jnp.float32, -bound, bound),
+                "b": jnp.zeros((seg, rank, fan_out), dtype=jnp.float32),
+            }
         return None
 
     return jax.tree_util.tree_map_with_path(make, params)
@@ -61,7 +70,12 @@ def merge_lora(params: Any, lora: Any, alpha: float = 4.0, rank: int = 4) -> Any
     def merge(p, l):
         if l is None:
             return p
-        delta = jnp.dot(l["a"], l["b"], preferred_element_type=jnp.float32) * scale
+        # 2-D kernels: A @ B; 3-D stacked (scan_blocks): batched matmul on
+        # the leading segment axis — einsum covers both
+        if l["a"].ndim == 2:
+            delta = jnp.dot(l["a"], l["b"], preferred_element_type=jnp.float32) * scale
+        else:
+            delta = jnp.einsum("sir,sro->sio", l["a"], l["b"], preferred_element_type=jnp.float32) * scale
         return (p.astype(jnp.float32) + delta).astype(p.dtype)
 
     return jax.tree.map(merge, params, lora, is_leaf=lambda x: x is None or isinstance(x, dict) and "a" in x)

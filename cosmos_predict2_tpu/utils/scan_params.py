@@ -42,6 +42,14 @@ def stack_block_params(params: dict, cfg: Any) -> dict:
     from cosmos_predict2_tpu.networks.dit import block_segments
 
     inner, wrapped = _unwrap(params)
+    covered = {f"blocks_{i}" for i in range(cfg.num_blocks)}
+    extra = [k for k in inner if k.startswith("blocks_") and not k.startswith("blocks_scan") and k not in covered]
+    if extra:
+        # refuse rather than silently truncate a deeper checkpoint
+        raise KeyError(
+            f"stack_block_params: params carry {sorted(extra)[:3]}... beyond "
+            f"cfg.num_blocks={cfg.num_blocks}; depth mismatch"
+        )
     out = {k: v for k, v in inner.items() if not k.startswith("blocks_")}
     for start, count in block_segments(cfg):
         subtrees = []
@@ -83,11 +91,15 @@ def adapt_block_layout(params: dict, cfg: Any) -> dict:
     def rec(d):
         if not isinstance(d, dict):
             return d
+        # only convert subtrees that are actually the DiT: other modules
+        # (Wan DiT, XLM-R, Qwen vision) also name layers blocks_i but lack
+        # the DiT's sibling modules
+        is_dit = "final_layer" in d or "x_embedder" in d
         has_unrolled = any(k.startswith("blocks_") and not k.startswith("blocks_scan") for k in d)
         has_scan = any(k.startswith("blocks_scan") for k in d)
-        if has_unrolled and cfg.scan_blocks:
+        if is_dit and has_unrolled and cfg.scan_blocks:
             return stack_block_params(d, cfg)
-        if has_scan and not cfg.scan_blocks:
+        if is_dit and has_scan and not cfg.scan_blocks:
             return unstack_block_params(d, cfg)
         return {k: rec(v) for k, v in d.items()}
 

@@ -173,7 +173,9 @@ def main() -> None:
     t0 = time.perf_counter()
     frames = pipe.generate_vid2world(video, emb, guidance=7.0, num_steps=args.steps, seed=1, pixel_format="uint8")
     t_first = time.perf_counter() - t0
-    assert frames.shape == (T, H, W, 3) and np.isfinite(frames).all()
+    # uint8 is always finite; require real image variance to catch a
+    # NaN-poisoned decode (quantize maps NaN to a constant)
+    assert frames.shape == (T, H, W, 3) and frames.std(dtype=np.float32) > 1.0
     print(f"[e2e] first={t_first:.1f}s", flush=True)
 
     laps = []

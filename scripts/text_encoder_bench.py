@@ -66,11 +66,12 @@ def main() -> None:
     params = make_params()
     enc.params = params
 
-    # matmul FLOPs per token: qkvo + mlp + lm ignores the vocab head (the
-    # encoder never projects to logits) + attention at seq 512
+    # matmul FLOPs per token (no vocab head — the encoder never projects to
+    # logits). GQA: q/o are d->d, k/v are d->kv_width (4 kv heads on 7B)
     S = cfg.num_padding_tokens
     d, L, ff = mc.hidden_size, mc.num_hidden_layers, getattr(mc, "intermediate_size", 18944)
-    per_tok = L * (8 * d * d + 6 * d * ff) + L * 4 * S * d
+    kv_width = mc.num_key_value_heads * mc.head_dim
+    per_tok = L * (4 * d * d + 4 * d * kv_width + 6 * d * ff) + L * 4 * S * d
     kind = jax.devices()[0].device_kind
     peaks = {"TPU v5 lite": 197e12, "TPU v5": 459e12, "TPU v4": 275e12, "TPU v6": 918e12}
     peak = next((v for k, v in peaks.items() if kind.startswith(k)), 197e12)
