@@ -121,19 +121,19 @@ def run_cfg(n_dense_blocks=-1, scan=False):
     )
 
 
-def run_single():
-    net, cfg = make_net()
+def run_single(n_dense_blocks=-1, scan=False):
+    net, cfg = make_net(n_dense_blocks, scan=scan)
     x = jax.random.normal(jax.random.PRNGKey(0), LATENT, dtype=jnp.bfloat16)
     ts = jnp.full((1,), 500.0, dtype=jnp.float32)
     ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 512, 1024), dtype=jnp.bfloat16) * 0.02
     params = make_params(net, x, ts, ctx)
     step = jax.jit(lambda p, x, ts, c: net.apply(p, x, ts, c))
-    print("[single] compiling ...", flush=True)
+    print(f"[single] compiling dense_blocks={n_dense_blocks} scan={scan} ...", flush=True)
     t = timed(step, params, x, ts, ctx)
     fl = flops_forward(SEQ)
     peak, kind = peak_flops()
     print(
-        f"[single] t_fwd={t:.3f}s  MFU={fl / t / peak * 100:.1f}%  "
+        f"[single] dense_blocks={n_dense_blocks} t_fwd={t:.3f}s  MFU={fl / t / peak * 100:.1f}%  "
         f"4step_latency={4 * t:.1f}s  frames/s/chip(4step)={93 / (4 * t):.3f}",
         flush=True,
     )
@@ -210,7 +210,7 @@ if __name__ == "__main__":
     if cmd == "cfg":
         run_cfg(int(_pos[1]) if len(_pos) > 1 else -1, scan=_scan)
     elif cmd == "single":
-        run_single()
+        run_single(int(_pos[1]) if len(_pos) > 1 else -1, scan=_scan)
     elif cmd == "na":
         run_cfg(n_dense_blocks=int(_pos[1]) if len(_pos) > 1 else 7, scan=_scan)
     elif cmd == "blocks":
