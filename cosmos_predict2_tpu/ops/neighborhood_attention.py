@@ -33,8 +33,9 @@ Consequences:
   (consecutive t-slices of each neighboring tile), which the scalar-
   prefetched DMA pipeline overlaps like splash attention.
 
-The permutation itself is two O(S) gathers around the kernel (<2% of the
-attention time at seq 84k).
+The permutation itself is a pure reshape/pad/transpose pair around the
+kernel (<2% of the attention time at seq 84k, and no O(S) index-array
+constants in the HLO — see _permute_in).
 """
 
 from __future__ import annotations
@@ -194,8 +195,11 @@ def adaptive_na_parameters(
 
 
 class _Plan(NamedTuple):
-    perm: np.ndarray  # (S_pad,) source index in (t,h,w) order (0 for pad slots)
-    inv: np.ndarray  # (S,) position of each original token in the permuted order
+    size: VideoSize  # true (T, H, W)
+    dilation: tuple[int, int, int]
+    t_pad: int  # T padded to a block-t multiple
+    nth: int  # spatial tile grid (H axis)
+    ntw: int  # spatial tile grid (W axis)
     block: int  # q/kv block size (multiple of _PER_T, divides a superblock)
     s_pad: int
     coords: np.ndarray  # (n_blocks, 3) int32: (t0, h0, w0) base of each block
@@ -248,35 +252,16 @@ def _build_plan(
     block = _PER_T * bt
     sb = _PER_T * t_pad  # superblock = one spatial tile, all (padded) frames
 
-    # permutation: new order enumerates (tile_h, tile_w, t, ih, iw)
-    a = np.arange(nth)[:, None, None, None, None]
-    b = np.arange(ntw)[None, :, None, None, None]
-    t = np.arange(t_pad)[None, None, :, None, None]
-    ih = np.arange(_TILE_H)[None, None, None, :, None]
-    iw = np.arange(_TILE_W)[None, None, None, None, :]
-    h = a * _TILE_H + ih
-    w = b * _TILE_W + iw
-    valid = (h < H) & (w < W) & (t < T)
-
-    # dilation: the permuted layout orders each axis CLASS-MAJOR (all
-    # positions with equal index mod dilation form a contiguous run), so
-    # dilated attention becomes blocked attention on the reordered axis —
-    # window/stride passed to this plan are already the effective
-    # (sub_len, sub_len) blocked parameters (see _effective_params).
-    def true_coord(n, L, dl):
-        if dl <= 1:
-            return n
-        sub = L // dl
-        return (n % sub) * dl + (n // sub)
-
-    t_true = true_coord(np.minimum(t, T - 1), T, dilation[0])
-    h_true = true_coord(np.minimum(h, H - 1), H, dilation[1])
-    w_true = true_coord(np.minimum(w, W - 1), W, dilation[2])
-    orig = t_true * (H * W) + h_true * W + w_true
-    perm = np.where(valid, orig, 0).reshape(-1).astype(np.int32)
-    inv = np.zeros(T * H * W, dtype=np.int32)
-    inv[perm.reshape(-1)[valid.reshape(-1)]] = np.nonzero(valid.reshape(-1))[0].astype(np.int32)
-
+    # The permutation to the (tile_h, tile_w, t, ih, iw) order — including
+    # the CLASS-MAJOR dilation reorder (all positions with equal index mod
+    # dilation form a contiguous run, so dilated attention becomes blocked
+    # attention on the reordered axis; window/stride passed to this plan
+    # are already the effective blocked parameters, see _effective_params)
+    # — is applied as pure reshape/pad/transpose in _permute_in/_permute_out
+    # from the geometry fields alone: index-array gathers would bake an
+    # O(S) i32 constant into every NA call site's HLO (~340 KB each at 42k
+    # tokens, one per scan segment per fwd/bwd pallas program), which
+    # overflows this environment's compile helper at full scale.
     s_pad = nth * ntw * sb
     nblk = s_pad // block
     per_sb = sb // block  # kv/q blocks per superblock
@@ -339,7 +324,10 @@ def _build_plan(
         for j in r:
             rows_t[j].append(i)
     table_t, counts_t = pack(rows_t)
-    return _Plan(perm, inv, block, s_pad, coords, table, counts, table_t, counts_t)
+    return _Plan(
+        VideoSize(T, H, W), tuple(dilation), t_pad, nth, ntw,
+        block, s_pad, coords, table, counts, table_t, counts_t,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -549,29 +537,73 @@ def _na_forward(qt, kt, vt, size: VideoSize, window, stride, plan: _Plan, with_l
     return res if with_lse else (res[0], None)
 
 
-def _permute_in(x, perm):
-    return jnp.take(x, perm, axis=1).transpose(0, 2, 1, 3)
+def _dilation_reorder(x, axis: int, dl: int, inverse: bool = False):
+    """Class-major reorder of one axis (source i = m*dl + c  <->  permuted
+    n = c*sub + m): a reshape/swap/reshape, never an index-array gather."""
+    if dl <= 1:
+        return x
+    L = x.shape[axis]
+    sub = L // dl
+    shape = x.shape[:axis] + ((dl, sub) if inverse else (sub, dl)) + x.shape[axis + 1 :]
+    x = jnp.swapaxes(x.reshape(shape), axis, axis + 1)
+    return x.reshape(x.shape[:axis] + (L,) + x.shape[axis + 2 :])
 
 
-def _permute_out(xt, inv):
-    return jnp.take(xt.transpose(0, 2, 1, 3), inv, axis=1)
+def _permute_in(x, plan: _Plan):
+    """(B, S, heads, D) token-major -> (B, heads, S_pad, D) tiled layout.
+
+    Pure layout transform (dilation reorder, pad to the tile grid, split
+    into (tile_h, tile_w, t, ih, iw) order). Pad slots are zero vectors —
+    the kernel masks every pad position by COORDS (out-of-bounds t/h/w),
+    so pad content is never read through softmax."""
+    B, S, Hh, D = x.shape
+    T, H, W = plan.size
+    x = x.reshape(B, T, H, W, Hh, D)
+    for axis, dl in zip((1, 2, 3), plan.dilation):
+        x = _dilation_reorder(x, axis, dl)
+    x = jnp.pad(
+        x,
+        (
+            (0, 0),
+            (0, plan.t_pad - T),
+            (0, plan.nth * _TILE_H - H),
+            (0, plan.ntw * _TILE_W - W),
+            (0, 0),
+            (0, 0),
+        ),
+    )
+    x = x.reshape(B, plan.t_pad, plan.nth, _TILE_H, plan.ntw, _TILE_W, Hh, D)
+    x = x.transpose(0, 6, 2, 4, 1, 3, 5, 7)  # (B, heads, a, b, t, ih, iw, D)
+    return x.reshape(B, Hh, plan.s_pad, D)
+
+
+def _permute_out(xt, plan: _Plan):
+    """(B, heads, S_pad, D) tiled layout -> (B, S, heads, D) token-major
+    (exact inverse of _permute_in; pad slots are sliced away)."""
+    B, Hh, _, D = xt.shape
+    T, H, W = plan.size
+    x = xt.reshape(B, Hh, plan.nth, plan.ntw, plan.t_pad, _TILE_H, _TILE_W, D)
+    x = x.transpose(0, 4, 2, 5, 3, 6, 1, 7)  # (B, t, a, ih, b, iw, heads, D)
+    x = x.reshape(B, plan.t_pad, plan.nth * _TILE_H, plan.ntw * _TILE_W, Hh, D)
+    x = x[:, :T, :H, :W]
+    for axis, dl in zip((1, 2, 3), plan.dilation):
+        x = _dilation_reorder(x, axis, dl, inverse=True)
+    return x.reshape(B, T * H * W, Hh, D)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def _na(q, k, v, size: VideoSize, window, stride, dilation, block_cap: int):
     plan = _build_plan(size, window, stride, dilation, block_cap)
-    perm = jnp.asarray(plan.perm)
-    qt, kt, vt = (_permute_in(t, perm) for t in (q, k, v))
+    qt, kt, vt = (_permute_in(t, plan) for t in (q, k, v))
     out, _ = _na_forward(qt, kt, vt, size, window, stride, plan, with_lse=False)
-    return _permute_out(out, jnp.asarray(plan.inv))
+    return _permute_out(out, plan)
 
 
 def _na_fwd_rule(q, k, v, size, window, stride, dilation, block_cap):
     plan = _build_plan(size, window, stride, dilation, block_cap)
-    perm = jnp.asarray(plan.perm)
-    qt, kt, vt = (_permute_in(t, perm) for t in (q, k, v))
+    qt, kt, vt = (_permute_in(t, plan) for t in (q, k, v))
     out_t, lse = _na_forward(qt, kt, vt, size, window, stride, plan, with_lse=True)
-    return _permute_out(out_t, jnp.asarray(plan.inv)), (qt, kt, vt, out_t, lse)
+    return _permute_out(out_t, plan), (qt, kt, vt, out_t, lse)
 
 
 def _na_bwd_rule(size, window, stride, dilation, block_cap, res, g):
@@ -582,7 +614,7 @@ def _na_bwd_rule(size, window, stride, dilation, block_cap, res, g):
     nblk = s_pad // blk
     scale = 1.0 / np.sqrt(d)
 
-    do_t = _permute_in(g, jnp.asarray(plan.perm))
+    do_t = _permute_in(g, plan)
     # delta_i = sum_d dO_i * O_i (flash-attention bwd preprocessing)
     delta = jnp.sum(do_t.astype(jnp.float32) * out_t.astype(jnp.float32), axis=-1)[:, :, None, :]
 
@@ -649,10 +681,10 @@ def _na_bwd_rule(size, window, stride, dilation, block_cap, res, g):
         qt, kt, vt, do_t, lse, delta,
     )
 
-    inv = jnp.asarray(plan.inv)
     # pad slots carry no true gradient (their compute is fully masked), so
-    # the inverse gather over the real slots is the exact input gradient.
-    return _permute_out(dq_t, inv), _permute_out(dk_t, inv), _permute_out(dv_t, inv)
+    # the inverse layout transform over the real slots is the exact input
+    # gradient.
+    return _permute_out(dq_t, plan), _permute_out(dk_t, plan), _permute_out(dv_t, plan)
 
 
 _na.defvjp(_na_fwd_rule, _na_bwd_rule)

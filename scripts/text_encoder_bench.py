@@ -55,15 +55,13 @@ def main() -> None:
     leaves = jax.tree.leaves(shapes)
     nparam = sum(int(np.prod(s.shape)) for s in leaves)
     print(f"[te] params: {nparam / 1e9:.2f} B ({nparam * 2 / 2**30:.1f} GiB bf16)", flush=True)
+    # eager per-leaf device init (the pattern proven on-chip by
+    # full_scale_probe.make_params); a single jitted tree-init traced with a
+    # key iterator crashed the axon tunnel at the 338-leaf 7B scale
     keys = iter(jax.random.split(jax.random.PRNGKey(42), len(leaves)))
-
-    @jax.jit
-    def make_params():
-        return jax.tree.map(
-            lambda s: (jax.random.normal(next(keys), s.shape, jnp.bfloat16) * 0.02), shapes
-        )
-
-    params = make_params()
+    params = jax.tree.map(
+        lambda s: (jax.random.normal(next(keys), s.shape, jnp.bfloat16) * 0.02), shapes
+    )
     enc.params = params
 
     # matmul FLOPs per token (no vocab head — the encoder never projects to
@@ -87,7 +85,8 @@ def main() -> None:
             _ = float(jnp.sum(out[:, :1].astype(jnp.float32)))
             times.append(time.perf_counter() - t0)
         t = float(np.min(times))
-        fl = 2 * B * S * per_tok
+        # per_tok already counts 2 FLOPs per MAC (the 4dd/6dff coefficients)
+        fl = B * S * per_tok
         print(
             f"[te] B={B}: {t * 1e3:.0f} ms/forward+pool  ({fl / t / 1e12:.1f} TF/s, "
             f"{fl / t / peak * 100:.1f}% of {kind} peak)  out {tuple(out.shape)}",
