@@ -151,6 +151,19 @@ class DiTConfig:
     # forward raises a clear error — run those with scan_blocks=False and
     # utils/scan_params.unstack_block_params on the parameters.
     scan_blocks: bool = False
+    # Uniform scan (with scan_blocks): ONE nn.scan over ALL blocks with a
+    # scanned per-block boolean choosing dense vs sparse attention via
+    # lax.cond at runtime, instead of one scan segment per config run. The
+    # sparse_2B interleave (7 dense blocks spread over 28) otherwise traces
+    # 13 segments — 6 of them sparse, each embedding its own copies of the
+    # three NA Mosaic kernels, which overwhelms this environment's
+    # remote-compile helper at full-scale grids (>= ~64 kv blocks). Uniform
+    # mode compiles each attention kernel exactly ONCE per program. Params
+    # stack across all blocks (blocks_scan0); block_segments returns a
+    # single segment so the scan_params converters handle the layout.
+    # Requires: no per-layer natten_parameters, cp_axis=None (lax.cond
+    # branches cannot carry collectives), no kv-cache streaming.
+    scan_uniform: bool = False
     # cp mesh axis name (when run under shard_map sequence parallelism)
     cp_axis: Optional[str] = None
     # "ulysses" (all-to-all head scatter, cp <= num_heads) or
@@ -233,10 +246,14 @@ class Attention(nn.Module):
     na_dilation: tuple[int, int, int] = (1, 1, 1)
 
     @nn.compact
-    def __call__(self, x, context=None, rope_angles=None, kv_cache=None):
+    def __call__(self, x, context=None, rope_angles=None, kv_cache=None, sparse_switch=None):
         """kv_cache (self-attn streaming decode): dict with
         k/v (B, S_max, H, D) ring buffers and ``len`` (filled tokens).
         Returns (out, new_cache) when kv_cache is given, else out.
+
+        sparse_switch (scan_uniform): traced boolean — lax.cond between the
+        NA kernel and dense attention so ONE traced copy of each serves
+        every block of a uniformly-scanned interleave net.
         """
         is_selfattn = context is None
         inner = self.n_heads * self.head_dim
@@ -296,6 +313,11 @@ class Attention(nn.Module):
             if self.cp_axis is not None:
                 # a2a + local neighborhood attention on the gathered full
                 # sequence — the reference's NattenA2AAttnOp (a2a_cp.py:222)
+                assert sparse_switch is None, (
+                    "scan_uniform's runtime dense/sparse switch cannot run "
+                    "under context parallelism (collectives inside lax.cond); "
+                    "use scan_uniform=False with cp_axis"
+                )
                 from cosmos_predict2_tpu.parallel.cp import ulysses_attention
 
                 out = ulysses_attention(
@@ -311,14 +333,27 @@ class Attention(nn.Module):
                 )
 
                 size = VideoSize(*self.na_video_size)
-                if jax.default_backend() == "tpu":
-                    out = neighborhood_attention(
-                        q, k, v, size, self.na_window, stride=self.na_stride, dilation=self.na_dilation
+
+                def _na_fn(q_, k_, v_):
+                    if jax.default_backend() == "tpu":
+                        return neighborhood_attention(
+                            q_, k_, v_, size, self.na_window, stride=self.na_stride, dilation=self.na_dilation
+                        )
+                    return neighborhood_attention_reference(
+                        q_, k_, v_, size, self.na_window, self.na_stride, self.na_dilation
                     )
+
+                if sparse_switch is None:
+                    out = _na_fn(q, k, v)
                 else:
-                    out = neighborhood_attention_reference(
-                        q, k, v, size, self.na_window, self.na_stride, self.na_dilation
-                    )
+                    # scan_uniform: runtime dense/sparse choice. Both
+                    # branches trace ONCE for the whole scanned net.
+                    assert self.frame_group == 0, "sparse_switch incompatible with frame-causal attention"
+
+                    def _dense_fn(q_, k_, v_):
+                        return dot_product_attention(q_, k_, v_, backend=self.backend)
+
+                    out = jax.lax.cond(sparse_switch, _na_fn, _dense_fn, q, k, v)
         elif self.cp_axis is not None and is_selfattn:
             if self.cp_strategy == "ring":
                 from cosmos_predict2_tpu.parallel.ring_attention import ring_attention
@@ -457,8 +492,13 @@ class Block(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x_B_T_H_W_D, emb_B_T_D, crossattn_emb, rope_angles, adaln_lora_B_T_3D, kv_cache=None, camera=None
+        self, x_B_T_H_W_D, emb_B_T_D, crossattn_emb, rope_angles, adaln_lora_B_T_3D, kv_cache=None, camera=None,
+        sparse_switch=None,
     ):
+        """sparse_switch (scan_uniform): traced boolean choosing sparse NA
+        vs dense attention at runtime — the block is configured for BOTH
+        (use_sparse_attn=True supplies the NA geometry) and Attention
+        lax.cond's between them, so each kernel compiles once per program."""
         cfg = self.config
         d = cfg.model_channels
 
@@ -511,7 +551,7 @@ class Block(nn.Module):
         if kv_cache is not None:
             attn_out, new_cache = self_attn(attn_in, rope_angles=rope_angles, kv_cache=kv_cache)
         else:
-            attn_out = self_attn(attn_in, rope_angles=rope_angles)
+            attn_out = self_attn(attn_in, rope_angles=rope_angles, sparse_switch=sparse_switch)
         x_B_T_H_W_D = x_B_T_H_W_D + gate_sa.astype(x_B_T_H_W_D.dtype) * attn_out.reshape(B, T, H, W, D).astype(x_B_T_H_W_D.dtype)
 
         # cross-VIEW attention (multiview_cross_dit.py:445-467): affine
@@ -646,8 +686,12 @@ def block_segments(cfg: DiTConfig) -> list[tuple[int, int]]:
     """(start, count) runs of consecutive blocks with identical static
     config — each run compiles to ONE scanned body under scan_blocks.
     Dense nets give a single (0, num_blocks) segment; the sparse_2B
-    interleave alternates short dense/sparse runs."""
+    interleave alternates short dense/sparse runs — unless scan_uniform,
+    which folds the whole interleave into one segment (the dense/sparse
+    choice moves to a scanned runtime flag)."""
     sparse, na_overrides = block_layout(cfg)
+    if getattr(cfg, "scan_uniform", False) and any(sparse) and all(o is None for o in na_overrides):
+        return [(0, cfg.num_blocks)]
     segs: list[list[int]] = []
     for i in range(cfg.num_blocks):
         key = (sparse[i], na_overrides[i])
@@ -667,9 +711,10 @@ class ScanBlock(nn.Module):
     config: DiTConfig
     use_sparse_attn: bool = False
     na_override: Optional[tuple] = None
+    uniform: bool = False  # scanned per-block dense/sparse flag (last arg)
 
     @nn.compact
-    def __call__(self, x, emb_B_T_D, crossattn_emb, rope_angles, adaln_lora_B_T_3D, camera):
+    def __call__(self, x, emb_B_T_D, crossattn_emb, rope_angles, adaln_lora_B_T_3D, camera, sparse_flag=None):
         cfg = self.config
         if cfg.remat == "selective":
             cls = nn.remat(
@@ -681,7 +726,8 @@ class ScanBlock(nn.Module):
         else:  # "block" (default)
             cls = nn.remat(Block, static_argnums=(), prevent_cse=False)
         x = cls(cfg, use_sparse_attn=self.use_sparse_attn, na_override=self.na_override, name="block")(
-            x, emb_B_T_D, crossattn_emb, rope_angles, adaln_lora_B_T_3D, camera=camera
+            x, emb_B_T_D, crossattn_emb, rope_angles, adaln_lora_B_T_3D, camera=camera,
+            sparse_switch=sparse_flag if self.uniform else None,
         )
         return x, ()
 
@@ -893,7 +939,29 @@ class MiniTrainDIT(nn.Module):
             )
         new_caches = [] if kv_caches is not None else None
         intermediates = []
-        if use_scan:
+        uniform = (
+            use_scan
+            and cfg.scan_uniform
+            and any(sparse)
+            and all(o is None for o in na_overrides)
+        )
+        if uniform:
+            if cfg.cp_axis is not None:
+                raise ValueError("scan_uniform is not supported with cp_axis (collectives inside lax.cond)")
+            # ONE scan over all blocks; the dense/sparse interleave becomes
+            # a scanned boolean driving lax.cond in Attention — each Mosaic
+            # kernel (NA fwd/dq/dkv, flash) traces exactly once per program
+            # instead of once per interleave segment.
+            flags = jnp.asarray(np.asarray(sparse, dtype=bool))
+            scanned = nn.scan(
+                ScanBlock,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                in_axes=(nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast, 0),
+                length=cfg.num_blocks,
+            )(cfg, use_sparse_attn=True, uniform=True, name="blocks_scan0")
+            x, _ = scanned(x, emb_B_T_D, crossattn_emb, rope_angles, adaln_lora_B_T_3D, camera, flags)
+        elif use_scan:
             for start, count in block_segments(cfg):
                 scanned = nn.scan(
                     ScanBlock,

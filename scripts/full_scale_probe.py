@@ -29,7 +29,7 @@ LATENT = (1, 16, 24, 88, 160)
 SEQ = 24 * 44 * 80
 
 
-def make_net(n_dense_blocks: int = -1, natten_window=(-1, 12, 24), natten_stride=(1, 4, 8), scan: bool = False):
+def make_net(n_dense_blocks: int = -1, natten_window=(-1, 12, 24), natten_stride=(1, 4, 8), scan: bool = False, uniform: bool = False):
     from cosmos_predict2_tpu.networks.dit import DiTConfig, MiniTrainDIT
 
     cfg = DiTConfig(
@@ -46,7 +46,8 @@ def make_net(n_dense_blocks: int = -1, natten_window=(-1, 12, 24), natten_stride
         natten_window=natten_window,
         natten_stride=natten_stride if n_dense_blocks >= 0 else (1, 1, 1),
         natten_base_size=(-1, 44, 80) if n_dense_blocks >= 0 else None,
-        scan_blocks=scan,
+        scan_blocks=scan or uniform,
+        scan_uniform=uniform,
     )
     return MiniTrainDIT(cfg), cfg
 
@@ -91,8 +92,8 @@ def peak_flops():
     return next((v for k, v in peaks.items() if kind.startswith(k)), 197e12), kind
 
 
-def run_cfg(n_dense_blocks=-1, scan=False):
-    net, cfg = make_net(n_dense_blocks, scan=scan)
+def run_cfg(n_dense_blocks=-1, scan=False, uniform=False):
+    net, cfg = make_net(n_dense_blocks, scan=scan, uniform=uniform)
     x = jax.random.normal(jax.random.PRNGKey(0), LATENT, dtype=jnp.bfloat16)
     ts = jnp.full((1,), 500.0, dtype=jnp.float32)
     ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 512, 1024), dtype=jnp.bfloat16) * 0.02
@@ -121,8 +122,8 @@ def run_cfg(n_dense_blocks=-1, scan=False):
     )
 
 
-def run_single(n_dense_blocks=-1, scan=False):
-    net, cfg = make_net(n_dense_blocks, scan=scan)
+def run_single(n_dense_blocks=-1, scan=False, uniform=False):
+    net, cfg = make_net(n_dense_blocks, scan=scan, uniform=uniform)
     x = jax.random.normal(jax.random.PRNGKey(0), LATENT, dtype=jnp.bfloat16)
     ts = jnp.full((1,), 500.0, dtype=jnp.float32)
     ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 512, 1024), dtype=jnp.bfloat16) * 0.02
@@ -205,14 +206,15 @@ def run_vae_encode():
 
 if __name__ == "__main__":
     _scan = "--scan" in sys.argv[1:]  # scan-over-blocks (28x smaller HLO)
-    _pos = [a for a in sys.argv[1:] if a != "--scan"]
+    _uni = "--uniform" in sys.argv[1:]  # one scan + runtime dense/sparse cond
+    _pos = [a for a in sys.argv[1:] if a not in ("--scan", "--uniform")]
     cmd = _pos[0] if _pos else "cfg"
     if cmd == "cfg":
-        run_cfg(int(_pos[1]) if len(_pos) > 1 else -1, scan=_scan)
+        run_cfg(int(_pos[1]) if len(_pos) > 1 else -1, scan=_scan, uniform=_uni)
     elif cmd == "single":
-        run_single(int(_pos[1]) if len(_pos) > 1 else -1, scan=_scan)
+        run_single(int(_pos[1]) if len(_pos) > 1 else -1, scan=_scan, uniform=_uni)
     elif cmd == "na":
-        run_cfg(n_dense_blocks=int(_pos[1]) if len(_pos) > 1 else 7, scan=_scan)
+        run_cfg(n_dense_blocks=int(_pos[1]) if len(_pos) > 1 else 7, scan=_scan, uniform=_uni)
     elif cmd == "blocks":
         run_blocks()
     elif cmd == "vae":

@@ -45,10 +45,13 @@ GEOMS = {
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a not in ("--sparse", "--lora", "--scan")]
+    args = [a for a in sys.argv[1:] if a not in ("--sparse", "--lora", "--scan", "--uniform")]
     sparse = "--sparse" in sys.argv[1:]
     lora = "--lora" in sys.argv[1:]
     scan = "--scan" in sys.argv[1:]  # scan-over-blocks: ~28x smaller HLO
+    # --uniform: ONE scan + runtime dense/sparse lax.cond switch — each NA
+    # Mosaic kernel compiles once per program (compile-helper relief)
+    uniform = "--uniform" in sys.argv[1:]
     geom = args[0] if args else "seq8320"
     modes = tuple(args[1:]) or ("selective", "block")
     LATENT = GEOMS[geom]
@@ -88,7 +91,7 @@ def main() -> None:
     )
 
     for mode in modes:
-        net = MiniTrainDIT(dataclasses.replace(base, remat=mode, scan_blocks=scan))
+        net = MiniTrainDIT(dataclasses.replace(base, remat=mode, scan_blocks=scan or uniform, scan_uniform=uniform))
         shapes = jax.eval_shape(lambda: net.init(jax.random.PRNGKey(0), x, ts, ctx))
         keys = iter(jax.random.split(jax.random.PRNGKey(42), len(jax.tree.leaves(shapes))))
         # bf16 directly: an f32 intermediate tree (7.3 GiB for the 2B) plus

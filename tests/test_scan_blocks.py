@@ -201,3 +201,51 @@ def test_lora_adapters_under_scan_layout():
     ref = unrolled.apply(merge_lora(params, lora_u), X, TS, CTX)
     got = scanned.apply(merge_lora(sparams, lora_su), X, TS, CTX)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+@pytest.mark.level(1)
+def test_uniform_scan_matches_unrolled_sparse_interleave():
+    """scan_uniform: ONE scan over the whole dense/sparse interleave with a
+    scanned runtime lax.cond switch must match the unrolled net exactly —
+    forward and gradients (the mode exists so each NA Mosaic kernel
+    compiles once per program; it must stay a pure program-shape change)."""
+    cfg = dataclasses.replace(
+        BASE, num_blocks=4, n_dense_blocks=2,
+        natten_window=(-1, 2, 2), natten_stride=(1, 1, 1), remat="block",
+    )
+    unrolled = MiniTrainDIT(dataclasses.replace(cfg, scan_blocks=False))
+    uniform_cfg = dataclasses.replace(cfg, scan_blocks=True, scan_uniform=True)
+    uniform = MiniTrainDIT(uniform_cfg)
+    params = unrolled.init(jax.random.PRNGKey(2), X, TS, CTX)
+    # scan_uniform folds the interleave into ONE stacked segment
+    assert block_segments(uniform_cfg) == [(0, 4)]
+    sparams = stack_block_params(params, uniform_cfg)
+
+    ref = unrolled.apply(params, X, TS, CTX)
+    got = uniform.apply(sparams, X, TS, CTX)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+    gu = jax.grad(lambda p: jnp.sum(unrolled.apply(p, X, TS, CTX) ** 2))(params)
+    gs = jax.grad(lambda p: jnp.sum(uniform.apply(p, X, TS, CTX) ** 2))(sparams)
+    gs_unrolled = unstack_block_params(gs, uniform_cfg)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=2e-4),
+        gu, gs_unrolled,
+    )
+
+
+@pytest.mark.level(0)
+def test_uniform_scan_init_matches_stacked_layout():
+    """Direct init of a scan_uniform model produces the single-segment
+    stacked layout (blocks_scan0 over all blocks)."""
+    cfg = dataclasses.replace(
+        BASE, num_blocks=4, n_dense_blocks=2,
+        natten_window=(-1, 2, 2), natten_stride=(1, 1, 1),
+        scan_blocks=True, scan_uniform=True,
+    )
+    net = MiniTrainDIT(cfg)
+    direct = net.init(jax.random.PRNGKey(3), X, TS, CTX)
+    keys = [k for k in direct["params"] if k.startswith("blocks")]
+    assert keys == ["blocks_scan0"]
+    leaf = jax.tree.leaves(direct["params"]["blocks_scan0"])[0]
+    assert leaf.shape[0] == 4
