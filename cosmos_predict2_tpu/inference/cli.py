@@ -93,20 +93,31 @@ def build_pipeline(args):
             template = model.init_params(jax.random.PRNGKey(0), latent_shape)
             try:
                 params = load_consolidated(template, args.checkpoint)
-            except (ValueError, KeyError):
+            except (ValueError, KeyError) as first_err:
                 # checkpoint saved with the other DiT block layout
                 # (unrolled blocks_i <-> stacked blocks_scan{start}):
                 # deserialize against the flipped-layout template, then
                 # convert to the layout this model expects
                 from cosmos_predict2_tpu.utils.scan_params import adapt_block_layout
 
+                log.warning(
+                    f"checkpoint did not match the configured block layout "
+                    f"({type(first_err).__name__}: {first_err}); retrying with "
+                    f"the flipped scan_blocks layout"
+                )
                 flipped = dataclasses.replace(
                     model_cfg.net, scan_blocks=not model_cfg.net.scan_blocks
                 )
                 alt_template = adapt_block_layout(template, flipped)
-                params = adapt_block_layout(
-                    load_consolidated(alt_template, args.checkpoint), model_cfg.net
-                )
+                try:
+                    params = adapt_block_layout(
+                        load_consolidated(alt_template, args.checkpoint), model_cfg.net
+                    )
+                except (ValueError, KeyError) as second_err:
+                    # both layouts failed: the checkpoint is corrupt or
+                    # wrong-shape, not layout-flipped — surface the ORIGINAL
+                    # error so the real cause isn't hidden behind the retry
+                    raise first_err from second_err
     else:
         log.warning("no checkpoint given (or SMOKE): using random weights")
         params = model.init_params(jax.random.PRNGKey(0), latent_shape)

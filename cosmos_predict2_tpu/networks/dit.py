@@ -313,11 +313,12 @@ class Attention(nn.Module):
             if self.cp_axis is not None:
                 # a2a + local neighborhood attention on the gathered full
                 # sequence — the reference's NattenA2AAttnOp (a2a_cp.py:222)
-                assert sparse_switch is None, (
-                    "scan_uniform's runtime dense/sparse switch cannot run "
-                    "under context parallelism (collectives inside lax.cond); "
-                    "use scan_uniform=False with cp_axis"
-                )
+                if sparse_switch is not None:
+                    raise ValueError(
+                        "scan_uniform's runtime dense/sparse switch cannot run "
+                        "under context parallelism (collectives inside lax.cond); "
+                        "use scan_uniform=False with cp_axis"
+                    )
                 from cosmos_predict2_tpu.parallel.cp import ulysses_attention
 
                 out = ulysses_attention(
@@ -348,7 +349,10 @@ class Attention(nn.Module):
                 else:
                     # scan_uniform: runtime dense/sparse choice. Both
                     # branches trace ONCE for the whole scanned net.
-                    assert self.frame_group == 0, "sparse_switch incompatible with frame-causal attention"
+                    if self.frame_group != 0:
+                        # the dense cond branch below omits frame_group, so
+                        # letting this through would silently change semantics
+                        raise ValueError("sparse_switch incompatible with frame-causal attention (frame_group != 0)")
 
                     def _dense_fn(q_, k_, v_):
                         return dot_product_attention(q_, k_, v_, backend=self.backend)
@@ -945,6 +949,22 @@ class MiniTrainDIT(nn.Module):
             and any(sparse)
             and all(o is None for o in na_overrides)
         )
+        if use_scan and cfg.scan_uniform and not uniform:
+            # the flag was requested but the preconditions fail: fall back
+            # to per-segment scanning LOUDLY — the segmented program is the
+            # multi-copy-NA-kernel shape scan_uniform exists to avoid, and
+            # the user otherwise only discovers this when compile blows up.
+            from cosmos_predict2_tpu.utils import log
+
+            reason = (
+                "per-layer natten_parameters overrides present"
+                if any(o is not None for o in na_overrides)
+                else "net has no sparse blocks (n_dense_blocks covers all blocks)"
+            )
+            log.warning(
+                f"scan_uniform=True requested but {reason}; falling back to "
+                f"per-segment block scanning ({len(block_segments(cfg))} segments)"
+            )
         if uniform:
             if cfg.cp_axis is not None:
                 raise ValueError("scan_uniform is not supported with cp_axis (collectives inside lax.cond)")

@@ -50,6 +50,16 @@ def stack_block_params(params: dict, cfg: Any) -> dict:
             f"stack_block_params: params carry {sorted(extra)[:3]}... beyond "
             f"cfg.num_blocks={cfg.num_blocks}; depth mismatch"
         )
+    mixed = [k for k in inner if k.startswith("blocks_scan")]
+    if mixed:
+        # a mixed unrolled+stacked tree means a partially converted
+        # checkpoint — dropping the stacked subtrees would silently lose
+        # parameters, so refuse instead
+        raise KeyError(
+            f"stack_block_params: params already carry stacked subtrees "
+            f"{sorted(mixed)[:3]} alongside unrolled blocks; refusing to "
+            f"convert a mixed-layout tree"
+        )
     out = {k: v for k, v in inner.items() if not k.startswith("blocks_")}
     for start, count in block_segments(cfg):
         subtrees = []

@@ -249,3 +249,29 @@ def test_uniform_scan_init_matches_stacked_layout():
     assert keys == ["blocks_scan0"]
     leaf = jax.tree.leaves(direct["params"]["blocks_scan0"])[0]
     assert leaf.shape[0] == 4
+
+
+@pytest.mark.level(0)
+def test_stack_block_params_refuses_mixed_layout():
+    """A partially converted tree (stacked subtrees alongside unrolled
+    blocks) must be refused, not silently dropped (ADVICE r3)."""
+    params = MiniTrainDIT(BASE).init(jax.random.PRNGKey(0), X, TS, CTX)
+    mixed = dict(params["params"])
+    mixed["blocks_scan0"] = {"block": jax.tree.map(lambda x: x[None], mixed["blocks_0"])}
+    with pytest.raises(KeyError, match="mixed-layout"):
+        stack_block_params({"params": mixed}, BASE)
+
+
+@pytest.mark.level(0)
+def test_scan_uniform_fallback_warns(caplog):
+    """scan_uniform requested without its preconditions (dense-only net)
+    degrades to segmented scanning with a loud warning (ADVICE r3)."""
+    import logging
+
+    cfg = dataclasses.replace(BASE, scan_blocks=True, scan_uniform=True)  # no sparse blocks
+    net = MiniTrainDIT(cfg)
+    with caplog.at_level(logging.WARNING, logger="cosmos_predict2_tpu"):
+        params = net.init(jax.random.PRNGKey(0), X, TS, CTX)
+    assert any("scan_uniform" in r.message and "falling back" in r.message for r in caplog.records)
+    # and the segmented layout was actually used
+    assert any(k.startswith("blocks_scan") for k in params["params"])
