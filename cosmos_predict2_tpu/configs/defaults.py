@@ -93,6 +93,12 @@ register("tokenizer", "wan2pt1_tokenizer", WanVAEConfig())
 register("tokenizer", "mock_tokenizer", dataclasses.replace(WanVAEConfig(), dim=16))
 register("data_train", "mock", MockDataConfig())
 
+from cosmos_predict2_tpu.data.local_dataset import LocalVideoDatasetConfig  # noqa: E402
+
+# post-training on a local folder of clips (docs/post_training.md layout:
+# videos/ metas/ t5_xxl/; reference cosmos_predict2/experiments data recipes)
+register("data_train", "local_video", LocalVideoDatasetConfig())
+
 
 # ----------------------------- experiments -----------------------------
 
@@ -266,6 +272,12 @@ register_experiment(
 )
 
 
+# released-checkpoint experiment names (imported last, mirroring the
+# reference's "experiments imported last so experiment=<name> resolves"
+# pattern, predict2/configs/video2world/config.py:97-103)
+import cosmos_predict2_tpu.configs.released_experiments  # noqa: E402,F401
+
+
 def make_config(experiment: str | None = None, overrides: list[str] | None = None) -> Config:
     """Compose the full config: defaults -> experiment -> dotlist overrides."""
     cfg = Config()
@@ -288,5 +300,25 @@ def make_config(experiment: str | None = None, overrides: list[str] | None = Non
         cfg = dataclasses.replace(cfg, **replacements)
         cfg = compose(cfg, exp.overrides)
         cfg = dataclasses.replace(cfg, job=dataclasses.replace(cfg.job, name=experiment))
-    cfg = compose(cfg, overrides)
+    # dot-free "group=name" tokens select registry nodes (Hydra-style group
+    # override grammar, e.g. "data_train=local_video tokenizer=mock_tokenizer")
+    field_overrides = []
+    for o in overrides or []:
+        key, _, value = o.partition("=")
+        if "." not in key and key in ("net", "model", "optimizer", "tokenizer", "data_train"):
+            if key == "net":
+                cfg = dataclasses.replace(
+                    cfg, model=dataclasses.replace(cfg.model, net=get_node("net", value))
+                )
+            elif key == "optimizer":
+                cfg = dataclasses.replace(
+                    cfg, trainer=dataclasses.replace(cfg.trainer, optimizer=get_node("optimizer", value))
+                )
+            elif key == "model":
+                cfg = dataclasses.replace(cfg, model=get_node("model", value))
+            else:
+                cfg = dataclasses.replace(cfg, **{key: get_node(key, value)})
+        else:
+            field_overrides.append(o)
+    cfg = compose(cfg, field_overrides)
     return cfg

@@ -29,6 +29,7 @@ from cosmos_predict2_tpu.utils.io import read_video
 @dataclasses.dataclass(frozen=True)
 class LocalVideoDatasetConfig:
     root: str = "datasets/custom"
+    batch_size: int = 1
     num_frames: int = 93  # 4*23+1 <-> state_t 24
     height: int = 704
     width: int = 1280
@@ -81,7 +82,20 @@ class LocalVideoDataset:
         emb_path = self._embedding_path(clip_path)
         if os.path.exists(emb_path):
             emb = np.load(emb_path).astype(np.float32)
-            batch["t5_text_embeddings"] = emb[None] if emb.ndim == 2 else emb
+            emb = emb[None] if emb.ndim == 2 else emb
+            # fixed text_len for the jitted train step: trim / zero-pad
+            if emb.shape[1] >= cfg.text_len:
+                emb = emb[:, : cfg.text_len]
+            else:
+                pad = np.zeros((emb.shape[0], cfg.text_len - emb.shape[1], emb.shape[2]), emb.dtype)
+                emb = np.concatenate([emb, pad], axis=1)
+            batch["t5_text_embeddings"] = emb
+        else:
+            # no precomputed embedding: unconditional training for this clip
+            # (precompute with text_encoders/t5.py; reference get_t5_emb.py)
+            batch["t5_text_embeddings"] = np.zeros(
+                (1, cfg.text_len, cfg.text_dim), dtype=np.float32
+            )
         return batch
 
     def __iter__(self):

@@ -69,6 +69,15 @@ class RFModelConfig:
     high_sigma_ratio: float = 0.05
     high_sigma_timesteps_min: int = 980
     high_sigma_timesteps_max: int = 1000
+    # LoRA post-training (reference peft injection add_lora,
+    # text2world_model_rectified_flow.py:923; recipe defaults from
+    # cosmos_predict2/experiments/base/cosmos_nemo_assets_lora.py:118-123)
+    use_lora: bool = False
+    lora_rank: int = 32
+    lora_alpha: float = 32.0
+    lora_targets: tuple[str, ...] = (
+        "q_proj", "k_proj", "v_proj", "output_proj", "mlp/layer1", "mlp/layer2",
+    )
 
 
 class Video2WorldModel:

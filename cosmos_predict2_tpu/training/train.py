@@ -69,7 +69,15 @@ def launch(config, ckpt_dir: str | None = None):
     vae = WanVAE(config.tokenizer)
 
     data_cfg = config.data_train
-    loader = MockDataLoader(data_cfg)
+    # loader dispatch by config type (the registry's data_train group):
+    # mock for smoke/golden tests, local folder for the documented
+    # post-training flow (docs/post_training.md)
+    from cosmos_predict2_tpu.data.local_dataset import LocalVideoDataset, LocalVideoDatasetConfig
+
+    if isinstance(data_cfg, LocalVideoDatasetConfig):
+        loader = LocalVideoDataset(data_cfg)
+    else:
+        loader = MockDataLoader(data_cfg)
 
     ckpt = Checkpointer(ckpt_dir) if ckpt_dir else None
     trainer = Trainer(trainer_cfg, model, checkpointer=ckpt)
@@ -81,6 +89,23 @@ def launch(config, ckpt_dir: str | None = None):
         params = model.init_params(jax.random.PRNGKey(trainer_cfg.seed), latent_shape,
                                    text_len=data_cfg.text_len)
         params = jax.device_put(params, param_shardings(params, mesh))
+        if model_cfg.use_lora:
+            # LoRA post-training: the base stays frozen, the trainable tree
+            # (and the checkpointed state) is the adapter pytree — the
+            # reference's single-device recipe (experiments/base/
+            # cosmos_nemo_assets_lora.py:118-123, add_lora :923)
+            from cosmos_predict2_tpu.training.lora import LoRAModelWrapper, count_lora_params
+
+            wrapper = LoRAModelWrapper(
+                model, params,
+                rank=model_cfg.lora_rank,
+                alpha=model_cfg.lora_alpha,
+                targets=model_cfg.lora_targets,
+            )
+            params = wrapper.init_lora(jax.random.PRNGKey(trainer_cfg.seed + 2))
+            log.info(f"LoRA rank {model_cfg.lora_rank}: {count_lora_params(params):,} trainable params")
+            model = wrapper
+            trainer = Trainer(trainer_cfg, model, checkpointer=ckpt)
         vae_params = vae.init(
             jax.random.PRNGKey(trainer_cfg.seed + 1),
             jnp.zeros((1, 5, 32, 32, 3), dtype=jnp.float32),
