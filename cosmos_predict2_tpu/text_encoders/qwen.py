@@ -43,10 +43,33 @@ class QwenConfig:
     rms_norm_eps: float = 1e-6
     rope_theta: float = 1e6
     dtype: jnp.dtype = jnp.bfloat16
+    # Qwen3 family deltas (HF Qwen3*: per-head q/k RMSNorm, no attention
+    # biases, tied input/output embeddings on the small checkpoints)
+    attention_bias: bool = True
+    qk_norm: bool = False
+    tie_word_embeddings: bool = False
 
     @classmethod
     def qwen2_5_vl_7b(cls) -> "QwenConfig":
         return cls()
+
+    @classmethod
+    def qwen3guard_0_6b(cls) -> "QwenConfig":
+        """Qwen/Qwen3Guard-Gen-0.6B — the reference's prompt guard model
+        (imaginaire/auxiliary/guardrail/qwen3guard/qwen3guard.py:44)."""
+        return cls(
+            vocab_size=151936,
+            hidden_size=1024,
+            intermediate_size=3072,
+            num_hidden_layers=28,
+            num_attention_heads=16,
+            num_key_value_heads=8,
+            head_dim=128,
+            rope_theta=1e6,
+            attention_bias=False,
+            qk_norm=True,
+            tie_word_embeddings=True,
+        )
 
     @classmethod
     def tiny(cls) -> "QwenConfig":
@@ -59,6 +82,13 @@ class QwenConfig:
             num_key_value_heads=2,
             head_dim=16,
             dtype=jnp.float32,
+        )
+
+    @classmethod
+    def tiny3(cls) -> "QwenConfig":
+        """Tiny Qwen3-architecture config (qk_norm, no biases, tied head)."""
+        return dataclasses.replace(
+            cls.tiny(), attention_bias=False, qk_norm=True, tie_word_embeddings=True
         )
 
 
@@ -92,9 +122,16 @@ class QwenAttention(nn.Module):
         dense = lambda feats, bias, name: nn.Dense(
             feats, use_bias=bias, dtype=cfg.dtype, param_dtype=jnp.float32, name=name
         )
-        q = dense(nq * hd, True, "q_proj")(x).reshape(B, S, nq, hd)
-        k = dense(nkv * hd, True, "k_proj")(x).reshape(B, S, nkv, hd)
-        v = dense(nkv * hd, True, "v_proj")(x).reshape(B, S, nkv, hd)
+        qkv_bias = cfg.attention_bias
+        q = dense(nq * hd, qkv_bias, "q_proj")(x).reshape(B, S, nq, hd)
+        k = dense(nkv * hd, qkv_bias, "k_proj")(x).reshape(B, S, nkv, hd)
+        v = dense(nkv * hd, qkv_bias, "v_proj")(x).reshape(B, S, nkv, hd)
+
+        if cfg.qk_norm:
+            # Qwen3: per-head RMSNorm over head_dim, applied before RoPE
+            # (HF Qwen3Attention.q_norm/k_norm)
+            q = QwenRMSNorm(hd, cfg.rms_norm_eps, name="q_norm")(q)
+            k = QwenRMSNorm(hd, cfg.rms_norm_eps, name="k_norm")(k)
 
         q = apply_rope_1d(q, angles)
         k = apply_rope_1d(k, angles)
@@ -238,12 +275,56 @@ class QwenGuardLM(nn.Module):
     config: QwenConfig
 
     @nn.compact
-    def __call__(self, input_ids: jax.Array) -> jax.Array:
+    def __call__(self, input_ids: jax.Array, position: Optional[jax.Array] = None) -> jax.Array:
+        """(B, S) ids -> (B, vocab) next-token logits.
+
+        ``position``: scalar index of the position whose logits to read
+        (default: the last). With a fixed-size id buffer and causal
+        attention, tokens past ``position`` cannot influence it, so greedy
+        decoding appends into the buffer and reads logits at ``cur_len-1``
+        without recompiling per length.
+        """
         cfg = self.config
         _, normed = QwenLM(cfg, name="model")(input_ids, return_normed=True)
+        # tied checkpoints (e.g. Qwen3Guard-0.6B) fill lm_head with
+        # embed_tokens^T in the converter
         lm_head = self.param(
             "lm_head", nn.initializers.normal(0.02), (cfg.hidden_size, cfg.vocab_size)
         )
-        # logits for the LAST position only (single-step classification)
-        last = normed[:, -1, :].astype(jnp.float32)
-        return last @ lm_head.astype(jnp.float32)
+        if position is None:
+            h = normed[:, -1, :]
+        else:
+            h = jax.lax.dynamic_index_in_dim(normed, position, axis=1, keepdims=False)
+        return h.astype(jnp.float32) @ lm_head.astype(jnp.float32)
+
+
+def greedy_generate(
+    apply_fn,
+    prompt_ids: list[int],
+    max_new_tokens: int = 128,
+    eos_ids: tuple[int, ...] = (),
+    buffer_len: int = 512,
+) -> list[int]:
+    """Greedy decode on a fixed-size buffer: one compiled program for the
+    whole generation (``apply_fn(ids_1xS, position) -> (1, vocab)``).
+
+    The guard models emit short verdicts ("Safety: Unsafe ... Categories:
+    ..."), so full-recompute greedy over a fixed 512-token window is the
+    simplest correct TPU shape — no KV-cache plumbing for a <=128-token
+    answer on a 0.6B model.
+    """
+    ids = list(prompt_ids)[-(buffer_len - max_new_tokens):]
+    start = len(ids)
+    buf = np.zeros((1, buffer_len), dtype=np.int32)
+    buf[0, : len(ids)] = ids
+    buf = jnp.asarray(buf)
+    out: list[int] = []
+    for step in range(max_new_tokens):
+        pos = start + step - 1
+        logits = apply_fn(buf, jnp.asarray(pos, dtype=jnp.int32))
+        nxt = int(jnp.argmax(logits[0]))
+        out.append(nxt)
+        if nxt in eos_ids or start + step >= buffer_len - 1:
+            break
+        buf = buf.at[0, start + step].set(nxt)
+    return out

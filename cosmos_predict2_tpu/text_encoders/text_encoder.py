@@ -144,18 +144,25 @@ def convert_qwen_hf_state_dict(sd, num_layers: int) -> dict:
     if base is None:
         raise KeyError("could not locate transformer layers in state dict")
 
+    qkv_bias = f"{base}layers.0.self_attn.q_proj.bias" in sd
+    qk_norm = f"{base}layers.0.self_attn.q_norm.weight" in sd
     p: dict = {"embed_tokens": _get(f"{base}embed_tokens.weight")}
     for i in range(num_layers):
         lp = f"{base}layers.{i}"
+        attn = {
+            "q_proj": lin(f"{lp}.self_attn.q_proj", qkv_bias),
+            "k_proj": lin(f"{lp}.self_attn.k_proj", qkv_bias),
+            "v_proj": lin(f"{lp}.self_attn.v_proj", qkv_bias),
+            "o_proj": lin(f"{lp}.self_attn.o_proj", False),
+        }
+        if qk_norm:
+            # Qwen3 per-head q/k RMSNorm
+            attn["q_norm"] = {"weight": _get(f"{lp}.self_attn.q_norm.weight")}
+            attn["k_norm"] = {"weight": _get(f"{lp}.self_attn.k_norm.weight")}
         p[f"layers_{i}"] = {
             "input_layernorm": {"weight": _get(f"{lp}.input_layernorm.weight")},
             "post_attention_layernorm": {"weight": _get(f"{lp}.post_attention_layernorm.weight")},
-            "self_attn": {
-                "q_proj": lin(f"{lp}.self_attn.q_proj", True),
-                "k_proj": lin(f"{lp}.self_attn.k_proj", True),
-                "v_proj": lin(f"{lp}.self_attn.v_proj", True),
-                "o_proj": lin(f"{lp}.self_attn.o_proj", False),
-            },
+            "self_attn": attn,
             "mlp": {
                 "gate_proj": lin(f"{lp}.mlp.gate_proj", False),
                 "up_proj": lin(f"{lp}.mlp.up_proj", False),
@@ -164,3 +171,21 @@ def convert_qwen_hf_state_dict(sd, num_layers: int) -> dict:
         }
     p["norm"] = {"weight": _get(f"{base}norm.weight")}
     return {"params": p}
+
+
+def convert_qwen_guard_hf_state_dict(sd, num_layers: int) -> dict:
+    """HF causal-LM guard checkpoint (Qwen2 or Qwen3 family, e.g.
+    Qwen/Qwen3Guard-Gen-0.6B) -> flax params for
+    :class:`~cosmos_predict2_tpu.text_encoders.qwen.QwenGuardLM`.
+
+    Wraps :func:`convert_qwen_hf_state_dict` (which auto-detects the Qwen3
+    deltas: no qkv biases, per-head q/k norms) and adds the LM head —
+    ``lm_head.weight`` when the checkpoint carries one, else the tied
+    ``embed_tokens`` transposed (tie_word_embeddings, true for the 0.6B
+    guard release)."""
+    inner = convert_qwen_hf_state_dict(sd, num_layers)["params"]
+    if "lm_head.weight" in sd:
+        head = np.ascontiguousarray(np.transpose(np.asarray(sd["lm_head.weight"])))
+    else:
+        head = np.ascontiguousarray(np.transpose(inner["embed_tokens"]))
+    return {"params": {"model": inner, "lm_head": head}}

@@ -26,23 +26,19 @@ from typing import Callable, Optional
 import numpy as np
 
 from cosmos_predict2_tpu.utils import log
+from cosmos_predict2_tpu.utils.blocklist import Blocklist
 
-# A tiny starter blocklist; deployments extend via GuardrailConfig.
-DEFAULT_BLOCKED_WORDS = (
-    "gore", "beheading", "child abuse", "csam", "rape",
-)
-
-
-def _lemma_lite(word: str) -> str:
-    for suffix in ("ings", "ing", "ed", "es", "s"):
-        if word.endswith(suffix) and len(word) > len(suffix) + 2:
-            return word[: -len(suffix)]
-    return word
+# Back-compat alias: the starter list now lives in utils/blocklist.py
+from cosmos_predict2_tpu.utils.blocklist import DEFAULT_BLOCKLIST as DEFAULT_BLOCKED_WORDS  # noqa: F401
 
 
 @dataclasses.dataclass
 class GuardrailConfig:
-    blocked_words: tuple[str, ...] = DEFAULT_BLOCKED_WORDS
+    # None -> the full default Blocklist (utils/blocklist.py); a tuple
+    # overrides the censor word list; blocklist_dir loads the released
+    # Cosmos-Guardrail1 lists (custom/ whitelist/ exact_match/ layout)
+    blocked_words: Optional[tuple[str, ...]] = None
+    blocklist_dir: Optional[str] = None
     llm_classifier: Optional[Callable[[str], bool]] = None  # returns is_safe
     video_classifier: Optional[Callable[[np.ndarray], bool]] = None
     face_detector: Optional[Callable[[np.ndarray], list[tuple[int, int, int, int]]]] = None
@@ -50,13 +46,22 @@ class GuardrailConfig:
 
 
 class BlocklistChecker:
-    def __init__(self, blocked_words):
-        lemmas = {_lemma_lite(w.lower()) for w in blocked_words}
-        self.patterns = [re.compile(rf"\b{re.escape(w)}\w*\b") for w in lemmas]
+    """bool-returning wrapper over the full Blocklist pipeline
+    (utils/blocklist.py: leet censor + lemma pass + exact/partial match)."""
+
+    def __init__(self, blocked_words=None, blocklist_dir=None):
+        self.blocklist = Blocklist(checkpoint_dir=blocklist_dir)
+        if blocked_words is not None:
+            self.blocklist.blocklist_words = list(blocked_words)
+            from cosmos_predict2_tpu.utils.blocklist import LeetCensor
+
+            self.blocklist._censor = LeetCensor(blocked_words, self.blocklist.whitelist_words)
 
     def is_safe(self, prompt: str) -> bool:
-        text = prompt.lower()
-        return not any(p.search(text) for p in self.patterns)
+        safe, message = self.blocklist.is_safe(prompt)
+        if not safe:
+            log.warning(message)
+        return safe
 
 
 def pixelate_region(frame: np.ndarray, box: tuple[int, int, int, int], factor: int = 16) -> np.ndarray:
@@ -79,7 +84,7 @@ class GuardrailRunner:
 
     def __init__(self, config: GuardrailConfig = GuardrailConfig()):
         self.config = config
-        self.blocklist = BlocklistChecker(config.blocked_words)
+        self.blocklist = BlocklistChecker(config.blocked_words, config.blocklist_dir)
 
     # ------------------------------- text -------------------------------
 
@@ -171,19 +176,27 @@ def convert_safety_classifier_state_dict(sd: dict) -> dict:
 class VideoContentSafetyFilter:
     """Frame-sampled video safety check. ``embed_frames`` maps uint8 frames
     (N, H, W, 3) to embeddings (N, D) — plug in a SigLIP host hook or the
-    in-repo CLIP tower (text_encoders/clip_vision.py, run_head=True)."""
+    in-repo CLIP tower (text_encoders/clip_vision.py, run_head=True).
 
-    def __init__(self, embed_frames: Callable, classifier_params: dict, sample_every: int = 8):
+    ``normalize``: L2-normalize embeddings before the classifier — the
+    reference's SigLIPEncoder does this (vision_encoder.py:42) and the
+    released classifier head was trained on normalized features."""
+
+    def __init__(self, embed_frames: Callable, classifier_params: dict,
+                 sample_every: int = 8, normalize: bool = True):
         self.embed_frames = embed_frames
         self.params = classifier_params
         self.sample_every = sample_every
+        self.normalize = normalize
 
     def is_safe_frames(self, frames_u8: np.ndarray) -> bool:
         import jax.numpy as jnp
 
         sampled = frames_u8[:: self.sample_every]
-        emb = self.embed_frames(sampled)
-        logits = safety_classifier_apply(self.params, jnp.asarray(emb))
+        emb = jnp.asarray(self.embed_frames(sampled))
+        if self.normalize:
+            emb = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
+        logits = safety_classifier_apply(self.params, emb)
         classes = np.asarray(jnp.argmax(logits, axis=-1))
         unsafe = int((classes != 0).sum())  # class 0 == "Safe"
         frac = unsafe / max(1, len(classes))
@@ -191,6 +204,43 @@ class VideoContentSafetyFilter:
             log.warning(f"video unsafe: {unsafe}/{len(classes)} sampled frames flagged")
             return False
         return True
+
+
+def create_video_content_safety_filter(classifier_ckpt: str, siglip_params=None,
+                                       siglip_ckpt: str | None = None,
+                                       sample_every: int = 8) -> "VideoContentSafetyFilter":
+    """Build the released-weights video safety filter: SigLIP so400m/14-384
+    frame embedder + 7-class MLP head (reference
+    video_content_safety_filter.py:52-101, safety_filter.pt layout).
+
+    ``classifier_ckpt``: the released ``safety_filter.pt`` (torch, with the
+    state dict under "model" or flat). ``siglip_params``: converted SigLIP
+    tower params; alternatively ``siglip_ckpt`` points at an HF
+    SiglipVisionModel state dict to convert here.
+    """
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from cosmos_predict2_tpu.text_encoders.siglip_vision import (
+        SigLIPVisionConfig,
+        convert_siglip_vision_state_dict,
+        make_frame_embedder,
+    )
+
+    ckpt = torch.load(classifier_ckpt, map_location="cpu", weights_only=True)
+    sd = ckpt.get("model", ckpt) if isinstance(ckpt, dict) else ckpt
+    params = convert_safety_classifier_state_dict(sd)
+
+    if siglip_params is None:
+        if siglip_ckpt is None:
+            raise ValueError("need siglip_params or siglip_ckpt for the frame embedder")
+        ssd = torch.load(siglip_ckpt, map_location="cpu", weights_only=True)
+        siglip_params = jax.tree.map(
+            jnp.asarray, convert_siglip_vision_state_dict(ssd, SigLIPVisionConfig())
+        )
+    embed = make_frame_embedder(siglip_params)
+    return VideoContentSafetyFilter(embed, params, sample_every=sample_every)
 
 
 # ----------------------- LLM prompt guard (Qwen) -----------------------
@@ -242,6 +292,98 @@ class QwenGuardClassifier:
         ids = self.tokenize(self.template.format(prompt=prompt))[-self.max_len :]
         logits = np.asarray(self.apply_fn(jnp.asarray([ids], dtype=jnp.int32)))[0]
         return bool(logits[self.safe_token_id] >= logits[self.unsafe_token_id])
+
+
+# --------------------------- Qwen3Guard (generative) ---------------------------
+# The reference's production prompt guard (qwen3guard/qwen3guard.py:31-88):
+# Qwen/Qwen3Guard-Gen-0.6B generates a verdict block, parsed with
+# "Safety: (Safe|Unsafe|Controversial)" + category regexes. Here the model
+# runs as the in-repo QwenLM with the Qwen3 deltas
+# (QwenConfig.qwen3guard_0_6b: qk_norm, no attn bias, tied head) and greedy
+# decoding (text_encoders/qwen.py greedy_generate).
+
+# qwen3guard/categories.py
+QWEN3GUARD_UNSAFE_CATEGORIES = {
+    "S1": "Violent",
+    "S2": "Non-violent Illegal Acts",
+    "S3": "Sexual Content or Sexual Acts",
+    "S4": "Suicide & Self-Harm",
+    "S5": "Unethical Acts",
+    "S6": "Jailbreak",
+}
+
+# Guard prompt in Qwen chat format. The released checkpoint bakes its
+# classification instructions into its chat template; this reproduces that
+# contract (instruction -> "Safety: <label>" [+ "Categories: ..."]) so the
+# same parsing applies.
+QWEN3GUARD_TEMPLATE = (
+    "<|im_start|>user\n"
+    "You are a safety moderator. Examine the user prompt below and "
+    "classify it. Respond in exactly this format:\n"
+    "Safety: Safe, Unsafe or Controversial\n"
+    "Categories: comma-separated subset of [Violent, Non-violent Illegal "
+    "Acts, Sexual Content or Sexual Acts, Suicide & Self-Harm, Unethical "
+    "Acts, Jailbreak], or None\n"
+    "<BEGIN PROMPT>\n{prompt}\n<END PROMPT><|im_end|>\n"
+    "<|im_start|>assistant\n"
+)
+
+
+class Qwen3Guard:
+    """Generative prompt guard with the reference's verdict parsing
+    (qwen3guard.py extract_label_and_categories).
+
+    ``apply_fn(ids_1xS, position) -> (1, vocab)`` is a jitted QwenGuardLM
+    apply; ``encode``/``decode`` are tokenizer callables (the HF tokenizer
+    of the released checkpoint); ``eos_ids`` stop greedy decoding.
+    """
+
+    def __init__(self, apply_fn, encode, decode, eos_ids=(), max_new_tokens=128):
+        self.apply_fn = apply_fn
+        self.encode = encode
+        self.decode = decode
+        self.eos_ids = tuple(eos_ids)
+        self.max_new_tokens = max_new_tokens
+
+    def extract_label_and_categories(self, content: str):
+        safe_pattern = r"Safety: (Safe|Unsafe|Controversial)"
+        category_pattern = r"(" + "|".join(QWEN3GUARD_UNSAFE_CATEGORIES.values()) + r")"
+        label_match = re.search(safe_pattern, content)
+        label = label_match.group(1) if label_match else None
+        categories = re.findall(category_pattern, content)
+        return label, categories
+
+    def is_safe(self, prompt: str) -> tuple[bool, str]:
+        from cosmos_predict2_tpu.text_encoders.qwen import greedy_generate
+
+        ids = self.encode(QWEN3GUARD_TEMPLATE.format(prompt=prompt))
+        out_ids = greedy_generate(
+            self.apply_fn, ids, max_new_tokens=self.max_new_tokens, eos_ids=self.eos_ids
+        )
+        content = self.decode(out_ids)
+        label, categories = self.extract_label_and_categories(content)
+        if label is not None and label.lower() == "unsafe":
+            return False, f"Prompt blocked by Qwen3Guard. Safety: {label}, Categories: {categories}"
+        return True, ""
+
+    def __call__(self, prompt: str) -> bool:
+        safe, message = self.is_safe(prompt)
+        if not safe:
+            log.warning(message)
+        return safe
+
+
+def create_qwen3_guard(params, encode, decode, config=None, eos_ids=()):
+    """Bind Qwen3Guard-Gen weights (converted via
+    text_encoder.convert_qwen_guard_hf_state_dict) into a prompt guard."""
+    import jax
+
+    from cosmos_predict2_tpu.text_encoders.qwen import QwenConfig, QwenGuardLM
+
+    config = config or QwenConfig.qwen3guard_0_6b()
+    model = QwenGuardLM(config)
+    apply_fn = jax.jit(lambda ids, pos: model.apply(params, ids, position=pos))
+    return Qwen3Guard(apply_fn, encode, decode, eos_ids=eos_ids)
 
 
 def create_qwen_guard_classifier(params, config=None, tokenize=None,

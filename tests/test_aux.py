@@ -28,11 +28,12 @@ from cosmos_predict2_tpu.utils.profiling import TrainingTimer
 
 @pytest.mark.level(0)
 def test_blocklist():
-    checker = BlocklistChecker(("gore", "explosions"))
+    checker = BlocklistChecker(("gore", "explosion"))
     assert checker.is_safe("a robot pouring coffee")
     assert not checker.is_safe("extreme GORE footage")
-    # lemma-lite: plural/verb forms of blocked words are caught
-    assert not checker.is_safe("massive explosion scene")
+    # the lemma pass catches inflected forms of blocked lemmas
+    # (reference blocklist.py:216-221)
+    assert not checker.is_safe("massive explosions scene")
 
 
 @pytest.mark.level(0)

@@ -61,6 +61,125 @@ def test_guard_wired_into_runner(guard):
     assert verdict == guard("a calm lake")
 
 
+# ------------------------- Qwen3Guard (generative) -------------------------
+
+
+def _tiny_hf_qwen3():
+    import torch
+    from transformers import Qwen3Config as HFQwen3Config
+    from transformers import Qwen3ForCausalLM
+
+    torch.manual_seed(0)
+    hf_cfg = HFQwen3Config(
+        vocab_size=256,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        head_dim=16,
+        rms_norm_eps=1e-6,
+        rope_theta=1e6,
+        tie_word_embeddings=True,
+        attention_bias=False,
+    )
+    return Qwen3ForCausalLM(hf_cfg).eval()
+
+
+@pytest.mark.level(1)
+def test_qwen3_forward_matches_hf():
+    """QwenLM with the Qwen3 deltas (qk_norm, no attn bias, tied head)
+    reproduces HF Qwen3ForCausalLM logits — the architecture behind the
+    reference's Qwen3Guard-Gen-0.6B prompt guard (qwen3guard.py:44)."""
+    import torch
+
+    from cosmos_predict2_tpu.text_encoders.text_encoder import convert_qwen_guard_hf_state_dict
+
+    hf = _tiny_hf_qwen3()
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    params = convert_qwen_guard_hf_state_dict(sd, num_layers=2)
+
+    cfg = QwenConfig.tiny3()
+    model = QwenGuardLM(cfg)
+    ids = np.array([[3, 14, 159, 26, 53, 58, 97, 9]], dtype=np.int32)
+    ours = np.asarray(model.apply(jax.tree.map(jnp.asarray, params), jnp.asarray(ids)))
+
+    with torch.no_grad():
+        theirs = hf(torch.from_numpy(ids.astype(np.int64))).logits[:, -1, :].numpy()
+    np.testing.assert_allclose(ours, theirs, atol=2e-4, rtol=2e-3)
+
+
+@pytest.mark.level(1)
+def test_qwen3_greedy_generate_matches_hf():
+    """Fixed-buffer greedy decode equals HF .generate(do_sample=False)."""
+    import torch
+
+    from cosmos_predict2_tpu.text_encoders.qwen import greedy_generate
+    from cosmos_predict2_tpu.text_encoders.text_encoder import convert_qwen_guard_hf_state_dict
+
+    hf = _tiny_hf_qwen3()
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    params = jax.tree.map(jnp.asarray, convert_qwen_guard_hf_state_dict(sd, num_layers=2))
+    model = QwenGuardLM(QwenConfig.tiny3())
+    apply_fn = jax.jit(lambda ids, pos: model.apply(params, ids, position=pos))
+
+    prompt = [5, 42, 17, 101, 7]
+    ours = greedy_generate(apply_fn, prompt, max_new_tokens=6, buffer_len=16)
+    with torch.no_grad():
+        theirs = hf.generate(
+            torch.tensor([prompt]), max_new_tokens=6, do_sample=False
+        )[0, len(prompt):].tolist()
+    assert ours == theirs
+
+
+@pytest.mark.level(0)
+def test_qwen3guard_verdict_parsing():
+    from cosmos_predict2_tpu.utils.guardrails import Qwen3Guard
+
+    g = Qwen3Guard(apply_fn=None, encode=None, decode=None)
+    label, cats = g.extract_label_and_categories(
+        "Safety: Unsafe\nCategories: Violent, Sexual Content or Sexual Acts"
+    )
+    assert label == "Unsafe"
+    assert cats == ["Violent", "Sexual Content or Sexual Acts"]
+    label, cats = g.extract_label_and_categories("Safety: Safe\nCategories: None")
+    assert label == "Safe" and cats == []
+    label, _ = g.extract_label_and_categories("Safety: Controversial")
+    assert label == "Controversial"
+
+
+@pytest.mark.level(1)
+def test_qwen3guard_is_safe_end_to_end():
+    """Qwen3Guard drives greedy decode through a rigged LM whose argmax
+    emits a fixed verdict string, then parses it (the reference's
+    extract_label_and_categories contract, qwen3guard.py:57-77)."""
+    from cosmos_predict2_tpu.utils.guardrails import Qwen3Guard
+
+    verdict = "Safety: Unsafe\nCategories: Violent"
+    vocab = sorted(set(verdict + "x"))
+    eos = len(vocab)  # one extra id for EOS
+
+    def encode(text):
+        return [0] * 4  # prompt content doesn't matter for the rig
+
+    def decode(ids):
+        return "".join(vocab[i] for i in ids if i < len(vocab))
+
+    target = [vocab.index(c) for c in verdict]
+
+    def apply_fn(buf, pos):
+        # argmax at step k (pos = 3 + k) -> target[k], then EOS
+        k = int(pos) - 3
+        logits = np.zeros((1, len(vocab) + 1), dtype=np.float32)
+        logits[0, target[k] if k < len(target) else eos] = 1.0
+        return jnp.asarray(logits)
+
+    guard = Qwen3Guard(apply_fn, encode, decode, eos_ids=(eos,), max_new_tokens=64)
+    safe, message = guard.is_safe("whatever")
+    assert not safe
+    assert "Unsafe" in message and "Violent" in message
+
+
 @pytest.mark.level(0)
 def test_heuristic_face_detector_finds_skin_blob():
     frame = np.zeros((128, 128, 3), dtype=np.uint8)
