@@ -395,23 +395,34 @@ def decode_streaming(
     # (e.g. scripts/vae_bench.py measuring the Pallas kernel on this route).
     be = _CONV_BACKEND if conv_backend is None else conv_backend
     if out == "host" and be == "auto" and conv_backend is None:
-        be = "xla"
+        # measured on chip (docs/PERF.md): the tap-sum GEMM backend ties the
+        # XLA conv per-chunk but overlaps better with the host spool's D2H
+        # pulls (21.5 vs 25.0 s whole-clip u8) — single-device only; under a
+        # mesh the taps guard falls back to the XLA conv automatically
+        be = "taps" if jax.sharding.get_abstract_mesh().size == 1 else "xla"
     first_fn = _jitted_chunk("dec", vae_cfg, first=True, to_u8=u8, conv_backend=be)
     steady = _jitted_chunk("dec", vae_cfg, first=False, to_u8=u8, conv_backend=be)
     outs = []
     px, caches = first_fn(params, z[:, :1], state.caches)
     if out == "host":
-        # overlapped spool: keep one chunk in flight, pull the previous
-        # while the device runs the next
-        pos, pending = 1, px
+        # fully pipelined spool: dispatch EVERY chunk up front (async
+        # dispatch; the device queue serializes compute) and start each
+        # chunk's device->host copy as soon as it is produced, so D2H rides
+        # under later chunks' compute. The whole uint8 clip held on device
+        # is ~0.25 GB at 93f 704x1280 — far cheaper than serializing
+        # transfers. np.asarray at the end then just waits.
+        if hasattr(px, "copy_to_host_async"):
+            px.copy_to_host_async()
+        pending = [px]
+        pos = 1
         while pos < t:
             end = min(pos + chunk_latent_frames, t)
             px, caches = steady(params, z[:, pos:end], caches)  # async dispatch
-            outs.append(to_out(pending))
-            pending = px
+            if hasattr(px, "copy_to_host_async"):
+                px.copy_to_host_async()
+            pending.append(px)
             pos = end
-        outs.append(to_out(pending))
-        return np.concatenate(outs, axis=1)
+        return np.concatenate([np.asarray(p) for p in pending], axis=1)
     outs.append(to_out(px))
     pos = 1
     while pos < t:
