@@ -145,10 +145,15 @@ def _vae_times() -> tuple[float, float]:
         return float(np.sum(np.asarray(out[:, :1], np.float32)))
 
     enc()  # compile
-    t0 = time.perf_counter(); enc(); t_enc = time.perf_counter() - t0
+    t_enc = []
+    for _ in range(2):
+        t0 = time.perf_counter(); enc(); t_enc.append(time.perf_counter() - t0)
     dec()  # compile
-    t0 = time.perf_counter(); dec(); t_dec = time.perf_counter() - t0
-    return t_enc, t_dec
+    t_dec = []
+    for _ in range(2):
+        t0 = time.perf_counter(); dec(); t_dec.append(time.perf_counter() - t0)
+    # min-of-2: the tunnel's D2H day-to-day variance dwarfs device noise
+    return min(t_enc), min(t_dec)
 
 
 def main() -> None:

@@ -39,12 +39,13 @@ CACHE_T = 2
 #   "xla"       — always the XLA conv,
 #   "interpret" — Pallas kernel in interpreter mode (CPU parity tests).
 #
-# Measured on chip (docs/PERF.md "VAE" section): the Pallas kernel wins
-# per-dispatch (1197 vs 1400 ms/steady chunk sync) and ties a serialized
-# whole-clip decode (30.2 vs 30.5 s), but programs containing the custom
-# kernel do NOT overlap with the host spool's async D2H pulls (31.4 vs
-# 20.6 s overlapped) — so the overlapped `out="host"` route pins the XLA
-# conv and "auto" applies to serialized / device-resident decodes.
+# Measured on chip (docs/PERF.md "VAE" section): the Pallas kernel is the
+# fastest steady chunk (551 vs 672 ms taps / 700 ms XLA). One interaction
+# to know about: async D2H pulls serialize against the program that
+# PRODUCES the transferred buffer when that program contains a
+# pallas_call — the overlapped `out="host"` route therefore quantizes to
+# uint8 in a separate tiny program (see decode_streaming) so the kernel's
+# win survives the spool (16.0 s whole-clip vs 17.6 s taps / 25.0 s XLA).
 _CONV_BACKEND = "auto"
 # Below this channel count the kernel's pad-to-128 lanes waste more MACs
 # than its layout win recovers (e.g. encoder conv1 Cin=3, decoder head
@@ -387,21 +388,22 @@ def decode_streaming(
     to_host = out in ("host", "host_sync")
     to_out = (lambda a: np.asarray(a)) if to_host else (lambda a: a)
     u8 = pixel_format == "uint8"
-    # Overlapped host spool + Pallas conv don't compose (module docstring /
-    # PERF.md): the custom-kernel program serializes against the async D2H
-    # pulls, costing more than the kernel saves. Resolve the backend ONCE
-    # here and thread it explicitly (trace-time constant) — "auto" means
-    # XLA on the overlapped host route. Pass conv_backend to override
-    # (e.g. scripts/vae_bench.py measuring the Pallas kernel on this route).
+    # Resolve the backend ONCE here and thread it explicitly (trace-time
+    # constant); pass conv_backend to override (e.g. scripts/vae_bench.py
+    # A/B-ing backends on this route).
     be = _CONV_BACKEND if conv_backend is None else conv_backend
-    if out == "host" and be == "auto" and conv_backend is None:
-        # measured on chip (docs/PERF.md): the tap-sum GEMM backend ties the
-        # XLA conv per-chunk but overlaps better with the host spool's D2H
-        # pulls (21.5 vs 25.0 s whole-clip u8) — single-device only; under a
-        # mesh the taps guard falls back to the XLA conv automatically
-        be = "taps" if jax.sharding.get_abstract_mesh().size == 1 else "xla"
-    first_fn = _jitted_chunk("dec", vae_cfg, first=True, to_u8=u8, conv_backend=be)
-    steady = _jitted_chunk("dec", vae_cfg, first=False, to_u8=u8, conv_backend=be)
+    # Host-route D2H overlap (measured on chip, docs/PERF.md round 4): the
+    # async device->host pulls only serialize against the program that
+    # PRODUCES the transferred buffer when that program contains a
+    # pallas_call. Producing the uint8 transfer buffer in a separate tiny
+    # quantize program restores full overlap, so the Pallas conv kernel
+    # (fastest per chunk: 551 vs 672 ms steady) is usable on the
+    # production route: 16.0 s whole-clip vs 17.6 s (taps, fused u8) and
+    # 25.0 s (XLA conv) on the same tunnel.
+    split_quant = u8 and out == "host"
+    first_fn = _jitted_chunk("dec", vae_cfg, first=True, to_u8=u8 and not split_quant, conv_backend=be)
+    steady = _jitted_chunk("dec", vae_cfg, first=False, to_u8=u8 and not split_quant, conv_backend=be)
+    quant = _jitted_quant() if split_quant else (lambda a: a)
     outs = []
     px, caches = first_fn(params, z[:, :1], state.caches)
     if out == "host":
@@ -411,6 +413,7 @@ def decode_streaming(
         # under later chunks' compute. The whole uint8 clip held on device
         # is ~0.25 GB at 93f 704x1280 — far cheaper than serializing
         # transfers. np.asarray at the end then just waits.
+        px = quant(px)
         if hasattr(px, "copy_to_host_async"):
             px.copy_to_host_async()
         pending = [px]
@@ -418,6 +421,7 @@ def decode_streaming(
         while pos < t:
             end = min(pos + chunk_latent_frames, t)
             px, caches = steady(params, z[:, pos:end], caches)  # async dispatch
+            px = quant(px)
             if hasattr(px, "copy_to_host_async"):
                 px.copy_to_host_async()
             pending.append(px)
@@ -439,6 +443,20 @@ def decode_streaming(
 
 
 _JIT_CACHE: dict[tuple, Any] = {}
+
+
+def _jitted_quant():
+    """[-1,1] float -> uint8, as its OWN program: the host route transfers
+    this program's output, and keeping it pallas-free preserves D2H overlap
+    (see decode_streaming)."""
+    fn = _JIT_CACHE.get("quant_u8")
+    if fn is None:
+        fn = _JIT_CACHE["quant_u8"] = jax.jit(
+            lambda px: jnp.round(
+                (jnp.clip(px.astype(jnp.float32), -1.0, 1.0) + 1.0) * 127.5
+            ).astype(jnp.uint8)
+        )
+    return fn
 
 
 def _cfg_key(cfg: WanVAEConfig) -> tuple:

@@ -38,6 +38,7 @@ def measure(
     net_cfg=None,
     num_steps: int = 4,
     frames_per_block: int = 1,
+    cp: int = 1,
 ) -> dict:
     """Run the KV-cache streaming probe; returns {"p50_s", "latent_fps", "pixel_fps", "laps"}.
 
@@ -56,6 +57,9 @@ def measure(
     )
     from cosmos_predict2_tpu.networks.dit import DiTConfig
 
+    import contextlib
+    import dataclasses
+
     net = net_cfg or DiTConfig(
         model_channels=2048,
         num_heads=16,
@@ -68,11 +72,33 @@ def measure(
         remat="none",
         temporal_causal=True,
     )
+    mesh_ctx = contextlib.nullcontext()
+    if cp > 1:
+        # CP-sharded streaming decode (block tokens over cp, ring buffers
+        # head-sharded — parallel/cp.py ulysses_kv_cache_attention). On the
+        # virtual CPU mesh this validates the program + comm pattern; the
+        # timing is only meaningful on real multi-chip hardware.
+        from cosmos_predict2_tpu.parallel.mesh import make_mesh
+
+        assert len(jax.devices()) >= cp, f"need {cp} devices, have {len(jax.devices())}"
+        net = dataclasses.replace(net, cp_axis="cp")
+        mesh_ctx = jax.set_mesh(make_mesh(1, 1, cp, 1, devices=jax.devices()[:cp]))
     h, w = hw
     nb = frames_per_block
     model = CausalVideo2WorldModel(causal_model_config(net, num_frame_per_block=nb))
     scfg = StreamingConfig(num_frame_per_block=nb, cache_frame_size=cache_frames, num_steps=num_steps)
     stream = StreamingInference(scfg, model)
+    mesh_ctx.__enter__()
+    try:
+        return _measure_body(model, stream, net, hw, nb, blocks, cache_frames, cp)
+    finally:
+        mesh_ctx.__exit__(None, None, None)
+
+
+def _measure_body(model, stream, net, hw, nb, blocks, cache_frames, cp) -> dict:
+    from cosmos_predict2_tpu.conditioning.conditioner import make_condition
+
+    h, w = hw
 
     latent = (1, 16, nb, h, w)
     print(f"[stream] init causal params ({net.model_channels}ch), latent frame {h}x{w} ...", flush=True)
@@ -104,8 +130,9 @@ def measure(
         laps.append(time.perf_counter() - t0)
     p50 = float(np.median(laps))
     lfps = nb / p50
+    tag = f" cp={cp} ({jax.default_backend()})" if cp > 1 else ""
     print(
-        f"[stream] RESULT latent {h}x{w} nb={nb}: p50 block latency {p50 * 1e3:.0f} ms "
+        f"[stream] RESULT latent {h}x{w} nb={nb}{tag}: p50 block latency {p50 * 1e3:.0f} ms "
         f"-> {lfps:.2f} latent frames/s = {4 * lfps:.1f} pixel fps "
         f"(real-time 16 fps needs 4 latent f/s: {'YES' if 4 * lfps >= 16 else 'no'})",
         flush=True,
@@ -124,8 +151,27 @@ def main() -> None:
     ap.add_argument("--blocks", type=int, default=8)
     ap.add_argument("--cache-frames", type=int, default=16)
     ap.add_argument("--frames-per-block", type=int, default=1)
+    ap.add_argument(
+        "--cp", type=int, default=1,
+        help="context-parallel degree; needs >= cp devices (virtual CPU mesh: "
+        "JAX_PLATFORMS=cpu + jax_num_cpu_devices — program/comm validation, "
+        "not a perf number)",
+    )
+    ap.add_argument("--tiny", action="store_true", help="tiny net (CPU-mesh runs)")
     args = ap.parse_args()
-    measure(tuple(args.hw), args.blocks, args.cache_frames, frames_per_block=args.frames_per_block)
+    net_cfg = None
+    if args.tiny:
+        import dataclasses as _dc
+
+        from cosmos_predict2_tpu.networks.dit import DiTConfig, PRESETS
+
+        net_cfg = _dc.replace(
+            PRESETS["test"], temporal_causal=True, dtype=jnp.float32, remat="none"
+        )
+    measure(
+        tuple(args.hw), args.blocks, args.cache_frames,
+        net_cfg=net_cfg, frames_per_block=args.frames_per_block, cp=args.cp,
+    )
 
 
 if __name__ == "__main__":

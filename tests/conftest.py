@@ -19,8 +19,15 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 # persistent compilation cache: the VAE/DiT conv graphs dominate suite time
-# on the single host core; caching makes reruns ~5x faster.
-_cache_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
+# on the single host core; caching makes reruns ~5x faster. Machine-keyed
+# subdir (utils/cache_dirs.py): XLA:CPU AOT entries compiled on another host
+# spew "could lead to SIGILL" errors when loaded here.
+import sys  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from cosmos_predict2_tpu.utils.cache_dirs import cpu_compilation_cache_dir  # noqa: E402
+
+_cache_dir = cpu_compilation_cache_dir(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 

@@ -166,3 +166,33 @@ def test_flash_attention_kv_cache_grad():
     )(q, kb, vb)
     for a, b in zip(g, gref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+@pytest.mark.level(0)
+def test_blockwise_attention_matches_reference():
+    """Online-softmax KV-block scan == dense attention, incl. the padded
+    last block and frame-causal masking."""
+    from cosmos_predict2_tpu.ops.attention import blockwise_attention
+
+    rng = jax.random.PRNGKey(0)
+    q, k, v = (jax.random.normal(r, (2, 50, 3, 16)) for r in jax.random.split(rng, 3))
+    for fg in (0, 5):
+        ref = reference_attention(q, k, v, frame_group=fg)
+        got = blockwise_attention(q, k, v, frame_group=fg, block_kv=16)  # 50 % 16 != 0
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.level(0)
+def test_blockwise_attention_grad_matches_reference():
+    from cosmos_predict2_tpu.ops.attention import blockwise_attention
+
+    rng = jax.random.PRNGKey(1)
+    q, k, v = (jax.random.normal(r, (1, 24, 2, 8)) for r in jax.random.split(rng, 3))
+
+    def loss(fn):
+        return lambda q, k, v: jnp.sum(jnp.square(fn(q, k, v)))
+
+    g_ref = jax.grad(loss(reference_attention), argnums=(0, 1, 2))(q, k, v)
+    g_blk = jax.grad(loss(lambda a, b, c: blockwise_attention(a, b, c, block_kv=7)), argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_blk, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5, rtol=1e-4)
