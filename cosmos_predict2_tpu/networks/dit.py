@@ -330,6 +330,7 @@ class Attention(nn.Module):
                 from cosmos_predict2_tpu.ops.neighborhood_attention import (
                     VideoSize,
                     neighborhood_attention,
+                    neighborhood_attention_gathered,
                     neighborhood_attention_reference,
                 )
 
@@ -338,6 +339,14 @@ class Attention(nn.Module):
                 def _na_fn(q_, k_, v_):
                     if jax.default_backend() == "tpu":
                         return neighborhood_attention(
+                            q_, k_, v_, size, self.na_window, stride=self.na_stride, dilation=self.na_dilation
+                        )
+                    # off-TPU: the dense masked reference materializes
+                    # (B, H, S, S) f32 logits — route big shapes (>0.5 GB
+                    # of logits, same threshold as ops/attention auto
+                    # dispatch) to the gathered block-sparse XLA executor
+                    if q_.shape[1] * k_.shape[1] * q_.shape[2] > (1 << 27):
+                        return neighborhood_attention_gathered(
                             q_, k_, v_, size, self.na_window, stride=self.na_stride, dilation=self.na_dilation
                         )
                     return neighborhood_attention_reference(

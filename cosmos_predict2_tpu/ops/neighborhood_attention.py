@@ -7,11 +7,18 @@ minimal_v4_dit.py:1743-1813): each video token (t, h, w) attends keys
 inside a per-axis window centered on the query with boundary clamping
 (standard NA semantics), window -1 meaning full attention along that axis.
 
-Two paths:
+Three paths:
 * :func:`neighborhood_attention_reference` — jnp mask + softmax (CPU tests,
-  tiny shapes);
+  tiny shapes; materializes S^2 logits);
 * :func:`neighborhood_attention` — tiled-layout gathered block-sparse
-  Pallas kernel (below).
+  Pallas kernel (below);
+* :func:`neighborhood_attention_gathered` — the SAME gathered block-sparse
+  structure (same plan/permutation/mask math) executed as pure XLA
+  take + einsum under a checkpointed ``lax.map`` over query blocks:
+  linear FLOPs and O(block x window) memory on ANY backend. This is what
+  makes sparse attention at production sequence lengths runnable on the
+  virtual CPU mesh (84k tokens would need 228 GB of dense logits) and on
+  any future non-TPU deployment.
 
 Kernel design (TPU-first, v3). The video's token-major (t, h, w) order
 scatters each spatial neighborhood across every frame, so block-level
@@ -688,6 +695,121 @@ def _na_bwd_rule(size, window, stride, dilation, block_cap, res, g):
 
 
 _na.defvjp(_na_fwd_rule, _na_bwd_rule)
+
+
+def _na_forward_gathered_xla(qt, kt, vt, size: VideoSize, window, stride, plan: _Plan):
+    """Gathered block-sparse NA on permuted (B, H, S_pad, D) tensors as
+    pure XLA: for each query block, gather its kv blocks from the
+    host-built table and run a masked dense attention over just those.
+
+    Same structure the Pallas kernel executes (same plan/table/coords,
+    same ``_axis_window_ok`` membership math on the same bit-decomposed
+    intra-block coordinates), but lowered as take + einsum inside a
+    ``lax.map`` over query blocks. Each block is ``jax.checkpoint``ed so
+    the backward pass recomputes its gathered kv and probabilities
+    instead of saving them — memory stays O(block x gathered_window) for
+    fwd AND bwd. dK/dV accumulate through the VJP of ``jnp.take``
+    (scatter-add), replacing the Pallas path's transposed-table kernel.
+    """
+    b, h, s_pad, d = qt.shape
+    blk = plan.block
+    nblk = s_pad // blk
+    max_cnt = plan.table.shape[1]
+    scale = 1.0 / np.sqrt(d)
+    table = jnp.asarray(plan.table)
+    counts = jnp.asarray(plan.counts)
+    coords = jnp.asarray(plan.coords)
+
+    qb = qt.reshape(b, h, nblk, blk, d)
+    kb = kt.reshape(b, h, nblk, blk, d)
+    vb = vt.reshape(b, h, nblk, blk, d)
+
+    # intra-block coordinate bit math (same as _pair_mask: 64 = 2^6 tokens
+    # per t-slice of a 4x16 tile)
+    intra = jnp.arange(blk, dtype=jnp.int32)
+    it, ih_, iw_ = intra >> 6, (intra & 63) >> 4, intra & 15
+
+    @jax.checkpoint
+    def one_block(i):
+        tab = table[i]  # (max_cnt,)
+        gk = jnp.take(kb, tab, axis=2)  # (b, h, max_cnt, blk, d)
+        gv = jnp.take(vb, tab, axis=2)
+        s = jnp.einsum("bhqd,bhmkd->bhqmk", qb[:, :, i], gk, preferred_element_type=jnp.float32) * scale
+
+        cq = coords[i]  # (3,)
+        tq, hq, wq = cq[0] + it, cq[1] + ih_, cq[2] + iw_  # (blk,)
+        ck = coords[tab]  # (max_cnt, 3)
+        tk = ck[:, 0:1] + it[None, :]  # (max_cnt, blk)
+        hk = ck[:, 1:2] + ih_[None, :]
+        wk = ck[:, 2:3] + iw_[None, :]
+        # pad slots (beyond the real video) are never keys; duplicate
+        # table padding entries (j >= counts[i]) are dropped the same way
+        # the kernel's @pl.when(j < cnt) guard drops them.
+        valid = (tk < size.T) & (hk < size.H) & (wk < size.W)
+        valid = valid & (jnp.arange(max_cnt, dtype=jnp.int32)[:, None] < counts[i])
+        mask = jnp.broadcast_to(valid[None, :, :], (blk, max_cnt, blk))
+        for (ci, cj, length, w_, st_) in (
+            (tq, tk, size.T, window[0], stride[0]),
+            (hq, hk, size.H, window[1], stride[1]),
+            (wq, wk, size.W, window[2], stride[2]),
+        ):
+            ok = _axis_window_ok(ci[:, None, None], cj[None, :, :], length, w_, st_)
+            if ok is not None:
+                mask = mask & ok
+        # fully-masked rows (pad query blocks) stay FINITE (-1e30, not
+        # -inf): softmax degrades to uniform garbage that _permute_out
+        # slices away, and the zero-padded dO keeps it out of gradients.
+        s = jnp.where(mask, s, _NEG_INF)
+        p = jax.nn.softmax(s.reshape(b, h, blk, max_cnt * blk), axis=-1)
+        out = jnp.einsum(
+            "bhqk,bhkd->bhqd",
+            p.astype(gv.dtype),
+            gv.reshape(b, h, max_cnt * blk, d),
+            preferred_element_type=jnp.float32,
+        )
+        return out.astype(qt.dtype)  # (b, h, blk, d)
+
+    outs = jax.lax.map(one_block, jnp.arange(nblk, dtype=jnp.int32))  # (nblk, b, h, blk, d)
+    return outs.transpose(1, 2, 0, 3, 4).reshape(b, h, s_pad, d)
+
+
+def neighborhood_attention_gathered(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    video_size: VideoSize,
+    window: tuple[int, int, int],
+    block_q: int = 512,
+    stride: tuple[int, int, int] = (1, 1, 1),
+    dilation: tuple[int, int, int] = (1, 1, 1),
+) -> jax.Array:
+    """Backend-portable gathered block-sparse NA. q,k,v: (B, S, H, D).
+
+    Numerics and supported geometry match :func:`neighborhood_attention`
+    (they share the plan, permutation, and membership math); execution is
+    pure XLA, so it runs on CPU/GPU and under the virtual mesh where the
+    Pallas kernel cannot. Linear FLOPs in S — at the 720p production
+    geometry (84,480 tokens) the dense reference path would materialize
+    228 GB of logits; this path peaks at tens of MB per query block.
+    Differentiable via per-block rematerialization.
+    """
+    b, s_len, h, d = q.shape
+    size = VideoSize(*video_size)
+    assert s_len == size.T * size.H * size.W, (s_len, size)
+    for w_, st_, ln in zip(window, stride, size):
+        assert st_ >= 1 and (w_ < 0 or st_ <= w_ or st_ <= 1), (
+            f"stride {stride} must be <= window {window}")
+    try:
+        eff_window, eff_stride = _effective_params(size, tuple(window), tuple(stride), tuple(dilation))
+    except NotImplementedError:
+        logits_gib = b * h * s_len * s_len * 4 / 2**30
+        if logits_gib > 2.0:
+            raise
+        return neighborhood_attention_reference(q, k, v, size, window, stride, dilation)
+    plan = _build_plan(size, tuple(eff_window), tuple(eff_stride), tuple(dilation), int(block_q))
+    qt, kt, vt = (_permute_in(t, plan) for t in (q, k, v))
+    out = _na_forward_gathered_xla(qt, kt, vt, size, eff_window, eff_stride, plan)
+    return _permute_out(out, plan)
 
 
 def _effective_params(size: VideoSize, window, stride, dilation):

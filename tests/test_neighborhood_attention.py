@@ -350,3 +350,45 @@ def test_unsupported_dilation_fallback_vs_oom_guard():
             lambda a, b, c: neighborhood_attention(a, b, c, big, window, stride=stride, dilation=dil),
             *abstract,
         )
+
+
+@pytest.mark.level(0)
+@pytest.mark.parametrize(
+    "size,window,stride,dilation",
+    [
+        (VideoSize(4, 8, 8), (3, 5, 5), (1, 1, 1), (1, 1, 1)),
+        (VideoSize(3, 6, 10), (-1, 4, 6), (1, 1, 1), (1, 1, 1)),  # pad path
+        (VideoSize(4, 8, 16), (-1, 4, 8), (1, 2, 4), (1, 1, 1)),  # GNA stride
+        (VideoSize(2, 8, 16), (-1, 2, 4), (1, 1, 1), (1, 4, 4)),  # DiNA dilation
+        (VideoSize(1, 7, 9), (-1, 3, 3), (1, 1, 1), (1, 1, 1)),  # both axes padded
+    ],
+)
+def test_gathered_xla_matches_reference(size, window, stride, dilation):
+    """The pure-XLA gathered block-sparse executor shares the Pallas
+    kernel's plan/permutation/mask math; it must be exact vs the dense
+    masked reference on every supported geometry class."""
+    from cosmos_predict2_tpu.ops.neighborhood_attention import neighborhood_attention_gathered
+
+    q, k, v = _inputs(size, heads=2, dim=16, seed=6)
+    out = neighborhood_attention_gathered(q, k, v, size, window, stride=stride, dilation=dilation)
+    ref = neighborhood_attention_reference(q, k, v, size, window, stride, dilation)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+@pytest.mark.level(1)
+def test_gathered_xla_gradients_match_reference():
+    """Per-block rematerialized autodiff (take -> scatter-add dK/dV) vs
+    autodiff through the dense masked reference."""
+    from cosmos_predict2_tpu.ops.neighborhood_attention import neighborhood_attention_gathered
+
+    size, window, stride = VideoSize(4, 8, 16), (-1, 4, 8), (1, 2, 4)
+    q, k, v = _inputs(size, heads=1, dim=32, seed=7)
+    tgt = jax.random.normal(jax.random.PRNGKey(9), q.shape)
+
+    def loss(fn):
+        return jax.grad(lambda a, b, c: jnp.sum((fn(a, b, c) - tgt) ** 2), argnums=(0, 1, 2))
+
+    g = loss(lambda a, b, c: neighborhood_attention_gathered(a, b, c, size, window, stride=stride))(q, k, v)
+    r = loss(lambda a, b, c: neighborhood_attention_reference(a, b, c, size, window, stride))(q, k, v)
+    for got, want in zip(g, r):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-4, rtol=1e-3)
