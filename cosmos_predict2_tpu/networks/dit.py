@@ -329,28 +329,17 @@ class Attention(nn.Module):
             else:
                 from cosmos_predict2_tpu.ops.neighborhood_attention import (
                     VideoSize,
-                    neighborhood_attention,
-                    neighborhood_attention_gathered,
-                    neighborhood_attention_reference,
+                    neighborhood_attention_auto,
                 )
 
                 size = VideoSize(*self.na_video_size)
 
                 def _na_fn(q_, k_, v_):
-                    if jax.default_backend() == "tpu":
-                        return neighborhood_attention(
-                            q_, k_, v_, size, self.na_window, stride=self.na_stride, dilation=self.na_dilation
-                        )
-                    # off-TPU: the dense masked reference materializes
-                    # (B, H, S, S) f32 logits — route big shapes (>0.5 GB
-                    # of logits, same threshold as ops/attention auto
-                    # dispatch) to the gathered block-sparse XLA executor
-                    if q_.shape[1] * k_.shape[1] * q_.shape[2] > (1 << 27):
-                        return neighborhood_attention_gathered(
-                            q_, k_, v_, size, self.na_window, stride=self.na_stride, dilation=self.na_dilation
-                        )
-                    return neighborhood_attention_reference(
-                        q_, k_, v_, size, self.na_window, self.na_stride, self.na_dilation
+                    # Pallas on TPU; off-TPU the dispatcher routes big
+                    # shapes (>2^27 logit elements) to the gathered
+                    # block-sparse XLA executor instead of dense logits
+                    return neighborhood_attention_auto(
+                        q_, k_, v_, size, self.na_window, stride=self.na_stride, dilation=self.na_dilation
                     )
 
                 if sparse_switch is None:

@@ -812,6 +812,30 @@ def neighborhood_attention_gathered(
     return _permute_out(out, plan)
 
 
+def neighborhood_attention_auto(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    video_size: VideoSize,
+    window: tuple[int, int, int],
+    stride: tuple[int, int, int] = (1, 1, 1),
+    dilation: tuple[int, int, int] = (1, 1, 1),
+) -> jax.Array:
+    """Backend dispatch for NA — the single entry call sites should use.
+
+    TPU -> the Pallas kernel; elsewhere big shapes (>2^27 logit elements,
+    the same threshold as ops/attention's auto dispatch) -> the gathered
+    block-sparse XLA executor, small shapes -> the dense masked reference
+    (exact, and cheaper than plan construction at toy sizes).
+    """
+    size = VideoSize(*video_size)
+    if jax.default_backend() == "tpu":
+        return neighborhood_attention(q, k, v, size, window, stride=stride, dilation=dilation)
+    if q.shape[1] * k.shape[1] * q.shape[2] > (1 << 27):
+        return neighborhood_attention_gathered(q, k, v, size, window, stride=stride, dilation=dilation)
+    return neighborhood_attention_reference(q, k, v, size, window, stride, dilation)
+
+
 def _effective_params(size: VideoSize, window, stride, dilation):
     """Map dilated parameters onto the class-major reordered axes.
 

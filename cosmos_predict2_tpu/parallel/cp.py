@@ -58,15 +58,15 @@ def ulysses_attention(
         if na_video_size is not None:
             from cosmos_predict2_tpu.ops.neighborhood_attention import (
                 VideoSize,
-                neighborhood_attention,
-                neighborhood_attention_reference,
+                neighborhood_attention_auto,
             )
 
-            size = VideoSize(*na_video_size)
-            if jax.default_backend() == "tpu":
-                out = neighborhood_attention(ql, kl, vl, size, na_window, stride=na_stride, dilation=na_dilation)
-            else:
-                out = neighborhood_attention_reference(ql, kl, vl, size, na_window, na_stride, na_dilation)
+            # backend dispatch (Pallas / gathered XLA / dense reference)
+            # lives in the op — off-TPU full-geometry runs must hit the
+            # gathered executor, not 57 GB of dense logits per layer
+            out = neighborhood_attention_auto(
+                ql, kl, vl, VideoSize(*na_video_size), na_window, stride=na_stride, dilation=na_dilation
+            )
         else:
             out = dot_product_attention(ql, kl, vl, backend=backend, frame_group=frame_group)
         return gather_heads(out)
