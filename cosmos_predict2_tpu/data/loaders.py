@@ -165,11 +165,19 @@ class ShardedTarDataset:
         # augmentor chain (data/augmentors.py zoo); an augmentor returning
         # None rejects the sample, matching the reference contract
         self.augmentors = augmentors or []
+        from cosmos_predict2_tpu.data import decoders as dz
+
         self.decoders = {
             "npy": lambda b: np.load(io.BytesIO(b)),
             "npz": lambda b: dict(np.load(io.BytesIO(b))),
             "txt": lambda b: b.decode("utf-8"),
             "json": lambda b: __import__("json").loads(b.decode("utf-8")),
+            # decoder zoo defaults (data/decoders.py): images + pickle;
+            # video decoders are sampling policies — pass one explicitly
+            # via decoders={"mp4": get_video_decoder(...)}.
+            **{e: (lambda ext: (lambda b: dz.pil_image_decoder(f"x.{ext}", b)))(e) for e in dz.IMG_EXTENSIONS},
+            "pkl": lambda b: dz.pickle_decoder("x.pkl", b),
+            "pickle": lambda b: dz.pickle_decoder("x.pickle", b),
             **(decoders or {}),
         }
 
