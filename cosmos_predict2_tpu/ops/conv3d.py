@@ -164,6 +164,122 @@ def conv3d_causal_taps(x, w, b, *, kt: int = 3, out_dtype=jnp.bfloat16, interpre
     return out[None]
 
 
+def _conv_kernel_folded(x_hbm, wf_ref, b_ref, out_ref, xbuf, sems, *, kt: int, th: int, W: int, n_i: int):
+    """K-folded variant: the kt*3 (dt, dh) taps are concatenated on the
+    lane (channel) dim into one (th, W+8, kt*3*Cin) slab, so the band runs
+    THREE accumulated matmuls (one per dw shift) with K = kt*3*Cin instead
+    of kt*9 matmuls with K = Cin. The f32 accumulator is read-modified-
+    written 3x instead of 27x and the MXU sees a 9x deeper K — the
+    accumulator/relayout VMEM traffic that capped the per-tap kernel near
+    40 TF/s (module docstring) drops ~2.3x."""
+    t = pl.program_id(0)
+    i = pl.program_id(1)
+    g = t * n_i + i
+
+    def start_fetch(t_, i_, slot):
+        pltpu.make_async_copy(
+            x_hbm.at[pl.ds(t_, kt), pl.ds(i_ * th, th + 2)],
+            xbuf.at[slot],
+            sems.at[slot],
+        ).start()
+
+    @pl.when(g == 0)
+    def _():
+        start_fetch(t, i, 0)
+
+    nxt = g + 1
+    @pl.when(nxt < pl.num_programs(0) * n_i)
+    def _():
+        start_fetch(nxt // n_i, nxt % n_i, nxt % 2)
+
+    pltpu.make_async_copy(
+        x_hbm.at[pl.ds(t, kt), pl.ds(i * th, th + 2)], xbuf.at[g % 2], sems.at[g % 2]
+    ).wait()
+
+    x = xbuf[g % 2]  # (kt, th+2, W+8, Cin)
+    cin = x.shape[-1]
+    cout = out_ref.shape[-1]
+    # (dt, dh)-fold on lanes; parts are 128-aligned so this is vreg copies
+    slab = jnp.concatenate(
+        [x[dt, dh : dh + th] for dt in range(kt) for dh in range(3)], axis=-1
+    )  # (th, W+8, kt*3*cin)
+    acc = jnp.zeros((th * W, cout), dtype=jnp.float32)
+    for dw in range(3):
+        patch = slab[:, dw : dw + W, :].reshape(th * W, kt * 3 * cin)
+        acc += jnp.dot(patch, wf_ref[dw], preferred_element_type=jnp.float32)
+    out = acc + b_ref[0].astype(jnp.float32)
+    out_ref[...] = out.reshape(1, th, W, cout).astype(out_ref.dtype)
+
+
+def _pick_th_folded(H: int, W: int, cin: int, cout: int, kt: int) -> int:
+    """Row-band height for the folded kernel: the slab is the extra tenant."""
+    best = 1
+    for th in (16, 8, 4, 2, 1):
+        if H % th:
+            continue
+        vmem = (
+            2 * kt * (th + 2) * (W + 8) * max(cin, 128) * 2  # double-buffered x
+            + th * (W + 8) * kt * 3 * max(cin, 128) * 2  # folded slab
+            + th * W * max(cout, 128) * (4 + 2 * 2)  # f32 acc + 2 out slots
+            + 3 * kt * 3 * max(cin, 128) * max(cout, 128) * 2  # folded taps
+        )
+        if vmem <= 96 * 2**20:
+            best = th
+            break
+    return best
+
+
+@functools.partial(jax.jit, static_argnames=("kt", "out_dtype", "interpret"))
+def conv3d_causal_folded(x, w, b, *, kt: int = 3, out_dtype=jnp.bfloat16, interpret: bool = False):
+    """K-folded implicit-GEMM causal conv — same contract as
+    :func:`conv3d_causal_taps` (x: (1, T_out+kt-1, H, W, Cin) with taps
+    pre-stacked, valid-in-time, SAME-1 spatially; W % 8 == 0)."""
+    B, T_in, H, W, Cin = x.shape
+    assert B == 1, "VAE decode runs B=1; fold batch into T upstream"
+    assert W % 8 == 0, W
+    T_out = T_in - kt + 1
+    Cout = w.shape[-1]
+
+    cin_p = -(-Cin // 128) * 128
+    cout_p = -(-Cout // 128) * 128
+    if cin_p != Cin or cout_p != Cout:
+        x = jnp.pad(x, ((0, 0),) * 4 + ((0, cin_p - Cin),))
+        w = jnp.pad(w, ((0, 0),) * 3 + ((0, cin_p - Cin), (0, cout_p - Cout)))
+        b = jnp.pad(b, (0, cout_p - Cout))
+        out = conv3d_causal_folded(x, w, b, kt=kt, out_dtype=out_dtype, interpret=interpret)
+        return out[..., :Cout]
+    th = _pick_th_folded(H, W, Cin, Cout, kt)
+
+    xp = jnp.pad(x[0], ((0, 0), (1, 1), (1, 7), (0, 0)))
+    # (kt, 3dh, 3dw, Cin, Cout) -> (3dw, kt*3dh*Cin, Cout), row order
+    # matching the kernel's dt-major/dh-minor lane concat
+    wf = jnp.transpose(w, (2, 0, 1, 3, 4)).reshape(3, kt * 3 * Cin, Cout)
+
+    n_i = H // th
+    grid = (T_out, n_i)
+    out = pl.pallas_call(
+        functools.partial(_conv_kernel_folded, kt=kt, th=th, W=W, n_i=n_i),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((3, kt * 3 * Cin, Cout), lambda t, i: (0, 0, 0)),
+            pl.BlockSpec((1, Cout), lambda t, i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, th, W, Cout), lambda t, i: (t, i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((T_out, H, W, Cout), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, kt, th + 2, W + 8, Cin), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 2**20,
+        ),
+        interpret=interpret,
+    )(xp, wf, b.reshape(1, Cout))
+    return out[None]
+
+
 def conv3d_causal_taps_xla(x, w, b, *, kt: int = 3, out_dtype=jnp.bfloat16):
     """Pure-XLA tap decomposition: kt*3*3 shifted GEMMs, accumulated.
 

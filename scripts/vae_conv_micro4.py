@@ -71,7 +71,17 @@ def pallas(x, w, b):
     return pc.conv3d_causal_taps(x, w, b)
 
 
-VARIANTS = [("conv3d", conv3d_xla), ("taps27", taps27), ("t3conv2d", t3conv2d), ("pallas", pallas)]
+def pallas_kfold(x, w, b):
+    return pc.conv3d_causal_folded(x, w, b)
+
+
+VARIANTS = [
+    ("conv3d", conv3d_xla),
+    ("taps27", taps27),
+    ("t3conv2d", t3conv2d),
+    ("pallas", pallas),
+    ("kfold", pallas_kfold),
+]
 
 
 def main():

@@ -12,6 +12,7 @@ import numpy as np
 import pytest
 
 from cosmos_predict2_tpu.ops.conv3d import (
+    conv3d_causal_folded,
     conv3d_causal_taps,
     conv3d_causal_taps_reference,
     conv3d_causal_taps_xla,
@@ -45,6 +46,31 @@ def test_conv3d_matches_xla(shape, kt):
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
     )
+
+
+@pytest.mark.parametrize(
+    "shape",
+    [
+        (2, 16, 32, 128, 128),
+        (1, 8, 24, 96, 96),  # lane-padding path
+        (3, 16, 16, 64, 192),
+    ],
+)
+@pytest.mark.parametrize("kt", [3, 1])
+def test_conv3d_folded_matches_xla(shape, kt):
+    """The K-folded kernel ((dt,dh) taps concatenated into the GEMM K dim,
+    3 dw matmuls per band) == the XLA conv emitter."""
+    T, H, W, Cin, Cout = shape
+    rng = np.random.default_rng(hash(("folded", shape, kt)) % 2**32)
+    x = jnp.asarray(rng.standard_normal((1, T + kt - 1, H, W, Cin)), jnp.float32)
+    w = jnp.asarray(
+        rng.standard_normal((kt, 3, 3, Cin, Cout)) / np.sqrt(9 * kt * Cin), jnp.float32
+    )
+    b = jnp.asarray(rng.standard_normal((Cout,)), jnp.float32)
+    out = conv3d_causal_folded(x, w, b, kt=kt, out_dtype=jnp.float32, interpret=True)
+    ref = conv3d_causal_taps_reference(x, w, b, kt=kt, out_dtype=jnp.float32)
+    assert out.shape == ref.shape == (1, T, H, W, Cout)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
 
 
 @pytest.mark.parametrize("kt", [3, 1])
