@@ -60,7 +60,7 @@ def set_conv_backend(mode: str) -> None:
     backend is resolved ONCE per call and threaded explicitly through the
     chunk programs, so concurrent encodes/decodes never observe each
     other's routing."""
-    assert mode in ("auto", "xla", "taps", "interpret"), mode
+    assert mode in ("auto", "xla", "taps", "kfold", "interpret"), mode
     global _CONV_BACKEND
     _CONV_BACKEND = mode
 
@@ -134,7 +134,11 @@ def _stream_conv(p, x, cache, dtype, backend: str = "xla"):
             xin.astype(dtype), p["weight"].astype(dtype), p["bias"], kt=3, out_dtype=dtype
         )
     elif _use_pallas_conv(xin, p["weight"], backend):
-        out = pallas_conv3d.conv3d_causal_taps(
+        # "kfold" = the K-folded kernel ((dt,dh) taps in the GEMM K dim);
+        # "auto"/"interpret" = the per-tap kernel. Flip auto's pick here
+        # once the chip measurement (vae_conv_micro4) names a winner.
+        kernel = pallas_conv3d.conv3d_causal_folded if backend == "kfold" else pallas_conv3d.conv3d_causal_taps
+        out = kernel(
             xin.astype(dtype),
             p["weight"].astype(dtype),
             p["bias"],

@@ -221,7 +221,12 @@ if __name__ == "__main__":
         run_attn()
     elif cmd == "convcmp":
         sizes = tuple(int(a) for a in sys.argv[2:] if not a.startswith("--")) or (1, 2, 4)
-        backends = ("xla", "taps") if "--taps" in sys.argv else ("xla", "auto")
+        if "--kfold" in sys.argv:
+            backends = ("auto", "kfold")
+        elif "--taps" in sys.argv:
+            backends = ("xla", "taps")
+        else:
+            backends = ("xla", "auto")
         run_convcmp(sizes, backends)
     else:
         raise SystemExit(f"unknown subcommand {cmd}")
