@@ -135,8 +135,10 @@ def _stream_conv(p, x, cache, dtype, backend: str = "xla"):
         )
     elif _use_pallas_conv(xin, p["weight"], backend):
         # "kfold" = the K-folded kernel ((dt,dh) taps in the GEMM K dim);
-        # "auto"/"interpret" = the per-tap kernel. Flip auto's pick here
-        # once the chip measurement (vae_conv_micro4) names a winner.
+        # "auto"/"interpret" = the per-tap kernel. Chip-measured (r4,
+        # vae_bench convcmp, steady decode chunk): kfold 540 ms vs
+        # per-tap 546 ms — a wash; the kernel is DMA-bound at these
+        # shapes, not accumulator-bound, so per-tap stays the default.
         kernel = pallas_conv3d.conv3d_causal_folded if backend == "kfold" else pallas_conv3d.conv3d_causal_taps
         out = kernel(
             xin.astype(dtype),

@@ -53,3 +53,15 @@ def test_dryrun_multichip_self_bootstraps_from_one_device():
     )
     assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr}"
     assert "[dryrun_multichip] OK" in proc.stdout
+
+
+@pytest.mark.level(2)
+def test_dryrun_fullgeom_real_geometry():
+    """VERDICT r3 #4: ONE sharded train step at the REAL 720p latent
+    geometry — cp=4 x fsdp=2 over latent (2, 16, 24, 88, 160), seq 84480
+    (21,120 tokens/chip), production sparse-NA window/stride. Level 2:
+    ~30-60 min on the single-core virtual mesh; run manually or by the
+    driver (`python __graft_entry__.py fullgeom`)."""
+    import __graft_entry__ as g
+
+    g.dryrun_fullgeom(8)
