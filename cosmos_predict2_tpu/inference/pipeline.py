@@ -171,9 +171,13 @@ class Video2WorldInference:
     ):
         from cosmos_predict2_tpu.tokenizers.wan_vae_streaming import decode_streaming, encode_streaming
 
-        video = jnp.asarray(video_u8).astype(jnp.bfloat16) / 127.5 - 1.0
+        # uint8-native feed: the clip crosses H2D and lands in HBM as uint8
+        # (0.25 GB at full scale); normalize fuses into the encode chunks.
         latents = encode_streaming(
-            self.vae.config, self.vae_params, video.transpose(0, 2, 3, 4, 1)
+            self.vae.config,
+            self.vae_params,
+            jnp.asarray(video_u8).transpose(0, 2, 3, 4, 1),
+            pixel_format="uint8",
         )
         gt_latents = latents.transpose(0, 4, 1, 2, 3).astype(jnp.float32)
         # host-stepped UniPC (one jitted CFG forward per device execution):
@@ -213,10 +217,15 @@ class Video2WorldInference:
                 ),
                 static_argnums=(3, 4),
             )
-        video = jnp.asarray(video_u8).astype(jnp.bfloat16) / 127.5 - 1.0
         if self.setup.streaming_vae:
-            latents = encode_streaming(self.vae.config, self.vae_params, video.transpose(0, 2, 3, 4, 1))
+            latents = encode_streaming(
+                self.vae.config,
+                self.vae_params,
+                jnp.asarray(video_u8).transpose(0, 2, 3, 4, 1),
+                pixel_format="uint8",
+            )
         else:
+            video = jnp.asarray(video_u8).astype(jnp.bfloat16) / 127.5 - 1.0
             latents = self.vae.apply(self.vae_params, video.transpose(0, 2, 3, 4, 1), method=WanVAE.encode)
         gt = latents.transpose(0, 4, 1, 2, 3).astype(jnp.float32)
         condition = make_condition(text_emb, data_type=DataType.VIDEO).replace(gt_frames=gt)

@@ -258,22 +258,37 @@ def encoder_chunk(cfg: WanVAEConfig, params, x_chunk, state: StreamState, conv_b
     return z, StreamState(caches=caches, first=False)
 
 
-def encode_streaming(vae_cfg: WanVAEConfig, params, x, chunk_frames: int = 4, conv_backend: str | None = None):
+def encode_streaming(
+    vae_cfg: WanVAEConfig, params, x, chunk_frames: int = 4, conv_backend: str | None = None,
+    pixel_format: str = "float",
+):
     """Full streaming encode of (B, 1+4k, H, W, 3); O(chunk) memory.
 
     Chunks run through a cached ``jax.jit`` of :func:`encoder_chunk`:
     the first chunk and the steady-state chunk each compile once, every
     later chunk reuses the compiled program (same shapes).
+
+    ``pixel_format="uint8"`` takes ``x`` as raw uint8 pixels and fuses the
+    uint8 -> [-1, 1] normalize into the compiled chunk program — the input
+    clip stays uint8 end-to-end (93f 704x1280 is 0.25 GB as uint8 vs
+    0.5 GB as bf16 plus a full-clip normalize/transpose pass), mirroring
+    the decode side's device-side quantization.
     """
     assert chunk_frames % 4 == 0
+    assert pixel_format in ("float", "uint8"), pixel_format
+    from_u8 = pixel_format == "uint8"
+    if from_u8:
+        assert x.dtype == jnp.uint8, x.dtype
     be = _CONV_BACKEND if conv_backend is None else conv_backend
     B, T, H, W, _ = x.shape
     state = init_encoder_state(vae_cfg, B, H, W, dtype=vae_cfg.dtype)
     outs = []
-    z, caches = _jitted_chunk("enc", vae_cfg, first=True, conv_backend=be)(params, x[:, :1], state.caches)
+    z, caches = _jitted_chunk("enc", vae_cfg, first=True, conv_backend=be, from_u8=from_u8)(
+        params, x[:, :1], state.caches
+    )
     outs.append(z)
     pos = 1
-    steady = _jitted_chunk("enc", vae_cfg, first=False, conv_backend=be)
+    steady = _jitted_chunk("enc", vae_cfg, first=False, conv_backend=be, from_u8=from_u8)
     while pos < T:
         end = min(pos + chunk_frames, T)
         z, caches = steady(params, x[:, pos:end], caches)
@@ -476,20 +491,29 @@ def _cfg_key(cfg: WanVAEConfig) -> tuple:
     )
 
 
-def _jitted_chunk(kind: str, cfg: WanVAEConfig, *, first: bool, to_u8: bool = False, conv_backend: str | None = None):
+def _jitted_chunk(
+    kind: str, cfg: WanVAEConfig, *, first: bool, to_u8: bool = False,
+    conv_backend: str | None = None, from_u8: bool = False,
+):
     """Compiled (params, chunk, caches) -> (out, caches) for one stream
     chunk. ``first`` is a trace-time constant (the frame-0 "Rep" bypass is
     Python control flow), so first/steady chunks get separate programs.
-    ``to_u8`` fuses [-1,1] -> uint8 quantization into the program (decode).
+    ``to_u8`` fuses [-1,1] -> uint8 quantization into the program (decode);
+    ``from_u8`` fuses uint8 -> [-1,1] normalization in (encode).
     ``conv_backend`` is resolved here (defaults to the process global) and
     baked into the program + cache key as a trace-time constant."""
     be = _CONV_BACKEND if conv_backend is None else conv_backend
-    key = (kind, _cfg_key(cfg), first, to_u8, be)
+    key = (kind, _cfg_key(cfg), first, to_u8, be, from_u8)
     fn = _JIT_CACHE.get(key)
     if fn is None:
         base = encoder_chunk if kind == "enc" else decoder_chunk
 
         def flat(params, chunk, caches, _base=base, _cfg=cfg, _first=first, _be=be):
+            if from_u8:
+                # normalize to bf16 exactly like the pipelines' historical
+                # host pass (uint8 -> bf16 -> [-1,1]) and hand the chunk over
+                # at bf16 — bit-compatible with the float route's feed.
+                chunk = chunk.astype(jnp.bfloat16) / 127.5 - 1.0
             out, st = _base(_cfg, params, chunk, StreamState(caches=caches, first=_first), conv_backend=_be)
             if to_u8:
                 out = jnp.round((jnp.clip(out.astype(jnp.float32), -1.0, 1.0) + 1.0) * 127.5).astype(jnp.uint8)

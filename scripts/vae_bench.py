@@ -210,13 +210,66 @@ def run_convcmp(sizes=(1, 2, 4), backends=("xla", "auto")):
         print(f"[convcmp {backend} e2e u8] decode {N_FRAMES}f {PIX_H}x{PIX_W}: {min(times):.1f} s", flush=True)
 
 
+def run_enc(chunks=(4, 8, 12), backends=("auto", "xla", "taps")):
+    """Whole-clip streaming ENCODE sweep: chunk_frames x conv backend, plus
+    the uint8-native feed (fused in-program normalize) for the winner.
+    Encode has sat at ~9.4 s since round 2 with no sweep of its own
+    (decode got three rounds of attention); target <= 5 s (VERDICT r3)."""
+    from cosmos_predict2_tpu.tokenizers import wan_vae_streaming as wvs
+
+    cfg, params = make_vae()
+    kind, peak, bw = chip()
+    print(f"[chip] {kind}: bf16 peak {peak/1e12:.0f} TF/s, HBM {bw/1e9:.0f} GB/s", flush=True)
+
+    rng = np.random.default_rng(0)
+    x_u8_host = rng.integers(0, 256, size=(1, N_FRAMES, PIX_H, PIX_W, 3), dtype=np.uint8)
+    x_u8 = jnp.asarray(x_u8_host)
+    x_f = (x_u8.astype(jnp.bfloat16) / 127.5 - 1.0)
+
+    def lap(fn):
+        out = fn()
+        _ = float(np.sum(np.asarray(out[:, :1], np.float32)))
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = fn()
+            _ = float(np.sum(np.asarray(out[:, :1], np.float32)))
+            times.append(time.perf_counter() - t0)
+        return min(times)
+
+    for be in backends:
+        for cf in chunks:
+            try:
+                t = lap(lambda: wvs.encode_streaming(cfg, params, x_f, chunk_frames=cf, conv_backend=be))
+                print(f"[enc {be} chunk={cf}] encode {N_FRAMES}f {PIX_H}x{PIX_W}: {t:.2f} s", flush=True)
+            except Exception as e:
+                print(f"[enc {be} chunk={cf}] FAILED {type(e).__name__}: {str(e)[:120]}", flush=True)
+    # uint8-native feed (the production pipeline route) on the default backend
+    for cf in chunks:
+        try:
+            t = lap(lambda: wvs.encode_streaming(cfg, params, x_u8, chunk_frames=cf, pixel_format="uint8"))
+            print(f"[enc auto/u8 chunk={cf}] encode {N_FRAMES}f {PIX_H}x{PIX_W}: {t:.2f} s", flush=True)
+        except Exception as e:
+            print(f"[enc auto/u8 chunk={cf}] FAILED {type(e).__name__}: {str(e)[:120]}", flush=True)
+    # whole-path glue: host uint8 numpy -> device -> encode (what _run_dmd2 pays)
+    t = lap(lambda: wvs.encode_streaming(cfg, params, jnp.asarray(x_u8_host), chunk_frames=chunks[0], pixel_format="uint8"))
+    print(f"[enc auto/u8+H2D chunk={chunks[0]}] encode incl H2D: {t:.2f} s", flush=True)
+
+
 if __name__ == "__main__":
     cmd = sys.argv[1] if len(sys.argv) > 1 else "chunks"
     if cmd == "chunks":
         sizes = tuple(int(a) for a in sys.argv[2:]) or (1,)
         run_chunks(sizes)
     elif cmd == "e2e":
-        run_e2e()
+        if len(sys.argv) > 2:
+            sizes = tuple(int(a) for a in sys.argv[2:])
+            run_e2e(tuple(("host", n, "uint8") for n in sizes))
+        else:
+            run_e2e()
+    elif cmd == "enc":
+        chunks = tuple(int(a) for a in sys.argv[2:]) or (4, 8, 12)
+        run_enc(chunks)
     elif cmd == "attn":
         run_attn()
     elif cmd == "convcmp":

@@ -102,6 +102,24 @@ def test_streaming_encode_decode_exact(vae_and_params):
 
 
 @pytest.mark.level(1)
+def test_streaming_encode_uint8_route(vae_and_params):
+    """pixel_format="uint8" (fused in-program normalize, production feed)
+    must match the float route on the same normalized pixels."""
+    from cosmos_predict2_tpu.tokenizers.wan_vae_streaming import encode_streaming
+
+    vae, params = vae_and_params
+    rng = np.random.default_rng(3)
+    clip_u8 = jnp.asarray(rng.integers(0, 256, size=(1, 17, 16, 16, 3), dtype=np.uint8))
+    clip_f = clip_u8.astype(jnp.bfloat16) / 127.5 - 1.0  # the pipelines' feed dtype
+    z_f = encode_streaming(vae.config, params, clip_f, chunk_frames=4)
+    z_u8 = encode_streaming(vae.config, params, clip_u8, chunk_frames=4, pixel_format="uint8")
+    assert z_u8.shape == z_f.shape and z_u8.dtype == z_f.dtype
+    np.testing.assert_allclose(
+        np.asarray(z_u8, np.float32), np.asarray(z_f, np.float32), atol=2e-3
+    )
+
+
+@pytest.mark.level(1)
 def test_streaming_decode_pallas_conv_backend(vae_and_params):
     """The Pallas conv3d backend must reproduce the XLA streaming decode.
 
