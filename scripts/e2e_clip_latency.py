@@ -108,8 +108,11 @@ def run_dmd2(pipe, H: int, W: int, state_t: int, repeat: int, geom: str = "full"
         # per-stage splits so the gap between the component sum and the
         # measured e2e is attributable (upload/host glue vs device stages)
         t0 = time.perf_counter()
-        v = jnp.asarray(video).astype(jnp.bfloat16) / 127.5 - 1.0
-        latents = encode_streaming(pipe.vae.config, pipe.vae_params, v.transpose(0, 2, 3, 4, 1))
+        # production api.py feed: uint8 H2D, normalize fused in the encode chunks
+        latents = encode_streaming(
+            pipe.vae.config, pipe.vae_params,
+            jnp.asarray(video).transpose(0, 2, 3, 4, 1), pixel_format="uint8",
+        )
         gt = latents.transpose(0, 4, 1, 2, 3).astype(jnp.float32)
         _ = float(jnp.sum(gt[:, :1]))  # force encode before timing the split
         t_enc = time.perf_counter() - t0
