@@ -34,6 +34,7 @@ the sample).
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import time
@@ -112,12 +113,50 @@ def _make_net(sparse: bool):
 
 
 def _make_params(net, x, ts, ctx):
+    # bf16-native generation: no fp32 transient per leaf (the round-4
+    # artifact died at this spot with RESOURCE_EXHAUSTED on a chip whose
+    # HBM a flaky tunnel had left populated).
     shapes = jax.eval_shape(lambda: net.init(jax.random.PRNGKey(0), x, ts, ctx))
     keys = iter(jax.random.split(jax.random.PRNGKey(42), len(jax.tree.leaves(shapes))))
     return jax.tree.map(
-        lambda s: (jax.random.normal(next(keys), s.shape, jnp.float32) * 0.02).astype(jnp.bfloat16),
+        lambda s: jax.random.normal(next(keys), s.shape, jnp.bfloat16) * jnp.bfloat16(0.02),
         shapes,
     )
+
+
+def _free(*trees) -> None:
+    """Aggressively return device buffers + compiled executables to HBM."""
+    for t in trees:
+        for leaf in jax.tree.leaves(t):
+            try:
+                leaf.delete()
+            except Exception:  # noqa: BLE001
+                pass
+    gc.collect()
+    jax.clear_caches()
+
+
+_TRANSIENT = ("RESOURCE_EXHAUSTED", "ResourceExhausted", "DEADLINE_EXCEEDED", "UNAVAILABLE", "Socket closed", "connection")
+
+
+def _with_retry(fn, *, attempts: int = 3, sleeps=(30.0, 90.0)):
+    """Bounded retry for the PRIMARY measurement on transient chip/tunnel errors.
+
+    Secondary metrics stay fail-soft (they degrade to *_error fields);
+    the dense number is the artifact and gets ``attempts`` tries with a
+    cache flush + backoff between them.
+    """
+    for i in range(attempts):
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001
+            msg = f"{type(e).__name__}: {e}"
+            transient = any(k.lower() in msg.lower() for k in _TRANSIENT)
+            if i == attempts - 1 or not transient:
+                raise
+            _free()
+            time.sleep(sleeps[min(i, len(sleeps) - 1)])
+    raise RuntimeError("unreachable")
 
 
 def _vae_times() -> tuple[float, float]:
@@ -130,7 +169,7 @@ def _vae_times() -> tuple[float, float]:
     shapes = jax.eval_shape(lambda: net.init(jax.random.PRNGKey(0), jnp.zeros((1, 5, 64, 64, 3), jnp.bfloat16)))
     keys = iter(jax.random.split(jax.random.PRNGKey(7), len(jax.tree.leaves(shapes))))
     params = jax.tree.map(
-        lambda s: (jax.random.normal(next(keys), s.shape, jnp.float32) * 0.05).astype(s.dtype), shapes
+        lambda s: jax.random.normal(next(keys), s.shape, s.dtype) * jnp.asarray(0.05, s.dtype), shapes
     )
 
     x = jax.random.normal(jax.random.PRNGKey(0), (1, FRAMES, PIX_H, PIX_W, 3), dtype=jnp.bfloat16) * 0.5
@@ -170,14 +209,12 @@ def main() -> None:
     peak = next((v for k, v in peaks.items() if kind.startswith(k)), 197e12)
 
     results: dict = {}
-    for name, sparse in (("dense", False), ("sparse", True)):
-        # the primary (dense) metric must survive a flaky secondary
-        # measurement: sparse/DMD2/VAE failures degrade to an *_error
-        # field instead of losing the whole driver artifact
-        try:
-            net, _cfg = _make_net(sparse)
-            params = _make_params(net, x, ts, ctx)
 
+    def measure_config(name: str, sparse: bool) -> float:
+        """Measure one attention config; returns the CFG step time."""
+        net, _cfg = _make_net(sparse)
+        params = _make_params(net, x, ts, ctx)
+        try:
             @jax.jit
             def cfg_step(params, x, ts, ctx, _net=net):
                 x2 = jnp.concatenate([x, x], axis=0)
@@ -191,41 +228,37 @@ def main() -> None:
             results[f"{name}_frames_per_sec_per_chip"] = round(FRAMES / (NUM_STEPS * t_step), 4)
 
             if name == "dense":
-                dense_t_step = t_step
                 results["dense_mfu"] = round(2 * fwd_flops / t_step / peak, 4)
+            # DMD2 distilled: single forward per step, 4 steps (same net;
+            # sparse composes the NA recipe with the 4-step student — the
+            # fastest supported config). Fail-soft: the CFG numbers above
+            # are already in `results` and must survive a DMD2 failure.
+            key = "dmd2" if name == "dense" else "dmd2_sparse"
+            try:
+                single = jax.jit(lambda p, x, ts, c, _net=net: _net.apply(p, x, ts, c))
+                t_fwd = _timed(single, params, x, ts, ctx)
+                results[f"{key}_t_fwd_s"] = round(t_fwd, 3)
+                results[f"{key}_frames_per_sec_per_chip"] = round(FRAMES / (DMD2_STEPS * t_fwd), 4)
+            except Exception as e:  # noqa: BLE001
+                results[f"{key}_error"] = f"{type(e).__name__}: {e}"[:200]
+            return t_step
+        finally:
+            _free(params)
 
-                # DMD2 distilled: single forward per step, 4 steps (same
-                # net). Its own fail-soft scope — the dense numbers above
-                # are already in `results` and must survive a DMD2 failure.
-                try:
-                    single = jax.jit(lambda p, x, ts, c, _net=net: _net.apply(p, x, ts, c))
-                    t_fwd = _timed(single, params, x, ts, ctx)
-                    results["dmd2_t_fwd_s"] = round(t_fwd, 3)
-                    results["dmd2_frames_per_sec_per_chip"] = round(FRAMES / (DMD2_STEPS * t_fwd), 4)
-                except Exception as e:  # noqa: BLE001
-                    results["dmd2_error"] = f"{type(e).__name__}: {e}"[:200]
-            else:
-                # sparse DMD2 student: the sparse recipe composed with the
-                # 4-step distilled sampler — the fastest supported config
-                # (a beyond-parity option; the reference ships the two
-                # separately). Fail-soft like the dense DMD2 branch.
-                try:
-                    single = jax.jit(lambda p, x, ts, c, _net=net: _net.apply(p, x, ts, c))
-                    t_fwd = _timed(single, params, x, ts, ctx)
-                    results["dmd2_sparse_t_fwd_s"] = round(t_fwd, 3)
-                    results["dmd2_sparse_frames_per_sec_per_chip"] = round(
-                        FRAMES / (DMD2_STEPS * t_fwd), 4
-                    )
-                except Exception as e:  # noqa: BLE001
-                    results["dmd2_sparse_error"] = f"{type(e).__name__}: {e}"[:200]
-            del params, net
-        except Exception as e:  # noqa: BLE001
-            if name == "dense":
-                raise  # the primary metric: no artifact without it
-            results[f"{name}_error"] = f"{type(e).__name__}: {e}"[:200]
+    # the primary (dense) metric gets a bounded retry on transient chip/
+    # tunnel errors (the round-4 artifact was lost to one); sparse/DMD2/
+    # VAE failures degrade to an *_error field instead of losing the
+    # whole driver artifact.
+    dense_t_step = _with_retry(lambda: measure_config("dense", False))
+    try:
+        measure_config("sparse", True)
+    except Exception as e:  # noqa: BLE001
+        results["sparse_error"] = f"{type(e).__name__}: {e}"[:200]
 
     try:
-        t_enc, t_dec = _vae_times()
+        # fail-soft overall, but the decode number is a deliverable —
+        # give it one retry on a transient before degrading.
+        t_enc, t_dec = _with_retry(_vae_times, attempts=2)
         results["vae_encode_s"] = round(t_enc, 1)
         results["vae_decode_s"] = round(t_dec, 1)
     except Exception as e:  # noqa: BLE001

@@ -60,7 +60,7 @@ def set_conv_backend(mode: str) -> None:
     backend is resolved ONCE per call and threaded explicitly through the
     chunk programs, so concurrent encodes/decodes never observe each
     other's routing."""
-    assert mode in ("auto", "xla", "taps", "kfold", "interpret"), mode
+    assert mode in ("auto", "xla", "taps", "kfold", "ring", "ptap", "interpret", "ring_interpret"), mode
     global _CONV_BACKEND
     _CONV_BACKEND = mode
 
@@ -90,7 +90,7 @@ def _use_pallas_conv(xin, w, backend: str) -> bool:
     # conv, whose halo exchanges GSPMD inserts automatically.
     if jax.sharding.get_abstract_mesh().size > 1:
         return False
-    return backend == "interpret" or jax.default_backend() == "tpu"
+    return backend in ("interpret", "ring_interpret") or jax.default_backend() == "tpu"
 
 
 # ----------------------------- primitive ops -----------------------------
@@ -135,18 +135,23 @@ def _stream_conv(p, x, cache, dtype, backend: str = "xla"):
         )
     elif _use_pallas_conv(xin, p["weight"], backend):
         # "kfold" = the K-folded kernel ((dt,dh) taps in the GEMM K dim);
-        # "auto"/"interpret" = the per-tap kernel. Chip-measured (r4,
-        # vae_bench convcmp, steady decode chunk): kfold 540 ms vs
-        # per-tap 546 ms — a wash; the kernel is DMA-bound at these
-        # shapes, not accumulator-bound, so per-tap stays the default.
-        kernel = pallas_conv3d.conv3d_causal_folded if backend == "kfold" else pallas_conv3d.conv3d_causal_taps
+        # "auto"/"ring"/"ring_interpret" = the frame-ring kernel (each
+        # input frame-band DMA'd once per band, not kt times — the r5
+        # answer to the input-DMA bound, chip-measured in vae_bench
+        # convcmp); "interpret" = the per-tap kernel in interpreter mode.
+        if backend == "kfold":
+            kernel = pallas_conv3d.conv3d_causal_folded
+        elif backend in ("auto", "ring", "ring_interpret"):
+            kernel = pallas_conv3d.conv3d_causal_ring
+        else:  # "ptap" (explicit per-tap kernel) / "interpret"
+            kernel = pallas_conv3d.conv3d_causal_taps
         out = kernel(
             xin.astype(dtype),
             p["weight"].astype(dtype),
             p["bias"],
             kt=3,
             out_dtype=dtype,
-            interpret=backend == "interpret",
+            interpret=backend in ("interpret", "ring_interpret"),
         )
     else:
         out = _conv3d(p, xin, (0, 0), dtype=dtype)
@@ -279,6 +284,13 @@ def encode_streaming(
     from_u8 = pixel_format == "uint8"
     if from_u8:
         assert x.dtype == jnp.uint8, x.dtype
+    else:
+        # loud failure for the inverse mistake: a raw uint8 clip fed on the
+        # float route would silently encode 0-255 values into garbage latents
+        assert jnp.issubdtype(x.dtype, jnp.floating), (
+            f"pixel_format='float' expects float pixels in [-1, 1], got {x.dtype}; "
+            "pass pixel_format='uint8' for raw uint8 clips"
+        )
     be = _CONV_BACKEND if conv_backend is None else conv_backend
     B, T, H, W, _ = x.shape
     state = init_encoder_state(vae_cfg, B, H, W, dtype=vae_cfg.dtype)
@@ -508,14 +520,18 @@ def _jitted_chunk(
     if fn is None:
         base = encoder_chunk if kind == "enc" else decoder_chunk
 
-        def flat(params, chunk, caches, _base=base, _cfg=cfg, _first=first, _be=be):
-            if from_u8:
-                # normalize to bf16 exactly like the pipelines' historical
-                # host pass (uint8 -> bf16 -> [-1,1]) and hand the chunk over
-                # at bf16 — bit-compatible with the float route's feed.
-                chunk = chunk.astype(jnp.bfloat16) / 127.5 - 1.0
+        def flat(
+            params, chunk, caches,
+            _base=base, _cfg=cfg, _first=first, _be=be, _from_u8=from_u8, _to_u8=to_u8,
+        ):
+            if _from_u8:
+                # normalize in the config dtype (bf16 in every shipped config,
+                # bit-compatible with the historical uint8 -> bf16 host pass);
+                # keeps the uint8 and float routes dtype-consistent when a
+                # non-bf16 VAE config is used.
+                chunk = chunk.astype(_cfg.dtype) / 127.5 - 1.0
             out, st = _base(_cfg, params, chunk, StreamState(caches=caches, first=_first), conv_backend=_be)
-            if to_u8:
+            if _to_u8:
                 out = jnp.round((jnp.clip(out.astype(jnp.float32), -1.0, 1.0) + 1.0) * 127.5).astype(jnp.uint8)
             return out, st.caches
 

@@ -110,7 +110,9 @@ def test_streaming_encode_uint8_route(vae_and_params):
     vae, params = vae_and_params
     rng = np.random.default_rng(3)
     clip_u8 = jnp.asarray(rng.integers(0, 256, size=(1, 17, 16, 16, 3), dtype=np.uint8))
-    clip_f = clip_u8.astype(jnp.bfloat16) / 127.5 - 1.0  # the pipelines' feed dtype
+    # the fused normalize runs in the config dtype (bf16 in every shipped
+    # config; float32 in this CPU fixture) — feed the float route the same
+    clip_f = clip_u8.astype(vae.config.dtype) / 127.5 - 1.0
     z_f = encode_streaming(vae.config, params, clip_f, chunk_frames=4)
     z_u8 = encode_streaming(vae.config, params, clip_u8, chunk_frames=4, pixel_format="uint8")
     assert z_u8.shape == z_f.shape and z_u8.dtype == z_f.dtype
