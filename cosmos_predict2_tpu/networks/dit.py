@@ -161,8 +161,10 @@ class DiTConfig:
     # mode compiles each attention kernel exactly ONCE per program. Params
     # stack across all blocks (blocks_scan0); block_segments returns a
     # single segment so the scan_params converters handle the layout.
-    # Requires: no per-layer natten_parameters, cp_axis=None (lax.cond
-    # branches cannot carry collectives), no kv-cache streaming.
+    # Requires: no per-layer natten_parameters, no kv-cache streaming.
+    # Legal under cp_axis: the Ulysses a2a pair is hoisted outside the
+    # lax.cond (both branches consume the gathered head-sharded sequence),
+    # keeping the cond body collective-free.
     scan_uniform: bool = False
     # cp mesh axis name (when run under shard_map sequence parallelism)
     cp_axis: Optional[str] = None
@@ -312,19 +314,20 @@ class Attention(nn.Module):
             # (neighborhood_attn.py:226-228).
             if self.cp_axis is not None:
                 # a2a + local neighborhood attention on the gathered full
-                # sequence — the reference's NattenA2AAttnOp (a2a_cp.py:222)
-                if sparse_switch is not None:
-                    raise ValueError(
-                        "scan_uniform's runtime dense/sparse switch cannot run "
-                        "under context parallelism (collectives inside lax.cond); "
-                        "use scan_uniform=False with cp_axis"
-                    )
+                # sequence — the reference's NattenA2AAttnOp (a2a_cp.py:222).
+                # Under scan_uniform the traced dense/sparse switch passes
+                # through: the a2a pair is hoisted out of the lax.cond (both
+                # branches consume the gathered head-sharded sequence), so
+                # the cond body stays collective-free.
+                if sparse_switch is not None and self.frame_group != 0:
+                    raise ValueError("sparse_switch incompatible with frame-causal attention (frame_group != 0)")
                 from cosmos_predict2_tpu.parallel.cp import ulysses_attention
 
                 out = ulysses_attention(
-                    q, k, v, axis_name=self.cp_axis,
+                    q, k, v, axis_name=self.cp_axis, backend=self.backend,
                     na_video_size=self.na_video_size, na_window=self.na_window,
                     na_stride=self.na_stride, na_dilation=self.na_dilation,
+                    sparse_switch=sparse_switch,
                 )
             else:
                 from cosmos_predict2_tpu.ops.neighborhood_attention import (
@@ -964,8 +967,6 @@ class MiniTrainDIT(nn.Module):
                 f"per-segment block scanning ({len(block_segments(cfg))} segments)"
             )
         if uniform:
-            if cfg.cp_axis is not None:
-                raise ValueError("scan_uniform is not supported with cp_axis (collectives inside lax.cond)")
             # ONE scan over all blocks; the dense/sparse interleave becomes
             # a scanned boolean driving lax.cond in Attention — each Mosaic
             # kernel (NA fwd/dq/dkv, flash) traces exactly once per program

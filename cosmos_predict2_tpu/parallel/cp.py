@@ -35,6 +35,7 @@ def ulysses_attention(
     na_window: tuple[int, int, int] = (-1, -1, -1),
     na_stride: tuple[int, int, int] = (1, 1, 1),
     na_dilation: tuple[int, int, int] = (1, 1, 1),
+    sparse_switch: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Sequence-parallel self-attention. q,k,v: (B, S, H, D) global view,
     sharded over S on ``axis_name``. Must run inside jit with an ambient
@@ -43,9 +44,20 @@ def ulysses_attention(
     With ``na_video_size`` set, the local attention after the head-scatter
     is the sparse neighborhood kernel on the full gathered sequence — the
     reference's ``NattenA2AAttnOp`` composition (a2a_cp.py:222-226).
-    """
 
-    def inner(q, k, v):
+    ``sparse_switch`` (scan_uniform under CP): a traced replicated boolean
+    choosing the NA kernel vs dense attention per scanned block. Both
+    branches consume the SAME gathered head-sharded sequence, so the two
+    all-to-alls are hoisted OUTSIDE the ``lax.cond`` — the cond body is
+    collective-free, which is what makes the uniformly-scanned interleave
+    legal under context parallelism (the production sparse_2B recipe at
+    cp=4; reference composition a2a_cp.py:222 +
+    experiment/resume_text2world/sparse_2B.py:326).
+    """
+    if sparse_switch is not None and na_video_size is None:
+        raise ValueError("sparse_switch requires na_video_size (the sparse branch's geometry)")
+
+    def inner(q, k, v, *flag):
         # local views: (B, S/c, H, D)
         def scatter_heads(t):
             # S/c -> S, H -> H/c
@@ -64,20 +76,36 @@ def ulysses_attention(
             # backend dispatch (Pallas / gathered XLA / dense reference)
             # lives in the op — off-TPU full-geometry runs must hit the
             # gathered executor, not 57 GB of dense logits per layer
-            out = neighborhood_attention_auto(
-                ql, kl, vl, VideoSize(*na_video_size), na_window, stride=na_stride, dilation=na_dilation
-            )
+            def _na_fn(q_, k_, v_):
+                return neighborhood_attention_auto(
+                    q_, k_, v_, VideoSize(*na_video_size), na_window, stride=na_stride, dilation=na_dilation
+                )
+
+            if sparse_switch is None:
+                out = _na_fn(ql, kl, vl)
+            else:
+                def _dense_fn(q_, k_, v_):
+                    return dot_product_attention(q_, k_, v_, backend=backend)
+
+                out = jax.lax.cond(flag[0], _na_fn, _dense_fn, ql, kl, vl)
         else:
             out = dot_product_attention(ql, kl, vl, backend=backend, frame_group=frame_group)
         return gather_heads(out)
 
     spec = P(None, axis_name, None, None)
+    if sparse_switch is None:
+        return jax.shard_map(
+            inner,
+            in_specs=(spec, spec, spec),
+            out_specs=spec,
+            axis_names={axis_name},
+        )(q, k, v)
     return jax.shard_map(
         inner,
-        in_specs=(spec, spec, spec),
+        in_specs=(spec, spec, spec, P()),
         out_specs=spec,
         axis_names={axis_name},
-    )(q, k, v)
+    )(q, k, v, sparse_switch)
 
 
 def ulysses_kv_cache_attention(

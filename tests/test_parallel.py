@@ -353,3 +353,60 @@ def test_ulysses_kv_cache_communication_pattern():
         dims = [int(x) for x in re.findall(r"f32\[([\d,]+)\]", l)[0].split(",")]
         assert dims[1] * dims[2] <= S_blk * H // 4, (l, dims)
     assert "all-gather" not in txt
+
+
+@pytest.mark.chips(8)
+@pytest.mark.level(1)
+def test_scan_uniform_sparse_interleave_under_cp():
+    """The production compile shape: scan_uniform folding the dense/sparse
+    NA interleave into ONE scan, running under Ulysses CP. The a2a pair is
+    hoisted outside the runtime lax.cond (parallel/cp.py), so the cond body
+    is collective-free and the uniformly-scanned interleave is legal under
+    context parallelism — matches the unrolled single-device net exactly.
+    Reference composition: a2a_cp.py:222 (NattenA2AAttnOp) +
+    experiment/resume_text2world/sparse_2B.py:326 (n_dense_blocks=7)."""
+    import dataclasses
+
+    from cosmos_predict2_tpu.networks.dit import MiniTrainDIT, PRESETS
+    from cosmos_predict2_tpu.utils.scan_params import stack_block_params
+
+    cfg = dataclasses.replace(
+        PRESETS["test"], dtype=jnp.float32, remat="none",
+        model_channels=256, num_heads=4, adaln_lora_dim=32,
+        num_blocks=4, n_dense_blocks=2,
+        natten_window=(-1, 2, 2), natten_stride=(1, 1, 1),
+        rope_enable_fps_modulation=False,
+    )
+    unrolled = MiniTrainDIT(dataclasses.replace(cfg, scan_blocks=False))
+    uniform_cp = MiniTrainDIT(
+        dataclasses.replace(cfg, scan_blocks=True, scan_uniform=True, cp_axis="cp")
+    )
+
+    B, C, T, H, W = 1, 16, 4, 8, 8
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, C, T, H, W))
+    ts = jnp.full((B,), 700.0)
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (B, 8, 1024)) * 0.05
+    params = unrolled.init(jax.random.PRNGKey(2), x, ts, ctx)
+    expected = unrolled.apply(params, x, ts, ctx)
+
+    sparams = stack_block_params(params, dataclasses.replace(cfg, scan_blocks=True, scan_uniform=True))
+    mesh = make_mesh(1, 1, 4, 1, devices=jax.devices()[:4])
+    with jax.set_mesh(mesh):
+        xs = jax.device_put(x, NamedSharding(mesh, P(None, None, "cp")))
+        got = jax.jit(lambda p, a: uniform_cp.apply(p, a, ts, ctx))(sparams, xs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=2e-4)
+
+
+@pytest.mark.level(0)
+def test_pp_knob_validates_one():
+    """Interface parity for pipeline_model_parallel_size (reference
+    imaginaire/trainer.py:86 + parallel_dims.py:25-138: the knob is
+    threaded, no schedule exists): pp=1 builds the mesh, pp>1 raises at
+    mesh build — the same place ParallelDims validates it."""
+    from cosmos_predict2_tpu.configs.defaults import Config
+
+    assert Config().pp_size == 1
+    mesh = make_mesh(1, 1, 1, 1, devices=jax.devices()[:1], pp=1)
+    assert mesh.shape["cp"] == 1
+    with pytest.raises(ValueError, match="pipeline"):
+        make_mesh(1, 1, 1, 1, devices=jax.devices()[:1], pp=2)
