@@ -75,6 +75,21 @@ def _batches(model, n, seed=0):
         yield latents, cond
 
 
+# Pinned golden-loss literals for the mock-data training trajectory
+# (max_iter=3, seeds fixed above) on the CPU test platform — the repo's
+# counterpart of the reference's hard regression literal
+# (_src/predict2/tests/training_loss_test.py:42-45, "16.7822"): any
+# semantics change to init, time sampling, interpolation, loss weighting,
+# optimizer, or EMA ordering moves these and FAILS here, even when the
+# change is itself deterministic (VERDICT r4 #6).
+#
+# Re-bless procedure (only after an INTENTIONAL semantics change): run
+#   python -m pytest tests/test_training.py::test_trainer_loss_decreases_and_golden -q
+# read the three observed values from the assertion message, paste them
+# here, and say why in the commit message.
+GOLDEN_LOSSES = (31.725500106811523, 15.014925003051758, 37.10543441772461)
+
+
 @pytest.mark.level(1)
 def test_trainer_loss_decreases_and_golden():
     trainer, model = _make_trainer(max_iter=3)
@@ -93,7 +108,14 @@ def test_trainer_loss_decreases_and_golden():
     state = trainer.train(state, _batches(model, 5))
     assert int(state.step) == 3
     assert all(np.isfinite(losses))
-    # Golden regression: loss at iteration 1 is deterministic given seeds.
+    # Hard regression against the pinned literals (rel 1e-4 absorbs
+    # last-bit XLA:CPU codegen jitter, nothing more).
+    for i, (got, want) in enumerate(zip(losses, GOLDEN_LOSSES)):
+        assert got == pytest.approx(want, rel=1e-4), (
+            f"training trajectory drifted at iteration {i}: observed {losses!r} "
+            f"vs pinned {GOLDEN_LOSSES!r} — if the change is intentional, follow "
+            "the re-bless procedure above GOLDEN_LOSSES"
+        )
     golden = losses[0]
     # rerun from scratch -> identical
     trainer2, model2 = _make_trainer(max_iter=1)
@@ -306,3 +328,86 @@ def test_trainer_scan_blocks_matches_unrolled():
     scanned_params = adapt_block_layout(ref_params, scan_net)
     scan_losses, _ = run(scan=True, params=scanned_params)
     np.testing.assert_allclose(scan_losses, ref_losses, rtol=1e-5)
+
+
+# ----------------- optimizer-state memory mode (bf16 moments) -----------------
+
+
+@pytest.mark.level(0)
+def test_stochastic_round_bf16_exact_and_unbiased():
+    """Representable values pass through exactly; non-representable ones
+    round unbiasedly (mean over keys -> the true value, far below the
+    deterministic truncation bias)."""
+    import jax
+
+    from cosmos_predict2_tpu.training.optim import stochastic_round_to_bf16
+
+    exact = jnp.asarray([0.0, 1.0, -2.5, 0.15625], jnp.float32)  # all bf16-exact
+    got = stochastic_round_to_bf16(exact, jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(np.asarray(got, np.float32), np.asarray(exact))
+
+    x = jnp.full((4096,), 1.0 + 2**-9, jnp.float32)  # exactly mid between bf16 neighbors
+    keys = jax.random.split(jax.random.PRNGKey(1), 64)
+    acc = np.mean(
+        [np.asarray(stochastic_round_to_bf16(x, k), np.float32) for k in keys]
+    )
+    # truncation would give 1.0 (bias -2^-9); SR mean must sit near the input
+    assert abs(acc - float(x[0])) < 2**-12
+    # negative midpoints are unbiased too (sign-magnitude rounding)
+    acc_n = np.mean(
+        [np.asarray(stochastic_round_to_bf16(-x, k), np.float32) for k in keys]
+    )
+    assert abs(acc_n + float(x[0])) < 2**-12
+
+
+@pytest.mark.level(0)
+def test_bf16_moments_state_dtype_and_trajectory():
+    """moments_dtype='bfloat16' stores BOTH Adam moments in bf16 (half the
+    optimizer HBM) and tracks the f32-state adamw trajectory on a toy
+    problem."""
+    import jax
+    import optax
+
+    from cosmos_predict2_tpu.training.optim import OptimizerConfig, make_optimizer
+
+    cfg32 = OptimizerConfig(lr=0.05, warm_up_steps=(0,), f_start=(1.0,), f_max=(1.0,),
+                            f_min=(1.0,), cycle_lengths=(10_000,), grad_clip_norm=None)
+    cfg16 = dataclasses.replace(cfg32, moments_dtype="bfloat16")
+    target = jnp.asarray(np.random.RandomState(0).randn(64), jnp.float32)
+
+    def run(cfg):
+        opt = make_optimizer(cfg)
+        p = jnp.zeros((64,), jnp.float32)
+        state = opt.init(p)
+        for _ in range(60):
+            g = jax.grad(lambda q: jnp.mean((q - target) ** 2))(p)
+            upd, state = opt.update(g, state, p)
+            p = optax.apply_updates(p, upd)
+        return p, state
+
+    p32, _ = run(cfg32)
+    p16, state16 = run(cfg16)
+    moment_leaves = [
+        l for l in jax.tree.leaves(state16) if hasattr(l, "dtype") and l.dtype == jnp.bfloat16
+    ]
+    assert len(moment_leaves) >= 2, "bf16 moments not found in optimizer state"
+    # both reach the target region; trajectories agree to bf16-noise level
+    assert float(jnp.mean((p16 - target) ** 2)) < 1e-2
+    np.testing.assert_allclose(np.asarray(p16), np.asarray(p32), atol=5e-2)
+
+
+@pytest.mark.level(1)
+def test_trainer_runs_with_bf16_moments():
+    """The full trainer step runs under the bf16-moment mode (the config
+    knob threads through TrainerConfig.optimizer)."""
+    trainer, model = _make_trainer(max_iter=2)
+    trainer.config = dataclasses.replace(
+        trainer.config, optimizer=dataclasses.replace(trainer.config.optimizer, moments_dtype="bfloat16")
+    )
+    from cosmos_predict2_tpu.training.optim import make_optimizer
+
+    trainer.optimizer = make_optimizer(trainer.config.optimizer)
+    params = model.init_params(jax.random.PRNGKey(0), (1, 16, 2, 4, 4), text_len=8)
+    state = trainer.init_state(params)
+    state = trainer.train(state, _batches(model, 3))
+    assert int(state.step) == 2
