@@ -53,6 +53,11 @@ class Config:
     fsdp_shard_size: int = 1
     cp_size: int = 1
     tp_size: int = 1
+    # interface parity with the reference's pipeline_model_parallel_size
+    # plumbing (imaginaire/trainer.py:86, parallel_dims.py:25-138): no
+    # pipeline schedule exists there or here — parallel/mesh.py::make_mesh
+    # validates this == 1 and raises otherwise
+    pp_size: int = 1
 
 
 # ------------------------------- groups -------------------------------

@@ -41,7 +41,24 @@ def make_mesh(
     cp: int = 1,
     tp: int = 1,
     devices: Optional[list] = None,
+    pp: int = 1,
 ) -> Mesh:
+    """Build the (dp, fsdp, cp, tp) device mesh.
+
+    ``pp`` is interface parity with the reference's
+    ``pipeline_model_parallel_size`` plumbing (imaginaire/trainer.py:86,
+    reason1/parallelisms/parallel_dims.py:25-138): the reference threads
+    the knob but implements no pipeline schedule for any model, and
+    neither do we — the mesh has no pp axis. Validated == 1 so a config
+    that asks for pipeline parallelism fails loudly at mesh build, exactly
+    where ParallelDims.__post_init__ validates it there.
+    """
+    if pp != 1:
+        raise ValueError(
+            f"pipeline_model_parallel_size={pp} requested, but no pipeline "
+            "schedule exists (parity: the reference also only threads the "
+            "knob); use fsdp/cp/tp axes instead"
+        )
     devices = devices if devices is not None else jax.devices()
     total = dp * fsdp * cp * tp
     if total != len(devices):

@@ -72,6 +72,27 @@ class QwenConfig:
         )
 
     @classmethod
+    def llama_guard_3_8b(cls) -> "QwenConfig":
+        """meta-llama/Llama-Guard-3-8B — the reference's ALTERNATIVE prompt
+        guard family (imaginaire/auxiliary/guardrail/llamaGuard3/
+        llamaGuard3.py:29-111). Llama-3.1 architecture = this decoder with
+        no attention biases, no qk-norm, untied head (GQA + RoPE + RMSNorm
+        + SwiGLU are shared)."""
+        return cls(
+            vocab_size=128256,
+            hidden_size=4096,
+            intermediate_size=14336,
+            num_hidden_layers=32,
+            num_attention_heads=32,
+            num_key_value_heads=8,
+            head_dim=128,
+            rope_theta=500000.0,
+            attention_bias=False,
+            qk_norm=False,
+            tie_word_embeddings=False,
+        )
+
+    @classmethod
     def tiny(cls) -> "QwenConfig":
         return cls(
             vocab_size=256,

@@ -59,7 +59,7 @@ def launch(config, ckpt_dir: str | None = None):
             f"batch_size {batch} not divisible by dp*fsdp = {dp * config.fsdp_shard_size}"
         )
     mesh = make_mesh(dp, config.fsdp_shard_size, config.cp_size, config.tp_size,
-                     devices=jax.devices()[: dp * shard])
+                     devices=jax.devices()[: dp * shard], pp=config.pp_size)
     log.info(f"mesh: dp={dp} fsdp={config.fsdp_shard_size} cp={config.cp_size} tp={config.tp_size}")
 
     model_cfg = config.model

@@ -386,6 +386,129 @@ def create_qwen3_guard(params, encode, decode, config=None, eos_ids=()):
     return Qwen3Guard(apply_fn, encode, decode, eos_ids=eos_ids)
 
 
+# --------------------------- LlamaGuard3 (generative) ---------------------------
+# The reference's alternative prompt-guard family (guardrail/llamaGuard3/
+# llamaGuard3.py:29-111): meta-llama/Llama-Guard-3-8B generates a verdict
+# ("safe" | "unsafe\n<categories>"), parsed against the S1..S14 category
+# table (llamaGuard3/categories.py). The model runs as the in-repo QwenLM
+# decoder with the Llama-3.1 deltas (QwenConfig.llama_guard_3_8b) and
+# greedy decoding; HF weights convert via the same auto-detecting
+# convert_qwen_guard_hf_state_dict (identical module naming).
+
+# llamaGuard3/categories.py (MLCommons hazard taxonomy; "s14" lowercase
+# matches the reference table verbatim — its parser compares raw strings)
+LLAMA_GUARD_3_UNSAFE_CATEGORIES = {
+    "S1": "Violent Crimes.",
+    "S2": "Non-Violent Crimes.",
+    "S3": "Sex Crimes.",
+    "S4": "Child Exploitation.",
+    "S5": "Defamation.",
+    "S6": "Specialized Advice.",
+    "S7": "Privacy.",
+    "S8": "Intellectual Property.",
+    "S9": "Indiscriminate Weapons.",
+    "S10": "Hate.",
+    "S11": "Self-Harm.",
+    "S12": "Sexual Content.",
+    "S13": "Elections.",
+    "s14": "Code Interpreter Abuse.",
+}
+
+# The released checkpoint's chat template (Llama Guard 3 model card): a
+# moderation task header, the category table, the conversation, and the
+# two-line answer contract.
+LLAMA_GUARD_3_TEMPLATE = (
+    "<|begin_of_text|><|start_header_id|>user<|end_header_id|>\n\n"
+    "Task: Check if there is unsafe content in 'User' messages in "
+    "conversations according our safety policy with the below categories.\n\n"
+    "<BEGIN UNSAFE CONTENT CATEGORIES>\n{categories}<END UNSAFE CONTENT CATEGORIES>\n\n"
+    "<BEGIN CONVERSATION>\n\nUser: {prompt}\n\n<END CONVERSATION>\n\n"
+    "Provide your safety assessment for ONLY THE LAST User message in the "
+    "above conversation:\n"
+    " - First line must read 'safe' or 'unsafe'.\n"
+    " - If unsafe, a second line must include a comma-separated list of "
+    "violated categories.<|eot_id|>"
+    "<|start_header_id|>assistant<|end_header_id|>\n\n"
+)
+
+
+class LlamaGuard3:
+    """Generative prompt guard with the reference's output filtering
+    (llamaGuard3.py filter_llamaGuard3_output / get_llamaGuard3_block_message).
+
+    Same binding contract as :class:`Qwen3Guard`: ``apply_fn(ids_1xS,
+    position) -> (1, vocab)`` jitted decoder step, ``encode``/``decode``
+    tokenizer callables, ``eos_ids`` greedy stop set.
+    """
+
+    def __init__(self, apply_fn, encode, decode, eos_ids=(), max_new_tokens=100):
+        self.apply_fn = apply_fn
+        self.encode = encode
+        self.decode = decode
+        self.eos_ids = tuple(eos_ids)
+        self.max_new_tokens = max_new_tokens
+
+    def build_prompt(self, prompt: str) -> str:
+        cats = "".join(f"{k}: {v}\n" for k, v in LLAMA_GUARD_3_UNSAFE_CATEGORIES.items())
+        return LLAMA_GUARD_3_TEMPLATE.format(categories=cats, prompt=prompt)
+
+    def get_block_message(self, moderation_output: str) -> str:
+        """Extract violated categories (llamaGuard3.py:56-75): every line
+        after the first is split on ',' and matched against the table;
+        unknown tokens are warned about, recognized ones named in the
+        block message (trailing '.' stripped, as there)."""
+        block_msg = "Prompt blocked by Llama Guard 3."
+        try:
+            detected = []
+            for line in moderation_output.splitlines()[1:]:
+                for cat in line.split("<|eot_id|>")[0].strip().split(","):
+                    cat = cat.strip()
+                    if not cat:
+                        continue
+                    if cat not in LLAMA_GUARD_3_UNSAFE_CATEGORIES:
+                        log.warning(f"Unrecognized category from moderation output: {cat}")
+                    else:
+                        detected.append(cat)
+            if detected:
+                names = ", ".join(LLAMA_GUARD_3_UNSAFE_CATEGORIES[c][:-1] for c in detected)
+                block_msg = f"{block_msg} Violations: {names}."
+        except Exception as e:  # noqa: BLE001
+            log.warning(f"Unable to extract blocked category from Llama Guard 3 output: {e}")
+        return block_msg
+
+    def is_safe(self, prompt: str) -> tuple[bool, str]:
+        from cosmos_predict2_tpu.text_encoders.qwen import greedy_generate
+
+        ids = self.encode(self.build_prompt(prompt))
+        out_ids = greedy_generate(
+            self.apply_fn, ids, max_new_tokens=self.max_new_tokens, eos_ids=self.eos_ids
+        )
+        moderation_output = self.decode(out_ids).strip()
+        if "unsafe" in moderation_output.lower():
+            return False, self.get_block_message(moderation_output)
+        return True, ""
+
+    def __call__(self, prompt: str) -> bool:
+        safe, message = self.is_safe(prompt)
+        if not safe:
+            log.warning(message)
+        return safe
+
+
+def create_llama_guard_3(params, encode, decode, config=None, eos_ids=()):
+    """Bind Llama-Guard-3-8B weights (converted via
+    text_encoder.convert_qwen_guard_hf_state_dict — Llama-3.1 uses the
+    same HF module naming) into a prompt guard."""
+    import jax
+
+    from cosmos_predict2_tpu.text_encoders.qwen import QwenConfig, QwenGuardLM
+
+    config = config or QwenConfig.llama_guard_3_8b()
+    model = QwenGuardLM(config)
+    apply_fn = jax.jit(lambda ids, pos: model.apply(params, ids, position=pos))
+    return LlamaGuard3(apply_fn, encode, decode, eos_ids=eos_ids)
+
+
 def create_qwen_guard_classifier(params, config=None, tokenize=None,
                                  safe_token_id=None, unsafe_token_id=None):
     """Bind a QwenGuardLM params tree into a prompt classifier callable."""

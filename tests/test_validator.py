@@ -90,3 +90,60 @@ def test_path_validators(tmp_path):
         p.video = str(img)  # wrong extension
     with pytest.raises(ValueError):
         p.image = str(tmp_path / "missing.png")
+
+
+# ------------------------------ env parsers ------------------------------
+
+
+@pytest.mark.level(0)
+def test_env_parser_typed_from_env(monkeypatch):
+    """EnvParser reads UPPER_CASE env vars through the validator
+    descriptors with typed coercion (reference env_parser.py:46-53)."""
+    from cosmos_predict2_tpu.utils.env_parsers import InferenceEnvParser
+
+    monkeypatch.setenv("PORT", "9001")
+    monkeypatch.setenv("CP_SIZE", "4")
+    monkeypatch.setenv("OFFLOAD_GUARDRAILS", "true")
+    p = InferenceEnvParser()
+    assert p.PORT == 9001 and isinstance(p.PORT, int)
+    assert p.CP_SIZE == 4
+    assert p.OFFLOAD_GUARDRAILS is True
+    assert p.PP_SIZE == 1  # default
+
+    monkeypatch.setenv("PORT", "not_a_port")
+    with pytest.raises(ValueError):
+        InferenceEnvParser()
+
+
+@pytest.mark.level(0)
+def test_env_parser_b64_roundtrip(monkeypatch):
+    """The whole parameter set round-trips through one base64 JSON string
+    (the launcher->worker deployment contract, env_parser.py:63-77)."""
+    from cosmos_predict2_tpu.utils.env_parsers import InferenceEnvParser
+
+    monkeypatch.setenv("TP_SIZE", "2")
+    p = InferenceEnvParser()
+    b64 = p.to_b64()
+    monkeypatch.delenv("TP_SIZE")
+    restored = InferenceEnvParser(b64)
+    assert restored.TP_SIZE == 2
+    assert restored.to_dict() == p.to_dict()
+
+
+@pytest.mark.level(0)
+def test_credential_env_parser_backend_args(monkeypatch):
+    """Credential roles format directly into remote_io backend_args
+    (cred_env_parser.py:20-43, reshaped for utils/remote_io)."""
+    from cosmos_predict2_tpu.utils.env_parsers import CredentialEnvParser
+
+    monkeypatch.setenv("CHECKPOINT_ACCESS_KEY_ID", "AKID")
+    monkeypatch.setenv("CHECKPOINT_SECRET_ACCESS_KEY", "SECRET")
+    monkeypatch.setenv("CHECKPOINT_REGION_NAME", "eu-west-1")
+    c = CredentialEnvParser()
+    args = c.backend_args("checkpoint")
+    assert args["access_key_id"] == "AKID"
+    assert args["secret_access_key"] == "SECRET"
+    assert args["region_name"] == "eu-west-1"
+    assert args["endpoint_url"].startswith("https://")
+    with pytest.raises(ValueError, match="role"):
+        c.backend_args("nope")
