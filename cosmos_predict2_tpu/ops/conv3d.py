@@ -280,6 +280,124 @@ def conv3d_causal_folded(x, w, b, *, kt: int = 3, out_dtype=jnp.bfloat16, interp
     return out[None]
 
 
+def _conv_kernel_ring(x_hbm, w_ref, b_ref, out_ref, xbuf, sems, *, kt: int, th: int, W: int, T_in: int):
+    """Frame-ring variant: grid (row band i OUTER, frame t INNER), per-frame
+    DMA into a (kt+2)-slot ring, so each input frame-band is fetched ONCE
+    per band instead of kt times (the per-tap kernel's sliding (t..t+kt-1)
+    window re-reads every frame kt times — with the kernel input-DMA-bound
+    at decoder shapes, that redundancy IS the bottleneck, docs/PERF.md
+    "K-folded" section). Steady state keeps two frames in flight (prefetch
+    distance 2), so the single-frame DMA still hides under the band's
+    kt*9 matmuls."""
+    i = pl.program_id(0)
+    t = pl.program_id(1)
+    R = kt + 2  # ring slots: kt live taps + 2 prefetch slots
+
+    def fetch(f, slot):
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(f, 1), pl.ds(i * th, th + 2)],
+            xbuf.at[pl.ds(slot, 1)],
+            sems.at[slot],
+        )
+
+    @pl.when(t == 0)
+    def _():
+        # new band: fetch the first kt taps + both prefetch slots
+        for f in range(min(R, T_in)):  # static unroll (R, T_in are constants)
+            fetch(f, f % R).start()
+        for f in range(kt):
+            fetch(f, f).wait()
+
+    @pl.when(t > 0)
+    def _():
+        # frame t+kt-1 entered flight two steps ago; the next prefetch
+        # keeps the pipe two frames deep
+        f_new = t + kt - 1
+        fetch(f_new, f_new % R).wait()
+        f_pre = t + kt + 1
+        @pl.when(f_pre < T_in)
+        def _():
+            fetch(f_pre, f_pre % R).start()
+
+    cin = xbuf.shape[-1]
+    cout = out_ref.shape[-1]
+    acc = jnp.zeros((th * W, cout), dtype=jnp.float32)
+    for dt in range(kt):
+        xf = xbuf[(t + dt) % R]  # dynamic leading index into the ring
+        for dw in range(3):
+            for dh in range(3):
+                patch = xf[dh : dh + th, dw : dw + W, :].reshape(th * W, cin)
+                acc += jnp.dot(patch, w_ref[dt, dh, dw], preferred_element_type=jnp.float32)
+    out = acc + b_ref[0].astype(jnp.float32)
+    out_ref[...] = out.reshape(1, th, W, cout).astype(out_ref.dtype)
+
+
+def _pick_th_ring(H: int, W: int, cin: int, cout: int, kt: int) -> int:
+    """Row-band height for the ring kernel: kt+2 single-frame slots."""
+    best = 1
+    for th in (16, 8, 4, 2, 1):
+        if H % th:
+            continue
+        vmem = (
+            (kt + 2) * (th + 2) * (W + 8) * max(cin, 128) * 2  # frame ring
+            + th * W * max(cout, 128) * (4 + 2 * 2)  # f32 acc + 2 out slots
+            + 27 * max(cin, 128) * max(cout, 128) * 2  # resident taps
+        )
+        if vmem <= 96 * 2**20:
+            best = th
+            break
+    return best
+
+
+@functools.partial(jax.jit, static_argnames=("kt", "out_dtype", "interpret"))
+def conv3d_causal_ring(x, w, b, *, kt: int = 3, out_dtype=jnp.bfloat16, interpret: bool = False):
+    """Frame-ring implicit-GEMM causal conv — same contract as
+    :func:`conv3d_causal_taps` (x: (1, T_out+kt-1, H, W, Cin) with taps
+    pre-stacked, valid-in-time, SAME-1 spatially; W % 8 == 0), with input
+    HBM traffic cut from kt reads of every frame to one."""
+    B, T_in, H, W, Cin = x.shape
+    assert B == 1, "VAE decode runs B=1; fold batch into T upstream"
+    assert W % 8 == 0, W
+    T_out = T_in - kt + 1
+    Cout = w.shape[-1]
+
+    cin_p = -(-Cin // 128) * 128
+    cout_p = -(-Cout // 128) * 128
+    if cin_p != Cin or cout_p != Cout:
+        x = jnp.pad(x, ((0, 0),) * 4 + ((0, cin_p - Cin),))
+        w = jnp.pad(w, ((0, 0),) * 3 + ((0, cin_p - Cin), (0, cout_p - Cout)))
+        b = jnp.pad(b, (0, cout_p - Cout))
+        out = conv3d_causal_ring(x, w, b, kt=kt, out_dtype=out_dtype, interpret=interpret)
+        return out[..., :Cout]
+    th = _pick_th_ring(H, W, Cin, Cout, kt)
+
+    xp = jnp.pad(x[0], ((0, 0), (1, 1), (1, 7), (0, 0)))
+
+    n_i = H // th
+    grid = (n_i, T_out)  # band-major: the frame ring lives within one band
+    out = pl.pallas_call(
+        functools.partial(_conv_kernel_ring, kt=kt, th=th, W=W, T_in=T_in),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((kt, 3, 3, Cin, Cout), lambda i, t: (0, 0, 0, 0, 0)),
+            pl.BlockSpec((1, Cout), lambda i, t: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, th, W, Cout), lambda i, t: (t, i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((T_out, H, W, Cout), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((kt + 2, th + 2, W + 8, Cin), x.dtype),
+            pltpu.SemaphoreType.DMA((kt + 2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 2**20,
+        ),
+        interpret=interpret,
+    )(xp, w, b.reshape(1, Cout))
+    return out[None]
+
+
 def conv3d_causal_taps_xla(x, w, b, *, kt: int = 3, out_dtype=jnp.bfloat16):
     """Pure-XLA tap decomposition: kt*3*3 shifted GEMMs, accumulated.
 

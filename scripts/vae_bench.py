@@ -278,6 +278,8 @@ if __name__ == "__main__":
             backends = ("auto", "kfold")
         elif "--taps" in sys.argv:
             backends = ("xla", "taps")
+        elif "--ring" in sys.argv:
+            backends = ("ptap", "ring")  # r4 per-tap production vs r5 frame-ring
         else:
             backends = ("xla", "auto")
         run_convcmp(sizes, backends)
