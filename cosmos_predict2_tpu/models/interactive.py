@@ -9,8 +9,8 @@ blockmask.py:54-118) — and the streaming KV-cache inference loop
 inference/action_video2world_streaming.py:90-297), plus the self-forcing
 DMD2 rollout structure (models/action_video2world_self_forcing.py:43-450).
 
-TPU design: the cache is an explicit pytree of (B, S_max, H, D) ring
-buffers + a filled-length scalar, updated with dynamic_update_slice inside
+TPU design: the cache is an explicit pytree of head-major (B, H, S_max, D)
+ring buffers + a filled-length scalar, updated with dynamic_update_slice inside
 one jitted decode step; denoise steps read the cache without persisting
 (noisy kv is never committed), and a final "commit" forward appends the
 clean block's kv — the prefill/denoise split of the reference's rollout.
@@ -43,9 +43,11 @@ class CausalVideo2WorldModel(Video2WorldModel):
         hp, wp = latent_h // cfg.patch_spatial, latent_w // cfg.patch_spatial
         s_max = max_latent_frames * hp * wp
         def one():
+            # HEAD-MAJOR ring buffers (B, H, S_max, D): the flash decode
+            # kernels read them with no relayout (ops/flash_attention.py)
             return {
-                "k": jnp.zeros((batch, s_max, cfg.num_heads, cfg.head_dim), dtype=dtype),
-                "v": jnp.zeros((batch, s_max, cfg.num_heads, cfg.head_dim), dtype=dtype),
+                "k": jnp.zeros((batch, cfg.num_heads, s_max, cfg.head_dim), dtype=dtype),
+                "v": jnp.zeros((batch, cfg.num_heads, s_max, cfg.head_dim), dtype=dtype),
                 "len": jnp.zeros((), dtype=jnp.int32),
             }
 
@@ -90,8 +92,8 @@ def shift_cache_window(cache: dict, drop_tokens: int) -> dict:
     """Roll the ring buffer left by ``drop_tokens`` (rolling cache window,
     reference cache_frame_size semantics)."""
     return {
-        "k": jnp.roll(cache["k"], -drop_tokens, axis=1),
-        "v": jnp.roll(cache["v"], -drop_tokens, axis=1),
+        "k": jnp.roll(cache["k"], -drop_tokens, axis=2),
+        "v": jnp.roll(cache["v"], -drop_tokens, axis=2),
         "len": cache["len"] - drop_tokens,
     }
 

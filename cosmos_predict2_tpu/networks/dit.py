@@ -88,6 +88,12 @@ class DiTConfig:
     # (grouped by num_frame_per_block); enables KV-cache streaming decode
     temporal_causal: bool = False
     num_frame_per_block: int = 1
+    # sparse cache-window streaming decode: >0 = visible kv ROWS per query
+    # (NATTEN-clamped, full columns, all cached frames) on the per-frame
+    # token grid — the production GNA sparsity composed into the KV-cache
+    # loop (ops/flash_attention.flash_attention_kv_cache_window). A
+    # beyond-parity distilled-student config, like DMD2+sparse.
+    cache_na_window_rows: int = -1
     # --- multiview (reference predict2_multiview/networks/multiview_dit.py) ---
     # n_views > 1: input latent T axis is (V Tv) view-major; RoPE repeats
     # per view; cross-attention attends each view to its own caption slice.
@@ -246,6 +252,10 @@ class Attention(nn.Module):
     na_window: tuple[int, int, int] = (-1, -1, -1)
     na_stride: tuple[int, int, int] = (1, 1, 1)
     na_dilation: tuple[int, int, int] = (1, 1, 1)
+    # sparse cache-window streaming decode (kv_cache path only): visible kv
+    # ROWS per query (NATTEN-clamped) on the cache_grid=(gh, gw) token grid
+    cache_window_rows: int = -1
+    cache_grid: Optional[tuple[int, int]] = None
 
     @nn.compact
     def __call__(self, x, context=None, rope_angles=None, kv_cache=None, sparse_switch=None):
@@ -285,16 +295,40 @@ class Attention(nn.Module):
             # sequence-parallel streaming decode: block tokens sharded over
             # cp, ring buffers head-sharded (see ulysses_kv_cache_attention)
             assert is_selfattn, "kv cache only applies to self-attention"
+            if self.cache_window_rows > 0:
+                raise NotImplementedError(
+                    "cache_na_window_rows under CP is not supported yet: "
+                    "the head-sharded ulysses cache path runs dense decode"
+                )
             from cosmos_predict2_tpu.parallel.cp import ulysses_kv_cache_attention
 
             out, new_cache = ulysses_kv_cache_attention(q, k, v, kv_cache, self.cp_axis)
         elif kv_cache is not None:
             assert is_selfattn, "kv cache only applies to self-attention"
             s_new = k.shape[1]
-            k_buf = jax.lax.dynamic_update_slice(kv_cache["k"], k.astype(kv_cache["k"].dtype), (0, kv_cache["len"], 0, 0))
-            v_buf = jax.lax.dynamic_update_slice(kv_cache["v"], v.astype(kv_cache["v"].dtype), (0, kv_cache["len"], 0, 0))
+            # ring buffers are HEAD-MAJOR (B, H, S_max, D): the flash decode
+            # kernel consumes them with no relayout (the old (B, S, H, D)
+            # layout re-transposed the FULL cache on every one of the
+            # 112 attention calls per block step); only the small new block
+            # is transposed here.
+            kh = k.transpose(0, 2, 1, 3).astype(kv_cache["k"].dtype)
+            vh = v.transpose(0, 2, 1, 3).astype(kv_cache["v"].dtype)
+            k_buf = jax.lax.dynamic_update_slice(kv_cache["k"], kh, (0, 0, kv_cache["len"], 0))
+            v_buf = jax.lax.dynamic_update_slice(kv_cache["v"], vh, (0, 0, kv_cache["len"], 0))
             new_cache = {"k": k_buf, "v": v_buf, "len": kv_cache["len"] + s_new}
-            if jax.default_backend() == "tpu":
+            if self.cache_window_rows > 0:
+                # row-banded sparse cache window (GNA inside the streaming
+                # loop — a supported beyond-parity student config; both the
+                # Pallas kernel and the off-TPU reference live behind this
+                # call, and its VJP trains the self-forcing student with
+                # the same sparsity it streams with)
+                from cosmos_predict2_tpu.ops.flash_attention import flash_attention_kv_cache_window
+
+                assert self.cache_grid is not None, "cache_window_rows needs cache_grid=(gh, gw)"
+                out = flash_attention_kv_cache_window(
+                    q, k_buf, v_buf, new_cache["len"], tuple(self.cache_grid), self.cache_window_rows
+                )
+            elif jax.default_backend() == "tpu":
                 # flash decode over the ring buffer: the materialized-score
                 # alternative allocates an f32 (H, Sq, S_max) matrix —
                 # 6.66 GB at 720p cache-16, which alone OOMs a 16 GB chip.
@@ -550,7 +584,10 @@ class Block(nn.Module):
             frame_group=frame_group,
             na_video_size=(T, H, W) if self.use_sparse_attn else None,
             na_window=tuple(na_window), na_stride=tuple(na_stride),
-            na_dilation=tuple(na_dilation), name="self_attn",
+            na_dilation=tuple(na_dilation),
+            cache_window_rows=cfg.cache_na_window_rows,
+            cache_grid=(H, W) if cfg.cache_na_window_rows > 0 else None,
+            name="self_attn",
         )
         new_cache = None
         if kv_cache is not None:

@@ -121,10 +121,11 @@ def ulysses_kv_cache_attention(
     ulysses.py DistributedAttention around the cached attention).
 
     Block q/k_new/v_new: (B, S_blk, H, D) global view, token-sharded over
-    ``axis_name``. The ring buffers kv_cache["k"/"v"]: (B, S_max, H, D)
-    global view, HEAD-sharded over ``axis_name`` — the (large) cache never
-    crosses chips; only the small new block moves through two all-to-alls
-    per step. kv_cache["len"] is a replicated scalar.
+    ``axis_name``. The ring buffers kv_cache["k"/"v"]: HEAD-MAJOR
+    (B, H, S_max, D) global view, HEAD-sharded over ``axis_name`` — the
+    (large) cache never crosses chips; only the small new block moves
+    through two all-to-alls per step. kv_cache["len"] is a replicated
+    scalar.
 
     Returns (out token-sharded, new_cache head-sharded). Must run inside
     jit with an ambient mesh holding ``axis_name``.
@@ -148,8 +149,11 @@ def ulysses_kv_cache_attention(
         gather = lambda t: jax.lax.all_to_all(t, axis_name, split_axis=1, concat_axis=2, tiled=True)
         ql, kl, vl = scatter(q), scatter(k), scatter(v)  # (B, S_blk, H/c, D)
         s_new = kl.shape[1]
-        k_buf = jax.lax.dynamic_update_slice(k_buf, kl.astype(k_buf.dtype), (0, ln[0], 0, 0))
-        v_buf = jax.lax.dynamic_update_slice(v_buf, vl.astype(v_buf.dtype), (0, ln[0], 0, 0))
+        # head-major buffers: transpose only the small new block
+        kh = kl.transpose(0, 2, 1, 3).astype(k_buf.dtype)
+        vh = vl.transpose(0, 2, 1, 3).astype(v_buf.dtype)
+        k_buf = jax.lax.dynamic_update_slice(k_buf, kh, (0, 0, ln[0], 0))
+        v_buf = jax.lax.dynamic_update_slice(v_buf, vh, (0, 0, ln[0], 0))
         new_len = ln + s_new
         if jax.default_backend() == "tpu":
             from cosmos_predict2_tpu.ops.flash_attention import flash_attention_kv_cache
@@ -162,7 +166,7 @@ def ulysses_kv_cache_attention(
         return gather(out), k_buf, v_buf, new_len
 
     tok = P(None, axis_name, None, None)
-    head = P(None, None, axis_name, None)
+    head = P(None, axis_name, None, None)  # (B, H, S, D): heads on dim 1
     ln = jax.numpy.reshape(kv_cache["len"], (1,))
     out, k_buf, v_buf, new_len = jax.shard_map(
         inner,

@@ -39,6 +39,7 @@ def measure(
     num_steps: int = 4,
     frames_per_block: int = 1,
     cp: int = 1,
+    cache_window_rows: int = -1,
 ) -> dict:
     """Run the KV-cache streaming probe; returns {"p50_s", "latent_fps", "pixel_fps", "laps"}.
 
@@ -72,6 +73,10 @@ def measure(
         remat="none",
         temporal_causal=True,
     )
+    if cache_window_rows > 0:
+        import dataclasses as _dc
+
+        net = _dc.replace(net, cache_na_window_rows=cache_window_rows)
     mesh_ctx = contextlib.nullcontext()
     if cp > 1:
         # CP-sharded streaming decode (block tokens over cp, ring buffers
@@ -150,8 +155,8 @@ def _attn_block_probe(s_q: int, heads: int, s_max: int, fill: int, d: int = 128,
     from cosmos_predict2_tpu.ops.flash_attention import flash_attention_kv_cache
 
     q = jax.random.normal(jax.random.PRNGKey(0), (1, s_q, heads, d), dtype=jnp.bfloat16)
-    kb = jax.random.normal(jax.random.PRNGKey(1), (1, s_max, heads, d), dtype=jnp.bfloat16)
-    vb = jax.random.normal(jax.random.PRNGKey(2), (1, s_max, heads, d), dtype=jnp.bfloat16)
+    kb = jax.random.normal(jax.random.PRNGKey(1), (1, heads, s_max, d), dtype=jnp.bfloat16)
+    vb = jax.random.normal(jax.random.PRNGKey(2), (1, heads, s_max, d), dtype=jnp.bfloat16)
     f = jax.jit(lambda q, kb, vb: flash_attention_kv_cache(q, kb, vb, fill))
     np.asarray(f(q, kb, vb))  # compile
     laps = []
@@ -237,6 +242,12 @@ def main() -> None:
     ap.add_argument("--cache-frames", type=int, default=16)
     ap.add_argument("--frames-per-block", type=int, default=1)
     ap.add_argument(
+        "--cache-window", type=int, default=-1,
+        help="sparse cache-window: visible kv ROWS per query on the token "
+        "grid (NATTEN-clamped; e.g. 7 at 352x640 = the production-scaled "
+        "GNA window); -1 = dense cache attention",
+    )
+    ap.add_argument(
         "--cp", type=int, default=1,
         help="context-parallel degree; needs >= cp devices (virtual CPU mesh: "
         "JAX_PLATFORMS=cpu + jax_num_cpu_devices — program/comm validation, "
@@ -266,6 +277,7 @@ def main() -> None:
     measure(
         tuple(args.hw), args.blocks, args.cache_frames,
         net_cfg=net_cfg, frames_per_block=args.frames_per_block, cp=args.cp,
+        cache_window_rows=args.cache_window,
     )
 
 

