@@ -392,13 +392,17 @@ def decoder_chunk(cfg: WanVAEConfig, params, z_chunk, state: StreamState, conv_b
 
 
 def decode_streaming(
-    vae_cfg: WanVAEConfig, params, z, chunk_latent_frames: int = 1, out: str = "device",
+    vae_cfg: WanVAEConfig, params, z, chunk_latent_frames: int = 2, out: str = "device",
     pixel_format: str = "float", conv_backend: str | None = None,
 ):
     """Full streaming decode of (B, t, h, w, 16); O(chunk) memory.
 
     Chunks run through a cached ``jax.jit`` of :func:`decoder_chunk`
-    (two compiled programs total: first chunk + steady chunk).
+    (two compiled programs total: first chunk + steady chunk; a ragged
+    final chunk adds a third). ``chunk_latent_frames=2`` is the measured
+    full-scale sweet spot (r5 chip sweep, 93f 704x1280 u8 overlapped:
+    chunk 1 = 14.4 s, chunk 2 = 13.2 s — deeper dispatches amortize the
+    per-chunk host/queue overhead without exhausting VMEM/HBM).
 
     ``out="host"`` spools each decoded pixel chunk to host memory and
     returns a numpy array — required at full scale (93f x 704x1280
