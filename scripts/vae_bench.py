@@ -235,7 +235,19 @@ def run_enc(chunks=(4, 8, 12), backends=("auto", "xla", "taps")):
             out = fn()
             _ = float(np.sum(np.asarray(out[:, :1], np.float32)))
             times.append(time.perf_counter() - t0)
+        del out
         return min(times)
+
+    def reset():
+        # each (backend, chunk) compiles fresh chunk programs whose
+        # executables + donated-cache buffers accumulate in HBM; without
+        # this the 2nd config onward dies RESOURCE_EXHAUSTED (seen on-chip
+        # r5: first row 7.99 s, every later row OOM)
+        import gc
+
+        wvs._JIT_CACHE.clear()
+        gc.collect()
+        jax.clear_caches()
 
     for be in backends:
         for cf in chunks:
@@ -244,6 +256,7 @@ def run_enc(chunks=(4, 8, 12), backends=("auto", "xla", "taps")):
                 print(f"[enc {be} chunk={cf}] encode {N_FRAMES}f {PIX_H}x{PIX_W}: {t:.2f} s", flush=True)
             except Exception as e:
                 print(f"[enc {be} chunk={cf}] FAILED {type(e).__name__}: {str(e)[:120]}", flush=True)
+            reset()
     # uint8-native feed (the production pipeline route) on the default backend
     for cf in chunks:
         try:
@@ -251,6 +264,7 @@ def run_enc(chunks=(4, 8, 12), backends=("auto", "xla", "taps")):
             print(f"[enc auto/u8 chunk={cf}] encode {N_FRAMES}f {PIX_H}x{PIX_W}: {t:.2f} s", flush=True)
         except Exception as e:
             print(f"[enc auto/u8 chunk={cf}] FAILED {type(e).__name__}: {str(e)[:120]}", flush=True)
+        reset()
     # whole-path glue: host uint8 numpy -> device -> encode (what _run_dmd2 pays)
     t = lap(lambda: wvs.encode_streaming(cfg, params, jnp.asarray(x_u8_host), chunk_frames=chunks[0], pixel_format="uint8"))
     print(f"[enc auto/u8+H2D chunk={chunks[0]}] encode incl H2D: {t:.2f} s", flush=True)
