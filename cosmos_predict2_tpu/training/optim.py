@@ -44,6 +44,15 @@ class OptimizerConfig:
     # imaginaire/utils/fused_adam.py:26).
     moments_dtype: str = "float32"
     moments_seed: int = 0
+    # Offload the persistent Adam moment tensors to pinned HOST memory
+    # (memory_kind="pinned_host"): the jitted step streams them through the
+    # device for the update and writes them back, so HBM holds only
+    # params + grads + activations. Chip-measured (scripts/full_ft_ceiling.py,
+    # 2B DiT, bf16 moments): enables FULL fine-tune with optimizer state on
+    # one 16 GB chip at seq 8320/13312/19968 (2.94/4.46/7.45 s/step,
+    # 23.9/30.4/33.5% MFU) where the device-resident state cannot fit at
+    # all. Combine with moments_dtype="bfloat16" to halve the host traffic.
+    moments_offload: bool = False
 
 
 def lambda_linear_schedule(

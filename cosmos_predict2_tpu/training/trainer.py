@@ -138,6 +138,10 @@ class Trainer:
         self.optimizer = make_optimizer(config.optimizer)
         if config.grad_accum_iter > 1:
             self.optimizer = optax.MultiSteps(self.optimizer, every_k_schedule=config.grad_accum_iter)
+        # moments_offload: concrete (device, host) sharding maps for the
+        # optimizer-state tree, built at init_state time and closed over by
+        # the jitted step (in-jit jax.device_put needs concrete shardings)
+        self._opt_shardings: Optional[tuple[Any, Any]] = None
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
 
     # ------------------------------ state ------------------------------
@@ -150,12 +154,44 @@ class Trainer:
             if self.config.ema_enabled
             else None
         )
+        opt_state = self.optimizer.init(params)
+        offload = self.config.optimizer.moments_offload
+        if offload and jax.default_backend() != "tpu":
+            # XLA:CPU's memory-space support is partial (in-jit pinned_host
+            # placements are ignored and donated host buffers abort); the
+            # offload is a TPU HBM lever anyway — fall back device-resident.
+            log.warning("moments_offload requested on %s backend: ignored (TPU-only)", jax.default_backend())
+            offload = False
+        if offload:
+            # persistent optimizer tensors live in pinned HOST memory; the
+            # step streams them through the device (optim.py rationale +
+            # chip numbers). Scalars (count, PRNG key) stay on device.
+            # NOTE with grad_accum_iter > 1 the MultiSteps gradient
+            # accumulator is also >=2-D and gets offloaded — correct, but
+            # it round-trips every micro step; prefer grad_accum_iter == 1
+            # with offload.
+            leaves, treedef = jax.tree.flatten(opt_state)
+            dev_list = [leaf.sharding if leaf.ndim >= 2 else None for leaf in leaves]
+            host_list = [s.with_memory_kind("pinned_host") if s is not None else None for s in dev_list]
+            self._opt_shardings = (treedef, dev_list, host_list)
+            opt_state = self._place_opt(opt_state, host=True)
         return TrainState(
             step=jnp.zeros((), dtype=jnp.int32),
             params=params,
             ema_params=ema,
-            opt_state=self.optimizer.init(params),
+            opt_state=opt_state,
         )
+
+    def _place_opt(self, opt_state, *, host: bool):
+        """Move the big optimizer-state leaves device<->pinned-host (works
+        inside the jitted step — the shardings are concrete trace-time
+        constants — and eagerly at init)."""
+        treedef, dev_list, host_list = self._opt_shardings
+        leaves, td = jax.tree.flatten(opt_state)
+        assert td == treedef, "optimizer state structure changed after init_state"
+        target = host_list if host else dev_list
+        out = [jax.device_put(l, s) if s is not None else l for l, s in zip(leaves, target)]
+        return jax.tree.unflatten(td, out)
 
     # ---------------------------- train step ----------------------------
 
@@ -174,7 +210,14 @@ class Trainer:
             return loss, metrics
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-        updates, opt_state = self.optimizer.update(grads, state.opt_state, state.params)
+        prev_opt = state.opt_state
+        if self._opt_shardings is not None:
+            # host-offloaded moments: stream to device for the update math,
+            # write the new state back to pinned host (optim.py rationale)
+            prev_opt = self._place_opt(prev_opt, host=False)
+        updates, opt_state = self.optimizer.update(grads, prev_opt, state.params)
+        if self._opt_shardings is not None:
+            opt_state = self._place_opt(opt_state, host=True)
         params = optax.apply_updates(state.params, updates)
 
         ema_params = state.ema_params

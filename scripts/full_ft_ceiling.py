@@ -86,13 +86,30 @@ def build(geom: str, mode: str):
     tx = make_optimizer(opt_cfg)
     opt_state = tx.init(params)
 
+    dev = jax.devices()[0]
+    hbm = jax.sharding.SingleDeviceSharding(dev)
+    host = jax.sharding.SingleDeviceSharding(dev, memory_kind="pinned_host")
+
+    def to_kind(tree, kind):
+        # big moment tensors only; scalars (count, PRNG key) stay in HBM
+        return jax.tree.map(
+            lambda leaf: jax.device_put(leaf, kind) if getattr(leaf, "ndim", 0) >= 2 else leaf,
+            tree,
+        )
+
     def step(params, opt_state, x, ts, ctx):
         def loss_fn(p):
             v = net.apply(p, x, ts, ctx)
             return jnp.mean(jnp.square(v.astype(jnp.float32)))
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
+        if mode == "host":
+            # explicit memory-space round trip: the update math runs on
+            # device, the persistent moments live in pinned host memory
+            opt_state = to_kind(opt_state, hbm)
         updates, opt_state2 = tx.update(grads, opt_state, params)
+        if mode == "host":
+            opt_state2 = to_kind(opt_state2, host)
         params2 = jax.tree.map(lambda p, u: (p.astype(jnp.float32) + u).astype(p.dtype), params, updates)
         return params2, opt_state2, loss
 
@@ -105,31 +122,16 @@ def run(geom: str, mode: str, execute: bool = True) -> dict:
     B, C, T, H, W = GEOMS[geom]
     seq = T * (H // 2) * (W // 2)
 
-    in_shardings = None
-    out_shardings = None
     if mode == "host":
-        # moments live in host memory; XLA streams them through the update
-        hbm = jax.sharding.SingleDeviceSharding(dev)
+        # moments start out resident in pinned host memory; the step's
+        # explicit device_put round trip streams them through the update
         host = jax.sharding.SingleDeviceSharding(dev, memory_kind="pinned_host")
+        opt_state = jax.tree.map(
+            lambda leaf: jax.device_put(leaf, host) if getattr(leaf, "ndim", 0) >= 2 else leaf,
+            opt_state,
+        )
 
-        def place(st):
-            # ScaleByAdamBF16State(count, mu, nu, key) inside a chain tuple:
-            # pin the big moment trees to host, scalars stay in HBM
-            return jax.tree.map(lambda leaf: host if leaf.ndim >= 2 else hbm, st)
-
-        opt_shard = place(opt_state)
-        opt_state = jax.tree.map(lambda leaf, s: jax.device_put(leaf, s), opt_state, opt_shard)
-        p_shard = jax.tree.map(lambda _: hbm, params)
-        b_shard = jax.tree.map(lambda _: hbm, batch)
-        in_shardings = (p_shard, opt_shard, *b_shard)
-        out_shardings = (p_shard, opt_shard, None)
-
-    jitted = jax.jit(
-        step,
-        donate_argnums=(0, 1),
-        in_shardings=in_shardings,
-        out_shardings=out_shardings,
-    )
+    jitted = jax.jit(step, donate_argnums=(0, 1))
     lowered = jitted.lower(params, opt_state, *batch)
     t0 = time.perf_counter()
     compiled = lowered.compile()

@@ -411,3 +411,41 @@ def test_trainer_runs_with_bf16_moments():
     state = trainer.init_state(params)
     state = trainer.train(state, _batches(model, 3))
     assert int(state.step) == 2
+
+
+@pytest.mark.level(1)
+def test_trainer_moments_offload_matches_device_resident():
+    """moments_offload=True keeps the persistent Adam moments in pinned
+    HOST memory (chip-measured enabler of single-chip 2B full fine-tune,
+    scripts/full_ft_ceiling.py) and must be numerically IDENTICAL to the
+    device-resident trainer — the offload is pure data movement. On the
+    CPU test backend XLA's memory-space support is partial, so the knob
+    falls back device-resident (warned); placement is asserted only on
+    TPU, the trajectory equality everywhere."""
+
+    def run(offload: bool):
+        trainer, model = _make_trainer(max_iter=3)
+        trainer.config = dataclasses.replace(
+            trainer.config,
+            optimizer=dataclasses.replace(trainer.config.optimizer, moments_offload=offload),
+        )
+        params = model.init_params(jax.random.PRNGKey(0), (1, 16, 2, 4, 4), text_len=8)
+        state = trainer.init_state(params)
+        for latents, cond in _batches(model, 3):
+            state, metrics = trainer._train_step(state, latents, cond, jax.random.PRNGKey(int(state.step)))
+        return state
+
+    ref = run(False)
+    off = run(True)
+    if jax.default_backend() == "tpu":
+        kinds = {
+            leaf.sharding.memory_kind
+            for leaf in jax.tree.leaves(off.opt_state)
+            if getattr(leaf, "ndim", 0) >= 2
+        }
+        assert kinds == {"pinned_host"}, kinds
+    # the training trajectory is bit-identical either way
+    for a, b in zip(jax.tree.leaves(ref.params), jax.tree.leaves(off.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(ref.opt_state), jax.tree.leaves(off.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
