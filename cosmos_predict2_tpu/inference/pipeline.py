@@ -198,6 +198,10 @@ class Video2WorldInference:
             self.vae.config,
             self.vae_params,
             samples.astype(self.vae.config.dtype).transpose(0, 2, 3, 4, 1),
+            # chunk 1 here (not the standalone-optimal 2): the 2B DiT params
+            # are co-resident with the decoder in the pipeline and the
+            # chunk-2 working set tips a 16 GB chip into RESOURCE_EXHAUSTED
+            chunk_latent_frames=1,
             out="host",
             pixel_format=pixel_format,
         )
@@ -233,7 +237,8 @@ class Video2WorldInference:
         xt = x.astype(self.vae.config.dtype).transpose(0, 2, 3, 4, 1)
         if self.setup.streaming_vae:
             return decode_streaming(
-                self.vae.config, self.vae_params, xt, out="host", pixel_format=pixel_format
+                self.vae.config, self.vae_params, xt, chunk_latent_frames=1,
+                out="host", pixel_format=pixel_format,  # chunk 1: DiT co-resident (see _run)
             )
         return self.vae.apply(self.vae_params, xt, method=WanVAE.decode)
 

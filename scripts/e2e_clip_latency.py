@@ -125,6 +125,7 @@ def run_dmd2(pipe, H: int, W: int, state_t: int, repeat: int, geom: str = "full"
         t2 = time.perf_counter()
         frames = decode_streaming(
             pipe.vae.config, pipe.vae_params, x.astype(pipe.vae.config.dtype).transpose(0, 2, 3, 4, 1),
+            chunk_latent_frames=1,  # DiT co-resident: chunk 2 OOMs (pipeline.py note)
             out="host", pixel_format="uint8",  # production api.py route
         )
         t_dec = time.perf_counter() - t2
