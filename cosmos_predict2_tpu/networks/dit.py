@@ -293,16 +293,15 @@ class Attention(nn.Module):
         new_cache = None
         if kv_cache is not None and self.cp_axis is not None:
             # sequence-parallel streaming decode: block tokens sharded over
-            # cp, ring buffers head-sharded (see ulysses_kv_cache_attention)
+            # cp, ring buffers head-sharded (see ulysses_kv_cache_attention);
+            # the sparse cache window composes per head shard
             assert is_selfattn, "kv cache only applies to self-attention"
-            if self.cache_window_rows > 0:
-                raise NotImplementedError(
-                    "cache_na_window_rows under CP is not supported yet: "
-                    "the head-sharded ulysses cache path runs dense decode"
-                )
             from cosmos_predict2_tpu.parallel.cp import ulysses_kv_cache_attention
 
-            out, new_cache = ulysses_kv_cache_attention(q, k, v, kv_cache, self.cp_axis)
+            out, new_cache = ulysses_kv_cache_attention(
+                q, k, v, kv_cache, self.cp_axis,
+                cache_grid=self.cache_grid, cache_window_rows=self.cache_window_rows,
+            )
         elif kv_cache is not None:
             assert is_selfattn, "kv cache only applies to self-attention"
             s_new = k.shape[1]

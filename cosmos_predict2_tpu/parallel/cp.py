@@ -114,6 +114,8 @@ def ulysses_kv_cache_attention(
     v_new: jax.Array,
     kv_cache: dict,
     axis_name: str = "cp",
+    cache_grid: tuple[int, int] | None = None,
+    cache_window_rows: int = -1,
 ) -> tuple[jax.Array, dict]:
     """Sequence-parallel STREAMING decode (the interactive CausalDIT's
     KV-cache path under CP — the multi-chip route to real-time 720p,
@@ -126,6 +128,12 @@ def ulysses_kv_cache_attention(
     (large) cache never crosses chips; only the small new block moves
     through two all-to-alls per step. kv_cache["len"] is a replicated
     scalar.
+
+    ``cache_window_rows`` > 0 composes the sparse cache window
+    (flash_attention_kv_cache_window) with the head sharding: after the
+    head-scatter each chip holds the FULL block's queries for its local
+    heads, so the row-banded window applies per shard unchanged —
+    the two interactive levers (CP x GNA sparsity) stack.
 
     Returns (out token-sharded, new_cache head-sharded). Must run inside
     jit with an ambient mesh holding ``axis_name``.
@@ -155,7 +163,14 @@ def ulysses_kv_cache_attention(
         k_buf = jax.lax.dynamic_update_slice(k_buf, kh, (0, 0, ln[0], 0))
         v_buf = jax.lax.dynamic_update_slice(v_buf, vh, (0, 0, ln[0], 0))
         new_len = ln + s_new
-        if jax.default_backend() == "tpu":
+        if cache_window_rows > 0:
+            from cosmos_predict2_tpu.ops.flash_attention import flash_attention_kv_cache_window
+
+            assert cache_grid is not None, "cache_window_rows needs cache_grid=(gh, gw)"
+            out = flash_attention_kv_cache_window(
+                ql, k_buf, v_buf, new_len[0], tuple(cache_grid), cache_window_rows
+            )
+        elif jax.default_backend() == "tpu":
             from cosmos_predict2_tpu.ops.flash_attention import flash_attention_kv_cache
 
             out = flash_attention_kv_cache(ql, k_buf, v_buf, new_len[0])

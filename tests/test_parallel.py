@@ -289,6 +289,41 @@ def test_ulysses_kv_cache_matches_single_device():
 
 @pytest.mark.chips(8)
 @pytest.mark.level(1)
+def test_ulysses_kv_cache_window_matches_single_device():
+    """The sparse cache window composed with the head-sharded CP decode ==
+    the single-device windowed attention (the two interactive levers
+    stack; parallel/cp.py cache_window_rows)."""
+    from cosmos_predict2_tpu.ops.flash_attention import _kv_cache_window_reference
+    from cosmos_predict2_tpu.parallel.cp import ulysses_kv_cache_attention
+
+    gh, gw = 4, 8
+    F = gh * gw
+    B, H, D = 1, 4, 16
+    S_max, fill = 4 * F, 2 * F  # whole frames
+    q, k, v = (jax.random.normal(jax.random.PRNGKey(i), (B, F, H, D)) for i in range(3))
+    cache = {
+        "k": jax.random.normal(jax.random.PRNGKey(3), (B, H, S_max, D)),
+        "v": jax.random.normal(jax.random.PRNGKey(4), (B, H, S_max, D)),
+        "len": jnp.int32(fill),
+    }
+    kb = jax.lax.dynamic_update_slice(cache["k"], k.transpose(0, 2, 1, 3), (0, 0, fill, 0))
+    vb = jax.lax.dynamic_update_slice(cache["v"], v.transpose(0, 2, 1, 3), (0, 0, fill, 0))
+    ref = _kv_cache_window_reference(q, kb, vb, jnp.int32(fill + F), (gh, gw), 2)
+
+    mesh = make_mesh(1, 1, 4, 1, devices=jax.devices()[:4])
+    with jax.set_mesh(mesh):
+        out, new_cache = jax.jit(
+            lambda q, k, v, c: ulysses_kv_cache_attention(
+                q, k, v, c, cache_grid=(gh, gw), cache_window_rows=2
+            )
+        )(q, k, v, cache)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(new_cache["k"]), np.asarray(kb), atol=1e-6)
+    assert int(new_cache["len"]) == fill + F
+
+
+@pytest.mark.chips(8)
+@pytest.mark.level(1)
 def test_attention_module_kv_cache_cp_routing():
     """networks/dit.Attention routes kv_cache through the CP path when
     cp_axis is set: module output + updated cache == the single-device
