@@ -115,11 +115,15 @@ def _make_net(sparse: bool):
 def _make_params(net, x, ts, ctx):
     # bf16-native generation: no fp32 transient per leaf (the round-4
     # artifact died at this spot with RESOURCE_EXHAUSTED on a chip whose
-    # HBM a flaky tunnel had left populated).
+    # HBM a flaky tunnel had left populated). Keys are derived from HOST
+    # integers — iterating a device-side split() array forces a tunnel
+    # round trip per leaf, and one of those killed the round-5 session's
+    # first bench attempt (FAILED_PRECONDITION mid-iteration).
     shapes = jax.eval_shape(lambda: net.init(jax.random.PRNGKey(0), x, ts, ctx))
-    keys = iter(jax.random.split(jax.random.PRNGKey(42), len(jax.tree.leaves(shapes))))
+    counter = iter(range(len(jax.tree.leaves(shapes))))
     return jax.tree.map(
-        lambda s: jax.random.normal(next(keys), s.shape, jnp.bfloat16) * jnp.bfloat16(0.02),
+        lambda s: jax.random.normal(jax.random.PRNGKey(42 + next(counter)), s.shape, jnp.bfloat16)
+        * jnp.bfloat16(0.02),
         shapes,
     )
 
@@ -136,7 +140,13 @@ def _free(*trees) -> None:
     jax.clear_caches()
 
 
-_TRANSIENT = ("RESOURCE_EXHAUSTED", "ResourceExhausted", "DEADLINE_EXCEEDED", "UNAVAILABLE", "Socket closed", "connection")
+_TRANSIENT = (
+    "RESOURCE_EXHAUSTED", "ResourceExhausted", "DEADLINE_EXCEEDED", "UNAVAILABLE",
+    "Socket closed", "connection",
+    # tunnel/device burps seen live: FAILED_PRECONDITION right after a long
+    # session, INTERNAL from the remote-compile helper
+    "FAILED_PRECONDITION", "FailedPrecondition", "INTERNAL",
+)
 
 
 def _with_retry(fn, *, attempts: int = 3, sleeps=(30.0, 90.0)):
