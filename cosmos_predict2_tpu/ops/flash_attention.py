@@ -354,8 +354,16 @@ def _window_bands(gh: int, wh: int, band_rows: int) -> tuple[int, list[int], int
     geometry. Each band of rb consecutive query rows reads one contiguous
     slab of ``slab`` kv rows per frame that covers the clamped wh-row
     window of every row in the band (start is 1-Lipschitz, so the union of
-    the band's windows spans at most wh + rb - 1 rows)."""
+    the band's windows spans at most wh + rb - 1 rows).
+
+    Bands are fully unrolled in the kernel body, so rb is raised (to a
+    divisor of gh) until there are at most ~12 bands per frame — 22
+    unrolled bands at the 720p grid (gh=44) overran the environment's
+    remote compile helper, measured live; the compute-ratio cost of the
+    wider band is small (slab grows by rb-1 rows)."""
     rb = band_rows if gh % band_rows == 0 else 1
+    while gh // rb > 12:
+        rb = next((r for r in range(rb + 1, gh + 1) if gh % r == 0), gh)
     slab = min(gh, wh + rb - 1)
     sbs = []
     for r0 in range(0, gh, rb):
