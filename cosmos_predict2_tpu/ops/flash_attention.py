@@ -493,6 +493,10 @@ def _flash_kv_cache_window_impl(q, k_buf, v_buf, kv_valid, grid_hw, window_rows:
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # the 720p geometry's scratch (acc/m/l at Sq=3520 + the frame
+            # ring + unrolled band temporaries) needs ~25 MB of scoped
+            # VMEM — the 16 MB default rejects it at compile time
+            vmem_limit_bytes=64 * 2**20,
         ),
     )(valid, qt, k_buf, v_buf)
     return out.transpose(0, 2, 1, 3)
