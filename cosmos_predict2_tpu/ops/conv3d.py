@@ -29,17 +29,18 @@ cosmos_predict2/_src/predict2/tokenizers/wan2pt1.py (CausalConv3d).
 
 Measured on the v5e chip at the streaming-decode chunk shapes (bf16):
 1.53x XLA at T2 176x320 384ch, 1.47x at 192->384, 1.12x at T4 352x640
-192ch, 1.24x at T4 704x1280 96ch. The remaining ceiling is accumulator /
-patch-relayout VMEM traffic: with K = Cin per tap matmul the arithmetic
-intensity against VMEM is ~K/6 flop/byte, which caps the kernel near
-40 TF/s at Cin<=128 regardless of tiling (see docs/PERF.md VAE section).
+192ch, 1.24x at T4 704x1280 96ch. The per-tap/K-folded variants' ceiling
+is accumulator / patch-relayout VMEM traffic (~K/6 flop/byte at K=Cin,
+~40 TF/s at Cin<=128); see docs/PERF.md VAE section for the history.
 
-System-level caveat (scripts/vae_bench.py convcmp, docs/PERF.md): the
-per-dispatch win (1197 vs 1400 ms/steady chunk) survives a serialized
-whole-clip decode (30.2 vs 30.5 s) but programs containing this kernel do
-not overlap with the host spool's async D2H pulls (31.4 vs 20.6 s
-overlapped) — so the overlapped `out="host"` streaming route pins the XLA
-conv, and this kernel serves serialized / device-resident decodes.
+Production default (r5): ``conv3d_causal_ring`` — band-major grid with a
+(kt+2)-slot per-frame VMEM ring so each input frame-band is DMA'd once
+per band instead of kt times. The per-dispatch delta vs per-tap is small
+(557 vs 576 ms/steady chunk) but the 3x fewer input DMA transactions
+stop competing with the host spool's async D2H pulls, and the overlapped
+`out="host"` whole-clip decode drops 20.5 -> 15.2 s (same session; the
+r4 overlap fix — producing the transfer buffer in a pallas-free quantize
+program — remains in place, wan_vae_streaming._jitted_quant).
 """
 
 from __future__ import annotations
