@@ -255,10 +255,10 @@ def main() -> None:
         finally:
             _free(params)
 
-    # the primary (dense) metric gets a bounded retry on transient chip/
-    # tunnel errors (the round-4 artifact was lost to one); sparse/DMD2/
-    # VAE failures degrade to an *_error field instead of losing the
-    # whole driver artifact.
+    # the primary (dense) metric runs FIRST and gets a bounded retry on
+    # transient chip/tunnel errors (the round-4 artifact was lost to one);
+    # sparse/DMD2/VAE failures degrade to an *_error field instead of
+    # losing the whole driver artifact.
     dense_t_step = _with_retry(lambda: measure_config("dense", False))
     try:
         measure_config("sparse", True)
@@ -266,8 +266,14 @@ def main() -> None:
         results["sparse_error"] = f"{type(e).__name__}: {e}"[:200]
 
     try:
-        # fail-soft overall, but the decode number is a deliverable —
-        # give it one retry on a transient before degrading.
+        # fail-soft; one retry on transients. NOTE the decode number is
+        # dominated by tunnel D2H conditions at run time: the same code
+        # measured 13.2/13.3 s in two clean sessions and 18.8/21.9/40.2 s
+        # in three others (ordering relative to the DiT configs does NOT
+        # explain it — 40.2 was measured VAE-first on clean HBM). Compare
+        # decode numbers within a session; docs/PERF.md carries the
+        # reproduced standalone figure.
+        _free()
         t_enc, t_dec = _with_retry(_vae_times, attempts=2)
         results["vae_encode_s"] = round(t_enc, 1)
         results["vae_decode_s"] = round(t_dec, 1)
